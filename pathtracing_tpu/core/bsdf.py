@@ -1,0 +1,486 @@
+"""Table-driven BSDF system.
+
+Re-designs the reference's virtual Material hierarchy (Material.hpp:147-673)
+as a branch-free, vectorized module: every lane carries a material *type id*
+plus resolved scalar/texture parameters, all four material models are
+evaluated with masks and the results selected by type.  This is the
+TPU-idiomatic replacement for C++ virtual dispatch — lanes stay lockstep on
+the VPU and XLA fuses the whole shade stage.
+
+Material types:
+  0 MICROFACET_DIFFUSE   (glTF metallic-roughness, Material.hpp:200-361)
+  1 MICROFACET_DIELECTRIC(rough/smooth glass,      Material.hpp:363-598)
+  2 THIN_DIELECTRIC      (thin slab,               Material.hpp:601-657)
+  3 SPECULAR_CONDUCTOR   (perfect mirror,          Material.hpp:660-673)
+
+Sampling decisions (lobe choice, jitters) are *detached* from the autodiff
+graph; continuous factors (f, pdf ratios) remain differentiable w.r.t.
+base_color / roughness / metallic / ior so pixel gradients flow to material
+parameters (detached-sampling estimator).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .math import (INV_PI, SHADOW_EPS, vdot, vdot_k, normalize,
+                   safe_normalize, onb_from_normal, onb_from_interaction,
+                   to_local, to_world, reflect, refract,
+                   cosine_sample_hemisphere)
+
+MAT_DIFFUSE = 0
+MAT_DIELECTRIC = 1
+MAT_THIN_DIELECTRIC = 2
+MAT_CONDUCTOR = 3
+
+FLAG_TRANSMISSIVE = 1
+FLAG_SPECULAR = 2
+
+
+# ---------------------------------------------------------------------------
+# Fresnel (Material.hpp:11-32)
+# ---------------------------------------------------------------------------
+
+def fresnel_dielectric(cos_i, eta):
+    """Exact dielectric Fresnel with internal-side eta flip
+    (Material.hpp:11-28)."""
+    cos_i = jnp.clip(cos_i, -1.0, 1.0)
+    inside = cos_i < 0
+    eta = jnp.where(inside, 1.0 / eta, eta)
+    cos_i = jnp.abs(cos_i)
+    sin2_i = 1.0 - cos_i * cos_i
+    sin2_t = sin2_i / (eta * eta)
+    tir = sin2_t >= 1.0
+    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    r_parl = (eta * cos_i - cos_t) / (eta * cos_i + cos_t)
+    r_perp = (cos_i - eta * cos_t) / (cos_i + eta * cos_t)
+    return jnp.where(tir, 1.0, 0.5 * (r_parl * r_parl + r_perp * r_perp))
+
+
+def fresnel_schlick(cos_theta, f0):
+    """Schlick approximation (Material.hpp:30-32); f0 is [...,3]."""
+    m = jnp.clip(1.0 - cos_theta, 0.0, 1.0)[..., None]
+    return f0 + (1.0 - f0) * (m ** 5)
+
+
+# ---------------------------------------------------------------------------
+# Isotropic GGX microfacet distribution (Material.hpp:55-142)
+# ---------------------------------------------------------------------------
+
+def roughness_to_alpha(r):
+    return r * r
+
+
+def ggx_lambda(w, alpha):
+    cos2 = w[..., 2] * w[..., 2]
+    sin2 = jnp.maximum(0.0, 1.0 - cos2)
+    tan2 = sin2 / jnp.maximum(cos2, 1e-20)
+    lam = 0.5 * (jnp.sqrt(1.0 + alpha * alpha * tan2) - 1.0)
+    return jnp.where(cos2 == 0.0, 0.0, lam)
+
+
+def ggx_d(wh, alpha):
+    """GGX NDF; isotropic specialisation of Material.hpp:70-83."""
+    cos2 = wh[..., 2] * wh[..., 2]
+    cos4 = cos2 * cos2
+    sin2 = jnp.maximum(0.0, 1.0 - cos2)
+    e = sin2 / jnp.maximum(cos2, 1e-20) / jnp.maximum(alpha * alpha, 1e-20)
+    denom = jnp.pi * alpha * alpha * cos4 * (1.0 + e) * (1.0 + e)
+    d = jnp.where(denom > 0.0, 1.0 / jnp.maximum(denom, 1e-30), jnp.inf)
+    return jnp.where(cos2 == 0.0, 0.0, d)
+
+
+def ggx_g1(w, alpha):
+    return 1.0 / (1.0 + ggx_lambda(w, alpha))
+
+
+def ggx_g(wo, wi, alpha):
+    return 1.0 / (1.0 + ggx_lambda(wo, alpha) + ggx_lambda(wi, alpha))
+
+
+def ggx_is_smooth(alpha):
+    return alpha < 1e-6
+
+
+def ggx_sample_vndf(wo, alpha, u1, u2):
+    """Heitz 2018 VNDF sampling (Material.hpp:119-139), isotropic, with the
+    wo.z<0 flip of sampleWh (Material.hpp:97-102)."""
+    flip = wo[..., 2:3] < 0.0
+    ve = jnp.where(flip, -wo, wo)
+    vh = normalize(jnp.stack([alpha * ve[..., 0], alpha * ve[..., 1],
+                              ve[..., 2]], axis=-1), eps=1e-30)
+    lensq = vh[..., 0] * vh[..., 0] + vh[..., 1] * vh[..., 1]
+    inv_len = 1.0 / jnp.sqrt(jnp.maximum(lensq, 1e-30))
+    t1 = jnp.where((lensq > 0.0)[..., None],
+                   jnp.stack([-vh[..., 1] * inv_len, vh[..., 0] * inv_len,
+                              jnp.zeros_like(inv_len)], axis=-1),
+                   jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0],
+                                                wo.dtype), vh.shape))
+    t2 = jnp.cross(vh, t1)
+    r = jnp.sqrt(jnp.maximum(u1, 0.0))
+    phi = 2.0 * jnp.pi * u2
+    p1 = r * jnp.cos(phi)
+    p2 = r * jnp.sin(phi)
+    s = 0.5 * (1.0 + vh[..., 2])
+    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1)) + s * p2
+    nh = (p1[..., None] * t1 + p2[..., None] * t2
+          + jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1 - p2 * p2))[..., None] * vh)
+    ne = normalize(jnp.stack([alpha * nh[..., 0], alpha * nh[..., 1],
+                              jnp.maximum(0.0, nh[..., 2])], axis=-1),
+                   eps=1e-30)
+    return jnp.where(flip, -ne, ne)
+
+
+def ggx_vndf_pdf(wo, wh, alpha):
+    """PDF of VNDF sampling: D * G1(wo) * |dot(wo,wh)| / |wo.z|
+    (Material.hpp:104-106)."""
+    return (ggx_d(wh, alpha) * ggx_g1(wo, alpha)
+            * jnp.abs(vdot(wo, wh) / jnp.where(wo[..., 2] == 0.0, 1e-20,
+                                               wo[..., 2])))
+
+
+# ---------------------------------------------------------------------------
+# Per-lane material parameter bundle
+# ---------------------------------------------------------------------------
+
+def material_lanes(mat_type, base_color, roughness, metallic, ior):
+    """Pack resolved per-lane parameters into a dict pytree."""
+    return dict(type=mat_type, base_color=base_color, roughness=roughness,
+                metallic=metallic, ior=ior)
+
+
+# ---------------------------------------------------------------------------
+# Shared frame computations
+# ---------------------------------------------------------------------------
+
+def _frames(ray_dir, it):
+    """Returns the two local frames used by the reference materials."""
+    ns, n, tangent = it["ns"], it["n"], it["tangent"]
+    facing = vdot_k(ray_dir, ns) > 0.0
+    ns_flip = jnp.where(facing, -ns, ns)
+    flip_frame = onb_from_normal(ns_flip)                 # diffuse frame
+    tan_frame = onb_from_interaction(ns, tangent)         # dielectric frame
+    ng_facing = jnp.where(vdot_k(ray_dir, n) > 0.0, -n, n)
+    return flip_frame, tan_frame, ns_flip, ng_facing
+
+
+# ---------------------------------------------------------------------------
+# MicrofacetDiffuse (Material.hpp:200-361)
+# ---------------------------------------------------------------------------
+
+def _diffuse_sample_prob(roughness):
+    return jnp.where(roughness >= 0.7, 1.0, 0.5)
+
+
+def _diffuse_f_pdf(base_color, metallic, roughness, wo, wi, wh):
+    """Shared diffuse+specular lobe math (scatter & calc_attenuation)."""
+    alpha = roughness_to_alpha(roughness)
+    f0 = (1.0 - metallic[..., None]) * 0.04 + metallic[..., None] * base_color
+    fr = fresnel_schlick(vdot(wi, wh), f0)
+    num = (ggx_d(wh, alpha) * ggx_g(wo, wi, alpha))[..., None] * fr
+    denom = jnp.abs(4.0 * wo[..., 2] * wi[..., 2])
+    spec = num / jnp.maximum(denom, 1e-20)[..., None]
+    spec = jnp.where((denom == 0.0)[..., None], 0.0, spec)
+    kd = (1.0 - fr) * (1.0 - metallic[..., None])
+    return kd * base_color * INV_PI + spec, denom
+
+
+def _diffuse_sample(mat, ray_dir, it, u, uv2):
+    flip_frame, _, _, _ = _frames(ray_dir, it)
+    t, b, n = flip_frame
+    roughness = jnp.maximum(mat["roughness"], 1e-4)
+    alpha = roughness_to_alpha(roughness)
+    prob = _diffuse_sample_prob(roughness)
+    wo = to_local(t, b, n, -ray_dir)
+    take_spec = u >= prob
+
+    wh_s = ggx_sample_vndf(wo, alpha, uv2[..., 0], uv2[..., 1])
+    wi_s = reflect(-wo, wh_s)
+    wi_d = cosine_sample_hemisphere(uv2)
+    wh_d = safe_normalize(wo + wi_d)
+    wi = jnp.where(take_spec[..., None], wi_s, wi_d)
+    wh = jnp.where(take_spec[..., None], wh_s, wh_d)
+    valid = wi[..., 2] > 0.0
+
+    diffuse_pdf = prob * wi[..., 2] * INV_PI
+    spec_pdf = ((1.0 - prob) * ggx_vndf_pdf(wo, wh, alpha)
+                / (4.0 * jnp.maximum(jnp.abs(vdot(wo, wh)), 1e-20)))
+    pdf = diffuse_pdf + spec_pdf
+
+    f, denom = _diffuse_f_pdf(mat["base_color"], mat["metallic"], roughness,
+                              wo, wi, wh)
+    valid = valid & (denom != 0.0)
+    wi_world = to_world(t, b, n, wi)
+    flags = jnp.zeros_like(u, dtype=jnp.uint32)
+    origin = it["p"]
+    return wi_world, f, pdf, flags, valid, origin
+
+
+def _diffuse_eval_pdf(mat, ray_dir, it, wi_world):
+    flip_frame, _, _, _ = _frames(ray_dir, it)
+    t, b, n = flip_frame
+    roughness = jnp.maximum(mat["roughness"], 1e-4)
+    alpha = roughness_to_alpha(roughness)
+    wo = to_local(t, b, n, -ray_dir)
+    wi = to_local(t, b, n, wi_world)
+    wh = safe_normalize(wo + wi)
+    f, _ = _diffuse_f_pdf(mat["base_color"], mat["metallic"], roughness,
+                          wo, wi, wh)
+    # PDF() (Material.hpp:281-296): wh from scattered-incoming, NOTE the
+    # reference omits the (1-prob) factor on the specular term here; we
+    # reproduce that for exact MIS-weight parity.
+    wh_pdf = to_local(t, b, n, safe_normalize(wi_world - ray_dir))
+    prob = _diffuse_sample_prob(roughness)
+    diffuse = prob * jnp.abs(vdot(it["ns"], wi_world)) * INV_PI
+    spec = (ggx_vndf_pdf(wo, wh_pdf, alpha)
+            / (4.0 * jnp.maximum(jnp.abs(vdot(wo, wh_pdf)), 1e-20)))
+    return f, diffuse + spec
+
+
+# ---------------------------------------------------------------------------
+# MicrofacetDielectric (Material.hpp:363-598)
+# ---------------------------------------------------------------------------
+
+def _dielectric_sample(mat, ray_dir, it, u, uv2):
+    _, tan_frame, ns_flip, ng_facing = _frames(ray_dir, it)
+    t, b, n = tan_frame
+    ns = it["ns"]
+    ri = mat["ior"]
+    roughness = mat["roughness"]
+    alpha = roughness_to_alpha(roughness)
+    smooth = (ri == 1.0) | ggx_is_smooth(alpha)
+
+    wo = to_local(t, b, n, -ray_dir)
+    eta = jnp.where(vdot(-ray_dir, ns) > 0.0, 1.0 / ri, ri)
+    p_raw = it["p_raw"]
+    base = mat["base_color"]
+
+    # ---- smooth path (Material.hpp:402-435)
+    f_s = fresnel_dielectric(wo[..., 2], ri)
+    r_s = f_s
+    refl_s = u < r_s
+    dir_refl_s = to_world(t, b, n, jnp.stack(
+        [-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1))
+    dir_refr_s = refract(ray_dir, ns_flip, eta[..., None])
+    refr_tir = vdot(dir_refr_s, dir_refr_s) == 0.0
+    dir_smooth = jnp.where(refl_s[..., None], dir_refl_s, dir_refr_s)
+    origin_smooth = jnp.where(refl_s[..., None],
+                              p_raw + SHADOW_EPS * ng_facing,
+                              p_raw - SHADOW_EPS * ng_facing)
+    denom_s = jnp.maximum(jnp.abs(vdot(ns, dir_smooth)), 1e-20)
+    fval_smooth = base * (jnp.where(refl_s, r_s, 1.0 - r_s)
+                          / denom_s)[..., None]
+    pdf_smooth = jnp.where(refl_s, r_s, 1.0 - r_s)
+    valid_smooth = refl_s | ~refr_tir
+    flags_smooth = jnp.full_like(u, FLAG_TRANSMISSIVE | FLAG_SPECULAR,
+                                 dtype=jnp.uint32)
+
+    # ---- rough path (Material.hpp:436-476)
+    wh = ggx_sample_vndf(wo, alpha, uv2[..., 0], uv2[..., 1])
+    f_r = fresnel_dielectric(vdot(wo, wh), 1.0 / eta)
+    r_r = f_r
+    t_r = 1.0 - r_r
+    refl_r = u < r_r / jnp.maximum(r_r + t_r, 1e-20)
+
+    wi_refl = reflect(-wo, wh)
+    valid_refl = wo[..., 2] * wi_refl[..., 2] >= 0.0
+    pdf_refl = (ggx_vndf_pdf(wo, wh, alpha)
+                / (4.0 * jnp.maximum(jnp.abs(vdot(wo, wh)), 1e-20)) * r_r)
+    f_refl = base * (ggx_d(wh, alpha) * ggx_g(wo, wi_refl, alpha) * r_r
+                     / jnp.maximum(jnp.abs(4.0 * wi_refl[..., 2]
+                                           * wo[..., 2]), 1e-20))[..., None]
+
+    wi_refr = refract(-wo, wh, eta[..., None])
+    valid_refr = (wo[..., 2] * wi_refr[..., 2] <= 0.0) \
+        & (wi_refr[..., 2] != 0.0) \
+        & (vdot(wi_refr, wi_refr) > 0.0)
+    dwo = vdot(wo, wh)
+    dwi = vdot(wi_refr, wh)
+    denom_r = jnp.maximum((dwi + dwo * eta) ** 2, 1e-20)
+    dwh_dwi = jnp.abs(dwi) / denom_r
+    pdf_refr = ggx_vndf_pdf(wo, wh, alpha) * dwh_dwi * t_r
+    ft = (t_r * ggx_d(wh, alpha) * ggx_g(wo, wi_refr, alpha)
+          * jnp.abs(dwi * dwo / (denom_r
+                                 * jnp.where(wi_refr[..., 2] == 0.0, 1e-20,
+                                             wi_refr[..., 2])
+                                 * jnp.where(wo[..., 2] == 0.0, 1e-20,
+                                             wo[..., 2]))))
+    f_refr = base * ft[..., None]
+
+    wi_rough = jnp.where(refl_r[..., None], wi_refl, wi_refr)
+    dir_rough = to_world(t, b, n, wi_rough)
+    origin_rough = jnp.where(refl_r[..., None],
+                             p_raw + SHADOW_EPS * ng_facing,
+                             p_raw - SHADOW_EPS * ng_facing)
+    fval_rough = jnp.where(refl_r[..., None], f_refl, f_refr)
+    pdf_rough = jnp.where(refl_r, pdf_refl, pdf_refr)
+    valid_rough = jnp.where(refl_r, valid_refl, valid_refr)
+    flags_rough = (jnp.full_like(u, FLAG_TRANSMISSIVE, dtype=jnp.uint32)
+                   | jnp.where(roughness < 0.001, FLAG_SPECULAR,
+                               0).astype(jnp.uint32))
+
+    sm = smooth[..., None]
+    wi_world = jnp.where(sm, dir_smooth, dir_rough)
+    f = jnp.where(sm, fval_smooth, fval_rough)
+    pdf = jnp.where(smooth, pdf_smooth, pdf_rough)
+    flags = jnp.where(smooth, flags_smooth, flags_rough)
+    valid = jnp.where(smooth, valid_smooth, valid_rough)
+    origin = jnp.where(sm, origin_smooth, origin_rough)
+    return wi_world, f, pdf, flags, valid, origin
+
+
+def _dielectric_eval_pdf(mat, ray_dir, it, wi_world):
+    """calc_attenuation + PDF (Material.hpp:484-564)."""
+    _, tan_frame, _, _ = _frames(ray_dir, it)
+    t, b, n = tan_frame
+    ri = mat["ior"]
+    roughness = mat["roughness"]
+    alpha = roughness_to_alpha(roughness)
+    smooth = (ri == 1.0) | ggx_is_smooth(alpha)
+
+    wo = to_local(t, b, n, -ray_dir)
+    wi = to_local(t, b, n, wi_world)
+    cos_o = wo[..., 2]
+    cos_i = wi[..., 2]
+    is_reflect = cos_i * cos_o > 0.0
+    etap = jnp.where(is_reflect, 1.0, jnp.where(cos_o > 0.0, ri, 1.0 / ri))
+    wh = wi * etap[..., None] + wo
+    wh_zero = vdot(wh, wh) == 0.0
+    wh = safe_normalize(jnp.where(wh_zero[..., None],
+                                  jnp.ones_like(wh), wh))
+    wh = jnp.where((wh[..., 2] < 0.0)[..., None], -wh, wh)
+    degenerate = (vdot(wh, wi) * cos_i <= 0.0) | (vdot(wh, wo) * cos_o <= 0.0)
+
+    fr = fresnel_dielectric(vdot(wo, wh), ri)
+    r = fr
+    tt = 1.0 - r
+
+    vpdf = ggx_vndf_pdf(wo, wh, alpha)
+    pdf_reflect = vpdf / (4.0 * jnp.maximum(jnp.abs(vdot(wo, wh)), 1e-20)) \
+        * r / jnp.maximum(r + tt, 1e-20)
+    denom_pdf = jnp.maximum((vdot(wi, wh) + vdot(wo, wh) / etap) ** 2, 1e-20)
+    dwh_dwi = jnp.abs(vdot(wi, wh)) / denom_pdf
+    pdf_refract = vpdf * dwh_dwi * tt / jnp.maximum(r + tt, 1e-20)
+    pdf = jnp.where(is_reflect, pdf_reflect, pdf_refract)
+
+    base = mat["base_color"]
+    d = ggx_d(wh, alpha)
+    g = ggx_g(wo, wi, alpha)
+    f_reflect = base * (d * g * fr / jnp.maximum(
+        jnp.abs(4.0 * cos_i * cos_o), 1e-20))[..., None]
+    denom_f = denom_pdf * cos_i * cos_o
+    ft = d * (1.0 - fr) * g * jnp.abs(
+        vdot(wi, wh) * vdot(wo, wh)
+        / jnp.where(denom_f == 0.0, 1e-20, denom_f))
+    f_refract = base * ft[..., None]
+    f = jnp.where(is_reflect[..., None], f_reflect, f_refract)
+
+    bad = smooth | wh_zero | degenerate
+    f = jnp.where(bad[..., None], 0.0, f)
+    pdf = jnp.where(bad, 0.0, pdf)
+    return f, pdf
+
+
+# ---------------------------------------------------------------------------
+# ThinDielectric (Material.hpp:601-657)
+# ---------------------------------------------------------------------------
+
+def _thin_sample(mat, ray_dir, it, u, uv2):
+    _, tan_frame, _, ng_facing = _frames(ray_dir, it)
+    t, b, n = tan_frame
+    ns = it["ns"]
+    wo = to_local(t, b, n, -ray_dir)
+    fr = fresnel_dielectric(wo[..., 2], mat["ior"])
+    r = fr
+    tt = 1.0 - r
+    # interreflection series (Material.hpp:614-617)
+    r_adj = jnp.where(r < 1.0,
+                      r + tt * tt * r / jnp.maximum(1.0 - r * r, 1e-20), r)
+    t_adj = 1.0 - r_adj
+
+    take_refl = u < r_adj
+    dir_refl = to_world(t, b, n, jnp.stack(
+        [-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1))
+    dir_pass = ray_dir
+    wi_world = jnp.where(take_refl[..., None], dir_refl, dir_pass)
+    origin = jnp.where(take_refl[..., None],
+                       it["p_raw"] + SHADOW_EPS * ng_facing,
+                       it["p_raw"] - SHADOW_EPS * ng_facing)
+    denom = jnp.maximum(jnp.abs(vdot(ns, wi_world)), 1e-20)
+    amount = jnp.where(take_refl, r_adj, t_adj)
+    f = mat["base_color"] * (amount / denom)[..., None]
+    pdf = amount
+    flags = jnp.full_like(u, FLAG_TRANSMISSIVE | FLAG_SPECULAR,
+                          dtype=jnp.uint32)
+    valid = jnp.ones_like(u, dtype=bool)
+    return wi_world, f, pdf, flags, valid, origin
+
+
+# ---------------------------------------------------------------------------
+# SpecularConductor (Material.hpp:660-673)
+# ---------------------------------------------------------------------------
+
+def _conductor_sample(mat, ray_dir, it, u, uv2):
+    ns = it["ns"]
+    wi_world = reflect(ray_dir, ns)
+    d = vdot(wi_world, ns)
+    valid = d > 0.0
+    f = fresnel_schlick(vdot(ns, -ray_dir), mat["base_color"]) \
+        / jnp.maximum(d, 1e-20)[..., None]
+    pdf = jnp.ones_like(u)
+    flags = jnp.full_like(u, FLAG_SPECULAR, dtype=jnp.uint32)
+    return wi_world, f, pdf, flags, valid, it["p"]
+
+
+# ---------------------------------------------------------------------------
+# Dispatch
+# ---------------------------------------------------------------------------
+
+def bsdf_sample(mat, ray_dir, it, u, uv2):
+    """Material::scatter for every lane.
+
+    mat: dict from material_lanes (per-lane resolved parameters)
+    ray_dir: [...,3] incoming (unit) direction
+    it: interaction dict with p, p_raw, n, ns, tangent
+    u: [...] lobe-choice uniform; uv2: [...,2] direction uniforms
+
+    Returns (wi, f, pdf, flags, valid, origin).  Sampling decisions are
+    detached; f/pdf stay differentiable w.r.t. material parameters.
+    """
+    u = jax.lax.stop_gradient(u)
+    uv2 = jax.lax.stop_gradient(uv2)
+    results = [
+        _diffuse_sample(mat, ray_dir, it, u, uv2),
+        _dielectric_sample(mat, ray_dir, it, u, uv2),
+        _thin_sample(mat, ray_dir, it, u, uv2),
+        _conductor_sample(mat, ray_dir, it, u, uv2),
+    ]
+    mtype = mat["type"]
+    out = []
+    for idx in range(6):
+        acc = results[0][idx]
+        for k in (1, 2, 3):
+            sel = mtype == k
+            v = results[k][idx]
+            if v.ndim > sel.ndim:
+                sel = sel[..., None]
+            acc = jnp.where(sel, v, acc)
+        out.append(acc)
+    wi, f, pdf, flags, valid, origin = out
+    wi = jax.lax.stop_gradient(wi)
+    origin = jax.lax.stop_gradient(origin)
+    return wi, f, pdf, flags, valid, origin
+
+
+def bsdf_eval_pdf(mat, ray_dir, it, wi_world):
+    """calc_attenuation + PDF for NEE / MIS.  Thin dielectric and conductor
+    return zeros (specular-only, Material.hpp:646-652,660-673)."""
+    f_d, p_d = _diffuse_eval_pdf(mat, ray_dir, it, wi_world)
+    f_g, p_g = _dielectric_eval_pdf(mat, ray_dir, it, wi_world)
+    mtype = mat["type"]
+    is_d = (mtype == MAT_DIFFUSE)[..., None]
+    is_g = (mtype == MAT_DIELECTRIC)[..., None]
+    f = jnp.where(is_d, f_d, jnp.where(is_g, f_g, 0.0))
+    pdf = jnp.where(mtype == MAT_DIFFUSE, p_d,
+                    jnp.where(mtype == MAT_DIELECTRIC, p_g, 0.0))
+    return f, pdf

@@ -1,0 +1,153 @@
+"""Vector math primitives for the TPU path tracer.
+
+Pure-JAX, shape-polymorphic re-designs of the reference's L0 layer
+(reference: Onb.hpp:3-30, Ray.hpp:14-42, Shape.hpp:35-43, Util.hpp:4-6,
+Texture.hpp:13-24).  Everything here operates on arrays with a trailing
+3-component axis so the same code runs per-lane inside vectorized kernels.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+INV_PI = 1.0 / jnp.pi
+SHADOW_EPS = 1e-5  # reference AABB.hpp:6 `shadowEpsilon`
+BIG_F32 = 3.0e38   # stand-in for +inf that survives arithmetic
+
+
+def vdot(a, b):
+    """Dot product over the trailing axis, keeps leading shape."""
+    return jnp.sum(a * b, axis=-1)
+
+
+def vdot_k(a, b):
+    """Dot product, keepdims on the trailing axis (for broadcasting)."""
+    return jnp.sum(a * b, axis=-1, keepdims=True)
+
+
+def normalize(v, eps: float = 0.0):
+    """Normalize over trailing axis. With eps>0 guards the zero vector."""
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    if eps:
+        n2 = jnp.maximum(n2, eps)
+    return v / jnp.sqrt(n2)
+
+
+def safe_normalize(v):
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    return jnp.where(n2 > 0, v / jnp.sqrt(jnp.maximum(n2, 1e-30)), v)
+
+
+def cross(a, b):
+    return jnp.cross(a, b)
+
+
+def length(v):
+    return jnp.sqrt(jnp.sum(v * v, axis=-1))
+
+
+def distance(a, b):
+    return length(a - b)
+
+
+def reflect(i, n):
+    """GLM convention: reflect incident `i` about normal `n`."""
+    return i - 2.0 * vdot_k(n, i) * n
+
+
+def refract(i, n, eta):
+    """GLM convention refraction. Returns 0-vector on total internal
+    reflection (matches glm::refract used at Material.hpp:425,460)."""
+    cosi = vdot_k(n, i)
+    eta = jnp.asarray(eta)[..., None] if jnp.ndim(eta) == jnp.ndim(i) - 1 else eta
+    k = 1.0 - eta * eta * (1.0 - cosi * cosi)
+    refr = eta * i - (eta * cosi + jnp.sqrt(jnp.maximum(k, 0.0))) * n
+    return jnp.where(k >= 0.0, refr, jnp.zeros_like(i))
+
+
+def luminance(c):
+    """Rec.709 luminance (reference Util.hpp:4-6)."""
+    w = jnp.asarray([0.2126, 0.7152, 0.0722], dtype=c.dtype)
+    return vdot(c, w)
+
+
+def onb_from_normal(n):
+    """Orthonormal basis from a normal, branch on |x| (Onb.hpp:5-10).
+
+    Returns (t, b, n): axis[0], axis[1], axis[2] of the reference `onb`.
+    """
+    big_x = jnp.abs(n[..., 0:1]) > 0.9999
+    up = jnp.where(big_x,
+                   jnp.asarray([0.0, 1.0, 0.0], n.dtype),
+                   jnp.asarray([1.0, 0.0, 0.0], n.dtype))
+    b = safe_normalize(jnp.cross(n, up))     # axis[1]
+    t = jnp.cross(b, n)                      # axis[0]
+    return t, b, n
+
+
+def onb_from_interaction(ns, tangent):
+    """ONB from shading normal + tangent (Onb.hpp:12-16):
+    axis[2]=ns, axis[0]=tangent, axis[1]=cross(ns, tangent)."""
+    b = jnp.cross(ns, tangent)
+    return tangent, b, ns
+
+
+def to_local(t, b, n, v):
+    return jnp.stack([vdot(v, t), vdot(v, b), vdot(v, n)], axis=-1)
+
+
+def to_world(t, b, n, v):
+    return (v[..., 0:1] * t + v[..., 1:2] * b + v[..., 2:3] * n)
+
+
+def sphere_uv(p):
+    """Spherical UV from a direction (Shape.hpp:35-43)."""
+    p = safe_normalize(p)
+    theta = jnp.arccos(jnp.clip(p[..., 1], -1.0, 1.0))
+    phi = jnp.arctan2(p[..., 2], p[..., 0])
+    phi = jnp.where(phi < 0, phi + 2.0 * jnp.pi, phi)
+    u = phi * (0.5 * INV_PI)
+    v = theta * INV_PI
+    return jnp.stack([u, v], axis=-1)
+
+
+def uv_to_direction(uv):
+    """Inverse of the light-sampling parameterisation used by the
+    reference's infinite lights (Light.cpp:35-42): z in [-1,1] from u,
+    azimuth from v."""
+    z = 2.0 * uv[..., 0] - 1.0
+    theta = 2.0 * jnp.pi * uv[..., 1]
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    return jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta), z], axis=-1)
+
+
+def in_unit_disk(uv):
+    """Concentric-free polar disk sample (Random.hpp:60-64)."""
+    r = jnp.sqrt(uv[..., 0])
+    theta = 2.0 * jnp.pi * uv[..., 1]
+    return jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta)], axis=-1)
+
+
+def cosine_sample_hemisphere(uv):
+    """Cosine-weighted hemisphere sample, reference's diffuse lobe
+    parameterisation (Material.hpp:221-231): z = sqrt(1-u2)."""
+    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - uv[..., 1]))
+    phi = 2.0 * jnp.pi * uv[..., 0]
+    s = jnp.sqrt(jnp.maximum(0.0, uv[..., 1]))
+    return jnp.stack([jnp.cos(phi) * s, jnp.sin(phi) * s, z], axis=-1)
+
+
+def uniform_sample_sphere(uv):
+    """Uniform direction on S2 with the reference's (z from u.x) layout
+    (Light.cpp:35-41)."""
+    return uv_to_direction(uv)
+
+
+def srgb_to_linear(s):
+    s = jnp.clip(s, 0.0, 1.0)
+    return jnp.where(s <= 0.04045, s / 12.92, ((s + 0.055) / 1.055) ** 2.4)
+
+
+def linear_to_srgb(l):
+    l = jnp.clip(l, 0.0, 1.0)
+    return jnp.where(l < 0.0031308, 12.92 * l,
+                     1.055 * jnp.maximum(l, 1e-12) ** (1.0 / 2.4) - 0.055)

@@ -1,0 +1,421 @@
+"""Wavefront path integrators.
+
+Re-designs the reference's recursive per-ray megakernels
+(SimplePathIntegrator / PathIntegrator / VolPathIntegrator,
+Integrators.cpp:131-479) as a masked SoA bounce loop over ray batches:
+every lane carries (origin, dir, throughput, L, prevPDF, spec, medium,
+alive) and a `lax.scan` over bounce index advances all lanes in lockstep —
+the TPU-idiomatic replacement for thread-per-ray recursion.  Dead lanes are
+masked; Russian roulette and regeneration keep the batch useful.
+
+Random numbers are counter-based on (pixel, sample, dimension) so the
+backward pass replays identical sampling decisions (path replay /
+detached sampling).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..core.math import vdot, vdot_k, safe_normalize, BIG_F32, SHADOW_EPS
+from ..core import rng as rngmod
+from ..core.rng import SamplerConfig, sample_1d, sample_2d
+from ..core.bsdf import (bsdf_sample, bsdf_eval_pdf, material_lanes,
+                         FLAG_SPECULAR, FLAG_TRANSMISSIVE)
+from ..core.phase import hg_pdf, hg_sample
+from ..core.medium import medium_sample, medium_tr
+from ..core.filters import FilterConfig, mitchell
+from ..scene.intersect import intersect, make_interaction, occluded
+from ..scene import lights as L
+from ..scene.textures import texture_eval
+
+# per-bounce random dimension layout (camera uses dims 0..4)
+_DIM_BASE = 5
+_DIM_STRIDE = 16
+_D_SCATTER_UV = 0
+_D_LIGHT_UV = 2
+_D_SCATTER_U = 4
+_D_LIGHT_SELECT = 5
+_D_RR = 6
+_D_PHASE = 7
+_D_ENV_CELL = 9
+_D_MED_CHANNEL = 10
+_D_MED_DIST = 11
+_D_ALPHA = 12
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    spp: int = 16
+    max_depth: int = 8
+    integrator: str = "path"        # simple | path | volpath
+    sampler: SamplerConfig = SamplerConfig(kind="stratified",
+                                           x_samples=4, y_samples=4)
+    filter: FilterConfig = mitchell()
+    rr_start: int = 3               # RR after this many scatters
+    rays_per_batch: int = 1 << 16   # ray-batch tile size
+    differentiable: bool = False    # scan (diff) vs while_loop (fast fwd)
+
+
+# ---------------------------------------------------------------------------
+# material parameter resolution (textures -> per-lane values)
+# ---------------------------------------------------------------------------
+
+def resolve_material(scene, meta, it):
+    """Gather material params for each lane and apply textures.
+
+    Roughness reads the G channel, metallic the B channel (glTF convention,
+    Material.hpp:273-279); base color modulated by the base texture.
+    """
+    mid = jnp.clip(it["mat_id"], 0, scene["mat_type"].shape[0] - 1)
+    mtype = jnp.where(it["mat_id"] >= 0, scene["mat_type"][mid], -1)
+    base = scene["mat_base"][mid]
+    rough = scene["mat_rough"][mid]
+    metal = scene["mat_metal"][mid]
+    ior = scene["mat_ior"][mid]
+    tex_ids = scene["mat_tex"][mid]
+    if meta.n_mat:
+        bt = tex_ids[:, 0]
+        base = jnp.where((bt >= 0)[:, None],
+                         base * texture_eval(scene, bt, it["uv"]), base)
+        rt = tex_ids[:, 1]
+        rough = jnp.where(rt >= 0,
+                          rough * texture_eval(scene, rt, it["uv"])[:, 1],
+                          rough)
+        mt = tex_ids[:, 2]
+        metal = jnp.where(mt >= 0,
+                          metal * texture_eval(scene, mt, it["uv"])[:, 2],
+                          metal)
+    return material_lanes(mtype, base, rough, metal, ior)
+
+
+# ---------------------------------------------------------------------------
+# transmittance marching (Scene::IntersectTr, Scene.cpp:8-29)
+# ---------------------------------------------------------------------------
+
+def transmittance(scene, meta, origin, direction, dist, medium, active):
+    """March through material-less medium boundaries accumulating Tr.
+    Returns (Tr [N,3], blocked [N])."""
+    n = origin.shape[0]
+    max_marches = 8
+
+    def med_tr(med, t):
+        mi = jnp.clip(med, 0, scene["med_sigma_t"].shape[0] - 1)
+        sig = scene["med_sigma_t"][mi]
+        tr = medium_tr(sig, t)
+        return jnp.where((med >= 0)[:, None], tr, 1.0)
+
+    def cond(st):
+        o, rem, med, tr, blocked, live, i = st
+        return jnp.any(live) & (i < max_marches)
+
+    def body(st):
+        o, rem, med, tr, blocked, live, i = st
+        h = intersect(scene, meta, o, direction, rem)
+        it = make_interaction(scene, meta, o, direction, h)
+        seg = jnp.where(h["valid"], h["t"], rem)
+        tr = jnp.where(live[:, None], tr * med_tr(med, seg), tr)
+        hit_mat = h["valid"] & (it["mat_id"] >= 0)
+        blocked = blocked | (live & hit_mat)
+        go_on = live & h["valid"] & ~hit_mat
+        # medium switch at the boundary (Interaction.hpp:26-29)
+        new_med = jnp.where(vdot(direction, it["n"]) < 0.0, it["med_id"], -1)
+        med = jnp.where(go_on, new_med, med)
+        o = jnp.where(go_on[:, None], o + h["t"][:, None] * direction, o)
+        rem = jnp.where(go_on, rem - h["t"], rem)
+        live = go_on & (rem > 0)
+        return o, rem, med, tr, blocked, live, i + 1
+
+    init = (origin, dist, medium, jnp.ones((n, 3), jnp.float32),
+            jnp.zeros((n,), bool), active, jnp.asarray(0))
+    _, _, _, tr, blocked, _, _ = jax.lax.while_loop(cond, body, init)
+    return tr, blocked
+
+
+# ---------------------------------------------------------------------------
+# Next-event estimation (PathIntegrator::SampleLd, Integrators.cpp:260-294;
+# VolPathIntegrator::SampleLd, Integrators.cpp:426-479)
+# ---------------------------------------------------------------------------
+
+def sample_ld(scene, meta, cfg, ray_dir, it, mat, is_medium_vertex,
+              medium, g_lanes, u_select, uv_light, u_cell, alpha_salt,
+              active, volumetric):
+    if meta.n_lights == 0:
+        return jnp.zeros(ray_dir.shape, jnp.float32)
+
+    lidx, pmf, lvalid = L.sample_light_index(scene, meta, u_select)
+    ref_p = jnp.where(is_medium_vertex[:, None], it["p_raw"], it["p"])
+    ls = L.light_sample(scene, meta, lidx, ref_p, u_cell, uv_light, None)
+
+    sdir = ls["dir"]
+    # shadow length: area/point t = |d| - eps (Integrators.cpp:272,443-444)
+    t_shadow = jnp.where(ls["to_inf"], BIG_F32, ls["dist"] - SHADOW_EPS)
+    if volumetric:
+        t_shadow = jnp.where(ls["to_inf"], BIG_F32,
+                             ls["dist"] - 2.0 * SHADOW_EPS)
+
+    # surface: backface rejection (Integrators.cpp:279,460)
+    cos_s = vdot(it["ns"], sdir)
+    surf_reject = cos_s * vdot(ray_dir, it["ns"]) >= 0.0
+
+    # f and sampling pdf
+    f_surf, pdf_surf = bsdf_eval_pdf(mat, ray_dir, it, sdir)
+    f_surf = f_surf * jnp.abs(cos_s)[:, None]
+    ph = hg_pdf(ray_dir, sdir, g_lanes)
+    f = jnp.where(is_medium_vertex[:, None], ph[:, None], f_surf)
+    sampling_pdf = jnp.where(is_medium_vertex, ph, pdf_surf)
+
+    dead = (~lvalid) | (pmf <= 0) | (~is_medium_vertex & surf_reject) \
+        | jnp.all(f == 0.0, axis=-1)
+    active = active & ~dead
+
+    if volumetric:
+        tr, blocked = transmittance(scene, meta, ref_p, sdir, t_shadow,
+                                    medium, active)
+        vis = ~blocked
+    else:
+        occ = occluded(scene, meta, ref_p, sdir, t_shadow,
+                       rand_key=alpha_salt)
+        vis = ~occ
+        tr = jnp.ones_like(f)
+
+    l_val = L.light_sample_L(scene, meta, lidx, ls, sdir)
+    # delta lights: L*f/pmf; others: MIS (Integrators.cpp:283-293)
+    shape_pdf = L.light_sample_pdf(scene, meta, lidx, ls, ref_p, sdir)
+    light_pdf = pmf * shape_pdf
+    w2 = light_pdf * light_pdf
+    w1 = sampling_pdf * sampling_pdf
+    w_light = w2 / jnp.maximum(w1 + w2, 1e-30)
+    contrib_delta = l_val * f / jnp.maximum(pmf, 1e-20)[:, None]
+    contrib_mis = l_val * f * (w_light / jnp.maximum(light_pdf,
+                                                     1e-20))[:, None]
+    contrib = jnp.where(ls["is_delta"][:, None], contrib_delta,
+                        jnp.where((light_pdf > 0)[:, None], contrib_mis,
+                                  0.0))
+    return jnp.where((active & vis)[:, None], tr * contrib, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# The bounce loop
+# ---------------------------------------------------------------------------
+
+def trace(scene, cam, meta, cfg: RenderConfig, origin, direction, time,
+          px, py, sample_idx):
+    """Estimate Li for a batch of camera rays. Returns radiance [N,3]."""
+    n = origin.shape[0]
+    simple = cfg.integrator == "simple"
+    volumetric = cfg.integrator == "volpath"
+    s = cfg.sampler
+
+    state = dict(
+        o=origin, d=direction,
+        tput=jnp.ones((n, 3), jnp.float32),
+        radiance=jnp.zeros((n, 3), jnp.float32),
+        prev_pdf=jnp.ones((n,), jnp.float32),
+        spec=jnp.ones((n,), bool),
+        alive=jnp.ones((n,), bool),
+        medium=jnp.full((n,), meta.camera_medium, jnp.int32),
+        rr_depth=jnp.zeros((n,), jnp.int32),
+    )
+
+    def dim(b, off):
+        return _DIM_BASE + b * _DIM_STRIDE + off
+
+    def bounce(state, b):
+        alive = state["alive"]
+        o, d = state["o"], state["d"]
+        tput = state["tput"]
+        radiance = state["radiance"]
+
+        hit = intersect(scene, meta, o, d, jnp.full((n,), BIG_F32))
+        it = make_interaction(scene, meta, o, d, hit)
+        missed = alive & ~hit["valid"]
+
+        # ---- escaped rays: infinite lights (Integrators.cpp:196-208)
+        for i in range(meta.n_inf):
+            lid = scene["inf_idx"][i]
+            le = L.infinite_le(scene, meta, jnp.full((n,), lid, jnp.int32),
+                               d)
+            lpmf = L.light_pmf(scene, meta, jnp.full((n,), lid, jnp.int32))
+            lpdf = lpmf * L.infinite_light_mis_pdf(
+                scene, meta, jnp.full((n,), lid, jnp.int32), d)
+            pp = state["prev_pdf"]
+            w = jnp.where(state["spec"], 1.0,
+                          jnp.where(pp > 0,
+                                    pp * pp / jnp.maximum(
+                                        pp * pp + lpdf * lpdf, 1e-30), 0.0))
+            if simple:
+                w = jnp.ones_like(w)
+            radiance = radiance + jnp.where(missed[:, None],
+                                            tput * le * w[:, None], 0.0)
+        alive = alive & hit["valid"]
+
+        # ---- participating medium segment (VolPath, Integrators.cpp:340-344)
+        med_scatter = jnp.zeros((n,), bool)
+        if volumetric and meta.n_media:
+            med = state["medium"]
+            if meta.scene_medium >= 0:
+                med = jnp.where(med < 0, meta.scene_medium, med)
+            in_medium = alive & (med >= 0)
+            mi = jnp.clip(med, 0, scene["med_sigma_t"].shape[0] - 1)
+            sig_t = scene["med_sigma_t"][mi]
+            sig_s = scene["med_sigma_s"][mi]
+            u_ch = sample_1d(s, px, py, sample_idx, dim(b, _D_MED_CHANNEL))
+            u_dist = sample_1d(s, px, py, sample_idx, dim(b, _D_MED_DIST))
+            scat, t_scat, w_med = medium_sample(sig_t, sig_s, hit["t"],
+                                                u_ch, u_dist)
+            tput = jnp.where(in_medium[:, None], tput * w_med, tput)
+            med_scatter = in_medium & scat
+            state = dict(state, medium=med)
+
+        # ---- per-bounce randoms (Integrators.cpp:210-215)
+        uv_scatter = sample_2d(s, px, py, sample_idx, dim(b, _D_SCATTER_UV))
+        uv_light = sample_2d(s, px, py, sample_idx, dim(b, _D_LIGHT_UV))
+        u_scatter = sample_1d(s, px, py, sample_idx, dim(b, _D_SCATTER_U))
+        u_select = sample_1d(s, px, py, sample_idx, dim(b, _D_LIGHT_SELECT))
+        u_rr = sample_1d(s, px, py, sample_idx, dim(b, _D_RR))
+        u_cell = rngmod.hash_float(px, py, sample_idx, dim(b, _D_ENV_CELL),
+                                   s.seed)
+        alpha_salt = rngmod.hash_u32(sample_idx, b, s.seed)
+
+        mat = resolve_material(scene, meta, it)
+        mi = jnp.clip(state["medium"], 0, scene["med_g"].shape[0] - 1)
+        g_lanes = scene["med_g"][mi]
+
+        # ---- emitter hit (Integrators.cpp:217-226)
+        surf = alive & ~med_scatter
+        emit_l = L.area_light_L(scene, meta, it["light_id"], it["n"],
+                                it["uv"], d)
+        has_emit = surf & (it["light_id"] >= 0) \
+            & jnp.any(emit_l != 0.0, axis=-1)
+        lpmf_hit = L.light_pmf(scene, meta,
+                               jnp.clip(it["light_id"], 0,
+                                        max(meta.n_lights - 1, 0)))
+        lpdf_hit = lpmf_hit * L.area_light_hit_pdf(
+            scene, meta, it["light_id"], o, it["p_raw"], it["n"], d)
+        pp = state["prev_pdf"]
+        w_emit = jnp.where(state["spec"], 1.0,
+                           jnp.where(pp > 0, pp * pp / jnp.maximum(
+                               pp * pp + lpdf_hit * lpdf_hit, 1e-30), 0.0))
+        if simple:
+            w_emit = jnp.ones_like(w_emit)
+        radiance = radiance + jnp.where(has_emit[:, None],
+                                        tput * emit_l * w_emit[:, None],
+                                        0.0)
+
+        # ---- medium scatter vertex (Integrators.cpp:356-362)
+        if volumetric and meta.n_media:
+            uv_phase = sample_2d(s, px, py, sample_idx, dim(b, _D_PHASE))
+            scat_p = o + t_scat[:, None] * d
+            it_med = dict(it, p=scat_p, p_raw=scat_p)
+            nee_med = sample_ld(scene, meta, cfg, d, it_med, mat,
+                                jnp.ones((n,), bool), state["medium"],
+                                g_lanes, u_select, uv_light, u_cell,
+                                alpha_salt, med_scatter, volumetric)
+            radiance = radiance + jnp.where(med_scatter[:, None],
+                                            tput * nee_med, 0.0)
+            mle = scene["med_le"][mi]
+            radiance = radiance + jnp.where(med_scatter[:, None],
+                                            tput * mle, 0.0)
+            new_dir_med, _ = hg_sample(d, g_lanes, uv_phase)
+
+        # ---- surface scatter
+        boundary = surf & (it["mat_id"] < 0)
+        can_scatter = surf & (it["mat_id"] >= 0)
+        wi, f, pdf, flags, bvalid, new_origin = bsdf_sample(
+            mat, d, it, u_scatter, uv_scatter)
+        absorbed = can_scatter & ~bvalid
+        scattered = can_scatter & bvalid
+        new_spec = (flags & FLAG_SPECULAR) > 0
+        transmissive = (flags & FLAG_TRANSMISSIVE) > 0
+
+        # ---- NEE from surface (Integrators.cpp:243-245)
+        if not simple:
+            nee_active = scattered & ~new_spec
+            nee = sample_ld(scene, meta, cfg, d, it, mat,
+                            jnp.zeros((n,), bool), state["medium"], g_lanes,
+                            u_select, uv_light, u_cell, alpha_salt,
+                            nee_active, volumetric)
+            radiance = radiance + jnp.where(nee_active[:, None],
+                                            tput * nee, 0.0)
+            _, pdf_mis = bsdf_eval_pdf(mat, d, it, wi)
+            new_prev_pdf = jnp.where(scattered & ~new_spec, pdf_mis,
+                                     state["prev_pdf"])
+        else:
+            new_prev_pdf = state["prev_pdf"]
+
+        # ---- throughput update (Integrators.cpp:247)
+        cos_wi = jnp.abs(vdot(it["ns"], wi))
+        tput_new = tput * f * (cos_wi / jnp.maximum(pdf, 1e-20))[:, None]
+        tput = jnp.where(scattered[:, None], tput_new, tput)
+
+        # ---- medium handoff (VolPath, Integrators.cpp:393-399)
+        if volumetric:
+            going_in = vdot(wi, it["n"]) < 0.0
+            med_next = jnp.where(going_in, it["med_id"], -1)
+            carry = ~transmissive & (vdot(d, it["ns"]) <= 0.0)
+            med_next = jnp.where(carry, state["medium"], med_next)
+            med_boundary = jnp.where(vdot(d, it["n"]) < 0.0, it["med_id"],
+                                     -1)
+            medium = jnp.where(scattered, med_next,
+                               jnp.where(boundary, med_boundary,
+                                         state["medium"]))
+        else:
+            medium = state["medium"]
+
+        # ---- next ray state
+        o_next = jnp.where(scattered[:, None], new_origin,
+                           jnp.where(boundary[:, None], it["p_raw"], o))
+        d_next = jnp.where(scattered[:, None], wi, d)
+        spec = jnp.where(scattered, new_spec,
+                         jnp.where(boundary,
+                                   False if volumetric else True,
+                                   state["spec"]))
+        if volumetric and meta.n_media:
+            # medium scatter overrides surface results
+            o_next = jnp.where(med_scatter[:, None], scat_p, o_next)
+            d_next = jnp.where(med_scatter[:, None], new_dir_med, d_next)
+            spec = jnp.where(med_scatter, False, spec)
+
+        # ---- Russian roulette (Integrators.cpp:249-253)
+        did_scatter = scattered | med_scatter
+        rr_depth = state["rr_depth"] + did_scatter.astype(jnp.int32)
+        rr_on = did_scatter & (rr_depth > cfg.rr_start)
+        rr_prob = jnp.minimum(0.95, jnp.max(tput, axis=-1))
+        rr_kill = rr_on & (u_rr >= rr_prob)
+        tput = jnp.where((rr_on & ~rr_kill)[:, None],
+                         tput / jnp.maximum(rr_prob, 1e-20)[:, None], tput)
+
+        alive = alive & ~absorbed & ~rr_kill
+        alive = alive & (did_scatter | boundary)
+        alive = alive & (jnp.sum(tput, axis=-1) > 0.0)
+
+        # every per-lane update above is masked by an `alive`-derived mask,
+        # so dead lanes carry their state forward unchanged
+        return dict(o=o_next, d=d_next, tput=tput, radiance=radiance,
+                    prev_pdf=new_prev_pdf, spec=spec, alive=alive,
+                    medium=medium, rr_depth=rr_depth)
+
+    if cfg.differentiable:
+        def scan_body(st, b):
+            return bounce(st, b), None
+        state, _ = jax.lax.scan(scan_body, state,
+                                jnp.arange(cfg.max_depth))
+    else:
+        def cond(carry):
+            st, b = carry
+            return jnp.any(st["alive"]) & (b < cfg.max_depth)
+
+        def body(carry):
+            st, b = carry
+            return bounce(st, b), b + 1
+
+        state, _ = jax.lax.while_loop(cond, body, (state, jnp.asarray(0)))
+    return state["radiance"]
+
+
+# ---------------------------------------------------------------------------
+# medium scatter-position plumbing (defined after trace for clarity)
+# ---------------------------------------------------------------------------

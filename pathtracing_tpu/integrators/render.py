@@ -1,0 +1,87 @@
+"""Render driver: the TPU replacement for TileIntegrator::Render.
+
+The reference fans out CPU threads over 32x32 tiles pulled from an atomic
+counter (Integrators.cpp:23-129).  Here the image is processed as pixel
+batches (tiles) x sample waves: each wave traces one sample index for a
+whole batch of pixels as a single fused XLA program, and film accumulation
+is a deterministic scatter-add.  Multi-chip sharding splits the batch axis
+across devices (parallel/mesh.py).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core.rng import sample_1d, sample_2d
+from ..sensor.camera import generate_ray
+from ..sensor import film as filmmod
+from .path import RenderConfig, trace
+
+
+def _sample_wave(scene, cam, meta, cfg: RenderConfig, film, pixel_idx,
+                 sample_idx):
+    """Trace one sample for a batch of pixels and splat into the film."""
+    w, h = cam["resolution"]
+    px = pixel_idx % w
+    py = pixel_idx // w
+    s = cfg.sampler
+    p_jitter = sample_2d(s, px, py, sample_idx, 0)       # getPixel2D
+    time_u = sample_1d(s, px, py, sample_idx, 2)         # shutter time
+    lens_uv = sample_2d(s, px, py, sample_idx, 3)        # lens sample
+    p = jnp.stack([px.astype(jnp.float32), py.astype(jnp.float32)],
+                  axis=-1) + p_jitter
+    origin, direction, time = generate_ray(cam, p, time_u, lens_uv)
+    color = trace(scene, cam, meta, cfg, origin, direction, time,
+                  px, py, sample_idx)
+    color = jnp.where(jnp.isfinite(color), color, 0.0)   # NaN guard
+    # out-of-range pixels (padding) splat out of bounds and are dropped
+    p = jnp.where((pixel_idx < w * h)[:, None], p,
+                  jnp.full_like(p, -1e6))
+    return filmmod.splat(film, cfg.filter, cam["resolution"], p, color)
+
+
+@partial(jax.jit, static_argnames=("meta", "cfg", "n_samples",
+                                   "sample_offset"))
+def render_tile(scene, cam, meta, cfg: RenderConfig, film, pixel_idx,
+                n_samples: int, sample_offset: int = 0):
+    """Scan `n_samples` sample waves for one pixel batch."""
+    def body(film, s_idx):
+        return _sample_wave(scene, cam, meta, cfg, film, pixel_idx,
+                            s_idx), None
+
+    film, _ = jax.lax.scan(body, film,
+                           jnp.arange(sample_offset,
+                                      sample_offset + n_samples,
+                                      dtype=jnp.uint32))
+    return film
+
+
+def render(scene, cam, meta, cfg: RenderConfig, film=None, spp=None,
+           sample_offset: int = 0, progress=None):
+    """Full-frame render. Returns the film dict (rgb + weight)."""
+    w, h = cam["resolution"]
+    npix = w * h
+    spp = cfg.spp if spp is None else spp
+    batch = min(cfg.rays_per_batch, npix)
+    n_tiles = -(-npix // batch)
+    if film is None:
+        film = filmmod.new_film(cam["resolution"])
+    for t in range(n_tiles):
+        pixel_idx = jnp.arange(t * batch, (t + 1) * batch,
+                               dtype=jnp.int32)
+        film = render_tile(scene, cam, meta, cfg, film, pixel_idx, spp,
+                           sample_offset)
+        if progress:
+            progress(t + 1, n_tiles)
+    return film
+
+
+def render_image(scene, cam, meta, cfg: RenderConfig,
+                 tone_mapper="reinhard_jodie"):
+    """Render and return the [H,W,3] float image (weight-normalised,
+    linear)."""
+    film = render(scene, cam, meta, cfg)
+    w, h = cam["resolution"]
+    return filmmod.finalize(film).reshape(h, w, 3)

@@ -1,0 +1,508 @@
+"""Host-side scene builder.
+
+Mirrors the reference's scene-construction API (examples/example_1.cpp:17-122:
+textures -> materials -> shapes -> lights -> primitives -> media -> camera)
+but produces the flattened SoA scene IR of types.py instead of a pointer
+graph.  Everything here is NumPy; `build()` uploads to device arrays.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .types import (SceneMeta, MAT_NONE, LIGHT_UNIFORM_INF, LIGHT_ENV_TEX,
+                    LIGHT_DISTANT, LIGHT_POINT, LIGHT_AREA, SHAPE_TRI,
+                    SHAPE_SPH, SHAPE_QUAD, ALPHA_OPAQUE)
+from .textures import TexturePool
+from ..core.bsdf import (MAT_DIFFUSE, MAT_DIELECTRIC, MAT_THIN_DIELECTRIC,
+                         MAT_CONDUCTOR)
+
+
+def _lum(c):
+    return float(np.dot(np.asarray(c, np.float64),
+                        [0.2126, 0.7152, 0.0722]))
+
+
+class SceneBuilder:
+    def __init__(self):
+        self.textures = TexturePool()
+        # materials
+        self._mat = dict(type=[], base=[], rough=[], metal=[], ior=[],
+                         tex=[], alpha_mode=[], alpha_cutoff=[])
+        # geometry
+        self._tri = dict(v=[], n=[], uv=[], tan=[], prop=[])
+        self._sph = dict(c=[], r=[], prop=[])
+        self._quad = dict(q=[], u=[], v=[], prop=[])
+        # lights (entries are dicts; packed at build)
+        self._lights = []
+        # media
+        self._med = dict(sa=[], ss=[], g=[], le=[])
+        self.scene_medium = -1
+        self.camera = None
+        self.light_sampler = "power"
+        self._env_tables = None
+
+    # -- materials ---------------------------------------------------------
+
+    def _add_material(self, mtype, base, rough, metal, ior,
+                      base_tex=-1, rough_tex=-1, metal_tex=-1, norm_tex=-1,
+                      alpha_tex=-1, alpha_mode=ALPHA_OPAQUE,
+                      alpha_cutoff=0.5) -> int:
+        m = self._mat
+        m["type"].append(mtype)
+        m["base"].append(np.asarray(base, np.float32))
+        m["rough"].append(float(rough))
+        m["metal"].append(float(metal))
+        m["ior"].append(float(ior))
+        m["tex"].append([base_tex, rough_tex, metal_tex, norm_tex, alpha_tex])
+        m["alpha_mode"].append(int(alpha_mode))
+        m["alpha_cutoff"].append(float(alpha_cutoff))
+        return len(m["type"]) - 1
+
+    def add_diffuse(self, base_color=(0.8, 0.8, 0.8), roughness=1.0,
+                    metallic=0.0, base_tex=-1, rough_tex=-1, metal_tex=-1,
+                    norm_tex=-1, alpha_tex=-1, alpha_mode=ALPHA_OPAQUE,
+                    alpha_cutoff=0.5) -> int:
+        """MicrofacetDiffuse (Material.hpp:200-361)."""
+        return self._add_material(MAT_DIFFUSE, base_color, roughness,
+                                  metallic, 1.5, base_tex, rough_tex,
+                                  metal_tex, norm_tex, alpha_tex,
+                                  alpha_mode, alpha_cutoff)
+
+    def add_dielectric(self, ior=1.5, roughness=0.0, base_color=(1, 1, 1),
+                       base_tex=-1, rough_tex=-1, norm_tex=-1, alpha_tex=-1,
+                       alpha_mode=ALPHA_OPAQUE, alpha_cutoff=0.5) -> int:
+        """MicrofacetDielectric (Material.hpp:363-598)."""
+        return self._add_material(MAT_DIELECTRIC, base_color, roughness, 0.0,
+                                  ior, base_tex, rough_tex, -1, norm_tex,
+                                  alpha_tex, alpha_mode, alpha_cutoff)
+
+    def add_thin_dielectric(self, ior=1.5, base_color=(1, 1, 1),
+                            base_tex=-1) -> int:
+        """ThinDielectric (Material.hpp:601-657)."""
+        return self._add_material(MAT_THIN_DIELECTRIC, base_color, 0.0, 0.0,
+                                  ior, base_tex)
+
+    def add_conductor(self, albedo=(0.9, 0.9, 0.9)) -> int:
+        """SpecularConductor (Material.hpp:660-673)."""
+        return self._add_material(MAT_CONDUCTOR, albedo, 0.0, 0.0, 1.0)
+
+    # -- media ---------------------------------------------------------------
+
+    def add_medium(self, sigma_a, sigma_s, g=0.0, density=1.0,
+                   le=(0, 0, 0), le_density=1.0) -> int:
+        """HomogeneusMedium (Medium.hpp:14-61)."""
+        self._med["sa"].append(np.asarray(sigma_a, np.float32) * density)
+        self._med["ss"].append(np.asarray(sigma_s, np.float32) * density)
+        self._med["g"].append(float(g))
+        self._med["le"].append(np.asarray(le, np.float32) * le_density)
+        return len(self._med["g"]) - 1
+
+    def set_scene_medium(self, medium_id: int):
+        self.scene_medium = medium_id
+
+    # -- emission helper -----------------------------------------------------
+
+    def _maybe_area_light(self, shape_kind, shape_idx, emission, em_tex,
+                          one_sided) -> int:
+        if emission is None and em_tex < 0:
+            return -1
+        self._lights.append(dict(
+            type=LIGHT_AREA,
+            color=np.zeros(3, np.float32) if emission is None
+            else np.asarray(emission, np.float32),
+            vec=np.zeros(3, np.float32),
+            shape=(shape_kind, shape_idx), emtex=em_tex,
+            one_sided=bool(one_sided)))
+        return len(self._lights) - 1
+
+    # -- geometry ------------------------------------------------------------
+
+    def add_sphere(self, center, radius, material=-1, medium=-1,
+                   emission=None, em_tex=-1, one_sided=False) -> int:
+        idx = len(self._sph["r"])
+        lid = self._maybe_area_light(SHAPE_SPH, idx, emission, em_tex,
+                                     one_sided)
+        self._sph["c"].append(np.asarray(center, np.float32))
+        self._sph["r"].append(float(radius))
+        self._sph["prop"].append([material, lid, medium])
+        return idx
+
+    def add_quad(self, q, u, v, material=-1, medium=-1, emission=None,
+                 em_tex=-1, one_sided=False) -> int:
+        idx = len(self._quad["q"])
+        lid = self._maybe_area_light(SHAPE_QUAD, idx, emission, em_tex,
+                                     one_sided)
+        self._quad["q"].append(np.asarray(q, np.float32))
+        self._quad["u"].append(np.asarray(u, np.float32))
+        self._quad["v"].append(np.asarray(v, np.float32))
+        self._quad["prop"].append([material, lid, medium])
+        return idx
+
+    def add_mesh(self, vertices, indices, normals=None, uvs=None,
+                 tangents=None, material=-1, medium=-1, emission=None,
+                 em_tex=-1, transform=None, emissive_power_cull=0.005):
+        """Flatten a triangle mesh into the global triangle table.
+
+        Mirrors Model::BuildBlas (Model.hpp:41-81): per-triangle area lights
+        for emissive meshes, power-culled below `emissive_power_cull`.
+        transform: optional 4x4 object-to-world (pre-applied — the analog of
+        assimp pre-transform; TLAS instancing comes via add_instance later).
+        """
+        vertices = np.asarray(vertices, np.float32).reshape(-1, 3)
+        indices = np.asarray(indices, np.int32).reshape(-1, 3)
+        if transform is not None:
+            tf = np.asarray(transform, np.float32)
+            vertices = vertices @ tf[:3, :3].T + tf[:3, 3]
+            nrm_mat = np.linalg.inv(tf[:3, :3]).T
+        if normals is None:
+            e1 = vertices[indices[:, 1]] - vertices[indices[:, 0]]
+            e2 = vertices[indices[:, 2]] - vertices[indices[:, 0]]
+            fn = np.cross(e1, e2)
+            fn /= np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True),
+                             1e-20)
+            normals = np.zeros_like(vertices)
+            for k in range(3):
+                np.add.at(normals, indices[:, k], fn)
+            normals /= np.maximum(np.linalg.norm(normals, axis=-1,
+                                                 keepdims=True), 1e-20)
+        else:
+            normals = np.asarray(normals, np.float32).reshape(-1, 3)
+            if transform is not None:
+                normals = normals @ nrm_mat.T
+                normals /= np.maximum(np.linalg.norm(normals, axis=-1,
+                                                     keepdims=True), 1e-20)
+        has_uv = uvs is not None
+        uvs = (np.asarray(uvs, np.float32).reshape(-1, 2) if has_uv
+               else np.zeros((len(vertices), 2), np.float32))
+        has_tan = tangents is not None
+        tangents = (np.asarray(tangents, np.float32).reshape(-1, 3)
+                    if has_tan else np.zeros_like(vertices))
+        if has_tan and transform is not None:
+            tangents = tangents @ tf[:3, :3].T
+
+        first = len(self._tri["v"])
+        em_lum = 0.0 if emission is None else _lum(emission)
+        for t, (i0, i1, i2) in enumerate(indices):
+            tri_idx = first + t
+            lid = -1
+            if (emission is not None and em_lum > 0) or em_tex >= 0:
+                v0, v1, v2 = vertices[i0], vertices[i1], vertices[i2]
+                area = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0))
+                power = 2.0 * area * max(em_lum, 1e-6 if em_tex >= 0 else 0)
+                if power > emissive_power_cull or em_tex >= 0:
+                    lid = self._maybe_area_light(SHAPE_TRI, tri_idx,
+                                                 emission, em_tex, False)
+            self._tri["v"].append(vertices[[i0, i1, i2]])
+            self._tri["n"].append(normals[[i0, i1, i2]])
+            self._tri["uv"].append(uvs[[i0, i1, i2]])
+            self._tri["tan"].append(tangents[[i0, i1, i2]])
+            self._tri["prop"].append([material, lid, medium,
+                                      1 if has_tan else 0])
+        return first, len(indices)
+
+    # -- non-area lights ------------------------------------------------------
+
+    def add_uniform_inf_light(self, color):
+        """UniformInfiniteLight (Light.cpp:27-50)."""
+        self._lights.append(dict(type=LIGHT_UNIFORM_INF,
+                                 color=np.asarray(color, np.float32),
+                                 vec=np.zeros(3, np.float32),
+                                 shape=(-1, -1), emtex=-1, one_sided=False))
+        return len(self._lights) - 1
+
+    def add_env_light(self, tex_id: int, scale: float = 1.0):
+        """TextureInfiniteLight (Light.cpp:110-200)."""
+        self._lights.append(dict(type=LIGHT_ENV_TEX,
+                                 color=np.full(3, scale, np.float32),
+                                 vec=np.zeros(3, np.float32),
+                                 shape=(-1, -1), emtex=tex_id,
+                                 one_sided=False))
+        return len(self._lights) - 1
+
+    def add_distant_light(self, direction, color):
+        """DistantLight (Light.cpp:202-228)."""
+        self._lights.append(dict(type=LIGHT_DISTANT,
+                                 color=np.asarray(color, np.float32),
+                                 vec=np.asarray(direction, np.float32),
+                                 shape=(-1, -1), emtex=-1, one_sided=False))
+        return len(self._lights) - 1
+
+    def add_point_light(self, position, color):
+        """PointLight (Light.cpp:230-251)."""
+        self._lights.append(dict(type=LIGHT_POINT,
+                                 color=np.asarray(color, np.float32),
+                                 vec=np.asarray(position, np.float32),
+                                 shape=(-1, -1), emtex=-1, one_sided=False))
+        return len(self._lights) - 1
+
+    # -- camera ----------------------------------------------------------------
+
+    def set_camera(self, look_from, look_at, fov, resolution,
+                   focus_angle=0.0, focus_distance=0.0,
+                   shutter=(0.0, 0.0), medium=-1):
+        """Pinhole/thin-lens camera (Camera.hpp:4-64). fov in radians,
+        interpreted as the reference does: half_width = tan(fov/2)."""
+        self.camera = dict(look_from=np.asarray(look_from, np.float32),
+                           look_at=np.asarray(look_at, np.float32),
+                           fov=float(fov), resolution=tuple(resolution),
+                           focus_angle=float(focus_angle),
+                           focus_distance=float(focus_distance),
+                           shutter=tuple(shutter), medium=int(medium))
+
+    # -- packing ----------------------------------------------------------------
+
+    def _scene_bounds(self):
+        pts = []
+        if self._tri["v"]:
+            pts.append(np.asarray(self._tri["v"]).reshape(-1, 3))
+        if self._sph["r"]:
+            c = np.asarray(self._sph["c"])
+            r = np.asarray(self._sph["r"])[:, None]
+            pts += [c - r, c + r]
+        if self._quad["q"]:
+            q = np.asarray(self._quad["q"])
+            u = np.asarray(self._quad["u"])
+            v = np.asarray(self._quad["v"])
+            pts += [q, q + u, q + v, q + u + v]
+        if not pts:
+            return np.zeros(3), np.ones(3)
+        allp = np.concatenate(pts, 0)
+        return allp.min(0), allp.max(0)
+
+    def _shape_area(self, kind, idx) -> float:
+        if kind == SHAPE_TRI:
+            v = self._tri["v"][idx]
+            return 0.5 * float(np.linalg.norm(
+                np.cross(v[1] - v[0], v[2] - v[0])))
+        if kind == SHAPE_SPH:
+            return 4.0 * np.pi * self._sph["r"][idx] ** 2
+        if kind == SHAPE_QUAD:
+            return float(np.linalg.norm(np.cross(self._quad["u"][idx],
+                                                 self._quad["v"][idx])))
+        return 0.0
+
+    def _light_power(self, lt, scene_radius, tex_arrays) -> float:
+        """Light::Power with the reference's powerFunction defaults
+        (Light.hpp:52,131,157; Light.cpp:48-50,222-224,245-247,277-287)."""
+        kind = lt["type"]
+        if kind == LIGHT_UNIFORM_INF:
+            return float(np.sum(lt["color"])) * np.sqrt(scene_radius)
+        if kind == LIGHT_ENV_TEX:
+            mean_lum = lt.get("_mean_lum", 1.0) * float(lt["color"][0])
+            return mean_lum * np.sqrt(scene_radius)
+        if kind == LIGHT_DISTANT:
+            return float(np.sum(lt["color"])) * np.sqrt(scene_radius)
+        if kind == LIGHT_POINT:
+            return float(np.sum(lt["color"])) * 4.0 * scene_radius
+        if kind == LIGHT_AREA:
+            area = self._shape_area(*lt["shape"])
+            if lt["emtex"] >= 0:
+                em = lt.get("_mean_em", 1.0)
+            else:
+                em = _lum(lt["color"])
+            return (1.0 if lt["one_sided"] else 2.0) * area * em
+        return 0.0
+
+    def _build_env_tables(self, tex_pool_arrays, nx=256, ny=128):
+        """Luminance importance table over the (u,v) sphere parameterisation
+        (TextureInfiniteLight::PreProcess, Light.cpp:154-200).  Deterministic
+        cell-center quadrature instead of the reference's 64-spp MC."""
+        from .textures import texture_eval
+        env = [l for l in self._lights if l["type"] == LIGHT_ENV_TEX]
+        if not env:
+            return None, 0, 0
+        light = env[0]
+        us, vs = np.meshgrid((np.arange(nx) + 0.5) / nx,
+                             (np.arange(ny) + 0.5) / ny, indexing="ij")
+        uv = np.stack([us, vs], -1).reshape(-1, 2).astype(np.float32)
+        z = 2.0 * uv[:, 0] - 1.0
+        theta = 2.0 * np.pi * uv[:, 1]
+        r = np.sqrt(np.maximum(0.0, 1.0 - z * z))
+        dirs = np.stack([r * np.cos(theta), r * np.sin(theta), z], -1)
+        from ..core.math import sphere_uv
+        suv = np.asarray(sphere_uv(jnp.asarray(dirs)))
+        rgb = np.asarray(texture_eval(
+            tex_pool_arrays,
+            jnp.full((len(uv),), light["emtex"], jnp.int32),
+            jnp.asarray(suv))) * float(light["color"][0])
+        lum = rgb @ np.asarray([0.2126, 0.7152, 0.0722], np.float32)
+        light["_mean_lum"] = float(lum.mean())
+        cdf = np.cumsum(lum.astype(np.float64))
+        total = float(cdf[-1]) if cdf[-1] > 0 else 1.0
+        return dict(env_weights=jnp.asarray(lum.astype(np.float32)),
+                    env_cdf=jnp.asarray((cdf / total).astype(np.float32)),
+                    env_total=jnp.asarray([total], jnp.float32)), nx, ny
+
+    def build(self, power_cull: float = 0.01):
+        """Pack everything into (scene_arrays, camera_arrays, SceneMeta).
+
+        power_cull mirrors LightSampler::PreProcess culling lights with
+        Power() < 0.01 (LightSampler.cpp:52-64).
+        """
+        tex = self.textures.pack()
+
+        lo, hi = self._scene_bounds()
+        center = 0.5 * (lo + hi)
+        scene_radius = float(np.linalg.norm(hi - center)) or 1.0
+
+        env_tables, env_nx, env_ny = self._build_env_tables(tex)
+
+        # mean emissive luminance for textured area lights (AreaLight::
+        # PreProcess MC estimate, Light.cpp:277-287 — we use the texture mean)
+        for lt in self._lights:
+            if lt["type"] == LIGHT_AREA and lt["emtex"] >= 0:
+                info = np.asarray(tex["tex_info_i"])[lt["emtex"]]
+                texels = np.asarray(tex["tex_texels"])[
+                    info[1]:info[1] + info[2] * info[3], :3]
+                lt["_mean_em"] = float(
+                    texels @ np.asarray([0.2126, 0.7152, 0.0722])
+                    / max(len(texels), 1)) if len(texels) else 1.0
+
+        # light power + culling + cdf
+        powers = np.asarray([self._light_power(lt, scene_radius, tex)
+                             for lt in self._lights], np.float32)
+        keep = powers >= power_cull
+        remap = np.full(len(self._lights), -1, np.int32)
+        remap[keep] = np.arange(int(keep.sum()), dtype=np.int32)
+        lights = [lt for k, lt in zip(keep, self._lights) if k]
+        powers = powers[keep]
+
+        def remap_prop(props, width):
+            props = (np.asarray(props, np.int32) if len(props)
+                     else np.zeros((0, width), np.int32))
+            if len(props):
+                old = props[:, 1]
+                props[:, 1] = np.where(old >= 0, remap[old], -1)
+            return props
+
+        tri_prop = remap_prop(self._tri["prop"], 4)
+        sph_prop = remap_prop(self._sph["prop"], 3)
+        quad_prop = remap_prop(self._quad["prop"], 3)
+
+        total_power = float(powers.sum())
+        if self.light_sampler == "power" and total_power > 0:
+            cdf = np.cumsum(powers.astype(np.float64)) / total_power
+        else:
+            n = max(len(lights), 1)
+            cdf = (np.arange(n, dtype=np.float64) + 1) / n
+
+        def pad(a, shape, dtype=np.float32, fill=0):
+            a = np.asarray(a, dtype)
+            if a.size == 0:
+                a = np.full(shape, fill, dtype)
+            return a
+
+        nt, ns, nq = len(self._tri["v"]), len(self._sph["r"]), \
+            len(self._quad["q"])
+        nl = len(lights)
+        nm = len(self._mat["type"])
+        nd = len(self._med["g"])
+
+        quad_q = pad(self._quad["q"], (1, 3))
+        quad_u = pad(self._quad["u"], (1, 3))
+        quad_v = pad(self._quad["v"], (1, 3))
+        qn_raw = np.cross(quad_u, quad_v)
+        qn_len2 = np.maximum((qn_raw * qn_raw).sum(-1, keepdims=True), 1e-20)
+        quad_n = qn_raw / np.sqrt(qn_len2)
+        quad_d = (quad_n * quad_q).sum(-1)
+        quad_w = qn_raw / qn_len2
+
+        inf_idx = np.asarray([i for i, lt in enumerate(lights)
+                              if lt["type"] in (LIGHT_UNIFORM_INF,
+                                                LIGHT_ENV_TEX)], np.int32)
+
+        scene = dict(
+            tri_v=jnp.asarray(pad(self._tri["v"], (1, 3, 3))),
+            tri_n=jnp.asarray(pad(self._tri["n"], (1, 3, 3))),
+            tri_uv=jnp.asarray(pad(self._tri["uv"], (1, 3, 2))),
+            tri_tan=jnp.asarray(pad(self._tri["tan"], (1, 3, 3))),
+            tri_prop=jnp.asarray(pad(tri_prop, (1, 4), np.int32, -1)),
+            sph_c=jnp.asarray(pad(self._sph["c"], (1, 3))),
+            sph_r=jnp.asarray(pad(self._sph["r"], (1,))),
+            sph_prop=jnp.asarray(pad(sph_prop, (1, 3), np.int32, -1)),
+            quad_q=jnp.asarray(quad_q), quad_u=jnp.asarray(quad_u),
+            quad_v=jnp.asarray(quad_v), quad_n=jnp.asarray(quad_n),
+            quad_d=jnp.asarray(quad_d), quad_w=jnp.asarray(quad_w),
+            quad_prop=jnp.asarray(pad(quad_prop, (1, 3), np.int32, -1)),
+            mat_type=jnp.asarray(pad(self._mat["type"], (1,), np.int32, -1)),
+            mat_base=jnp.asarray(pad(self._mat["base"], (1, 3))),
+            mat_rough=jnp.asarray(pad(self._mat["rough"], (1,))),
+            mat_metal=jnp.asarray(pad(self._mat["metal"], (1,))),
+            mat_ior=jnp.asarray(pad(self._mat["ior"], (1,), fill=1.5)),
+            mat_tex=jnp.asarray(pad(self._mat["tex"], (1, 5), np.int32, -1)),
+            mat_alpha_mode=jnp.asarray(pad(self._mat["alpha_mode"], (1,),
+                                           np.int32)),
+            mat_alpha_cutoff=jnp.asarray(pad(self._mat["alpha_cutoff"],
+                                             (1,), fill=0.5)),
+            light_type=jnp.asarray(pad([lt["type"] for lt in lights], (1,),
+                                       np.int32, -1)),
+            light_color=jnp.asarray(pad([lt["color"] for lt in lights],
+                                        (1, 3))),
+            light_vec=jnp.asarray(pad([lt["vec"] for lt in lights], (1, 3))),
+            light_shape=jnp.asarray(pad([list(lt["shape"]) for lt in lights],
+                                        (1, 2), np.int32, -1)),
+            light_flags=jnp.asarray(pad([1 if lt["one_sided"] else 0
+                                         for lt in lights], (1,), np.int32)),
+            light_emtex=jnp.asarray(pad([lt["emtex"] for lt in lights],
+                                        (1,), np.int32, -1)),
+            light_area=jnp.asarray(pad(
+                [self._shape_area(*lt["shape"]) if lt["type"] == LIGHT_AREA
+                 else 0.0 for lt in lights], (1,))),
+            light_power=jnp.asarray(pad(powers, (1,))),
+            light_cdf=jnp.asarray(pad(cdf, (1,), fill=1.0)),
+            light_total_power=jnp.asarray([total_power], jnp.float32),
+            inf_idx=jnp.asarray(pad(inf_idx, (1,), np.int32, -1)),
+            med_sigma_a=jnp.asarray(pad(self._med["sa"], (1, 3))),
+            med_sigma_s=jnp.asarray(pad(self._med["ss"], (1, 3))),
+            med_g=jnp.asarray(pad(self._med["g"], (1,))),
+            med_le=jnp.asarray(pad(self._med["le"], (1, 3))),
+            scene_lo=jnp.asarray(lo, jnp.float32),
+            scene_hi=jnp.asarray(hi, jnp.float32),
+            **tex,
+        )
+        scene["med_sigma_t"] = scene["med_sigma_a"] + scene["med_sigma_s"]
+        if env_tables:
+            scene.update(env_tables)
+        else:
+            scene.update(env_weights=jnp.ones((1,), jnp.float32),
+                         env_cdf=jnp.ones((1,), jnp.float32),
+                         env_total=jnp.ones((1,), jnp.float32))
+
+        has_alpha = any(int(m) != ALPHA_OPAQUE
+                        for m in self._mat["alpha_mode"])
+
+        meta = SceneMeta(
+            n_tri=nt, n_sph=ns, n_quad=nq, n_mat=nm, n_lights=nl,
+            n_inf=len(inf_idx), n_media=nd, env_nx=env_nx, env_ny=env_ny,
+            scene_medium=self.scene_medium,
+            camera_medium=(self.camera or {}).get("medium", -1),
+            has_alpha=has_alpha, light_sampler=self.light_sampler)
+
+        cam = self._pack_camera()
+        return scene, cam, meta
+
+    def _pack_camera(self):
+        """Camera basis precompute (Camera.hpp:7-14)."""
+        if self.camera is None:
+            raise ValueError("set_camera() was never called")
+        c = self.camera
+        w = c["look_from"] - c["look_at"]
+        w = w / np.linalg.norm(w)
+        u = np.cross([0.0, 1.0, 0.0], w)
+        u = u / np.linalg.norm(u)
+        v = np.cross(w, u)
+        half_w = np.tan(c["fov"] * 0.5)
+        res = c["resolution"]
+        half_h = half_w * res[1] / res[0]
+        defocus_radius = c["focus_distance"] * np.tan(c["focus_angle"] / 2.0)
+        return dict(
+            origin=jnp.asarray(c["look_from"], jnp.float32),
+            u=jnp.asarray(u, jnp.float32), v=jnp.asarray(v, jnp.float32),
+            w=jnp.asarray(w, jnp.float32),
+            half_wh=jnp.asarray([half_w, half_h], jnp.float32),
+            defocus_radius=jnp.asarray(defocus_radius, jnp.float32),
+            focus_distance=jnp.asarray(c["focus_distance"], jnp.float32),
+            shutter=jnp.asarray(c["shutter"], jnp.float32),
+            resolution=c["resolution"],
+        )

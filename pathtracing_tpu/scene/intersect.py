@@ -1,0 +1,358 @@
+"""Vectorized ray–scene intersection (brute-force backend).
+
+The reference's hot path is recursive SIMD BVH traversal (BVH.hpp) calling
+per-shape intersectors (Shape.cpp).  Here the per-shape math is vectorized
+over rays × primitive-chunks with a `lax.scan` reduction — the correctness
+backend every accelerator (JAX BVH, Pallas BVH) is tested against.
+
+Shape kinds: 0 = triangle, 1 = sphere, 2 = quad (types.py).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.math import (SHADOW_EPS, BIG_F32, vdot, vdot_k, safe_normalize,
+                         sphere_uv, onb_from_normal, onb_from_interaction,
+                         to_world)
+from .types import SHAPE_TRI, SHAPE_SPH, SHAPE_QUAD, ALPHA_OPAQUE, \
+    ALPHA_BLEND, ALPHA_MASK
+from .textures import texture_eval, texture_alpha
+from ..core.rng import hash_u32, uniform_from_u32
+
+_CHUNK = 512
+
+
+def _chunks(n: int):
+    c = min(max(n, 1), _CHUNK)
+    return c, -(-max(n, 1) // c)
+
+
+# ---------------------------------------------------------------------------
+# Per-shape batched intersection tests: rays [N,3] x prims [C,...] -> [N,C]
+# ---------------------------------------------------------------------------
+
+def _tri_hits(o, d, v0, v1, v2, t_min=SHADOW_EPS):
+    """Möller–Trumbore, two-sided (Shape.cpp:246-267). Returns (t, valid)."""
+    e1 = v1 - v0          # [C,3]
+    e2 = v2 - v0
+    h = jnp.cross(d[:, None, :], e2[None, :, :])          # [N,C,3]
+    det = jnp.sum(e1[None] * h, -1)                       # [N,C]
+    near_zero = jnp.abs(det) < 1e-9
+    inv_det = 1.0 / jnp.where(near_zero, 1.0, det)
+    s = o[:, None, :] - v0[None]                          # [N,C,3]
+    u = jnp.sum(s * h, -1) * inv_det
+    q = jnp.cross(s, e1[None])
+    v = jnp.sum(d[:, None, :] * q, -1) * inv_det
+    t = jnp.sum(e2[None] * q, -1) * inv_det
+    valid = (~near_zero & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
+             & (t >= t_min))
+    return jnp.where(valid, t, BIG_F32), valid
+
+
+def _sph_hits(o, d, c, r, t_min=SHADOW_EPS):
+    """Quadratic sphere test, both roots (Shape.cpp:3-56)."""
+    oc = o[:, None, :] - c[None]                          # [N,C,3]
+    a = jnp.sum(d * d, -1)[:, None]
+    b = jnp.sum(oc * d[:, None, :], -1)
+    cc = jnp.sum(oc * oc, -1) - (r * r)[None]
+    disc = b * b - a * cc
+    ok = disc > 0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = (-b - sq) / a
+    t1 = (-b + sq) / a
+    t0v = ok & (t0 > t_min)
+    t1v = ok & (t1 > t_min)
+    t = jnp.where(t0v, t0, jnp.where(t1v, t1, BIG_F32))
+    return t, t0v | t1v
+
+
+def _quad_hits(o, d, q, n, dd, u, v, w, t_min=SHADOW_EPS):
+    """Two-sided parallelogram test (Shape.cpp:320-358).
+    Returns (t, valid, alpha, beta)."""
+    flip = jnp.sum(d[:, None, :] * n[None], -1) > 0       # [N,C]
+    nn = jnp.where(flip[..., None], -n[None], n[None])    # [N,C,3]
+    dd_s = jnp.where(flip, -dd[None], dd[None])
+    denom = jnp.sum(nn * d[:, None, :], -1)
+    small = jnp.abs(denom) < 1e-8
+    t = (dd_s - jnp.sum(nn * o[:, None, :], -1)) / jnp.where(small, 1.0,
+                                                             denom)
+    p = o[:, None, :] + t[..., None] * d[:, None, :] - q[None]
+    alpha = jnp.sum(w[None] * jnp.cross(p, v[None]), -1)
+    beta = jnp.sum(w[None] * jnp.cross(u[None], p), -1)
+    interior = (alpha >= 0) & (alpha <= 1) & (beta >= 0) & (beta <= 1)
+    valid = ~small & (t >= t_min) & interior
+    return jnp.where(valid, t, BIG_F32), valid, alpha, beta
+
+
+# ---------------------------------------------------------------------------
+# Closest-hit over the whole scene
+# ---------------------------------------------------------------------------
+
+def intersect(scene, meta, origin, direction, t_max):
+    """Closest hit: returns dict(t, kind, idx, valid) for a ray batch [N].
+
+    Scans primitives in fixed-size chunks so peak memory is O(N * CHUNK)
+    regardless of scene size (Scene::Intersect analog, Scene.cpp:31-33).
+    """
+    n = origin.shape[0]
+    best_t = jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32) \
+        if jnp.ndim(t_max) == 0 else t_max.astype(jnp.float32)
+    best_kind = jnp.full((n,), -1, jnp.int32)
+    best_idx = jnp.zeros((n,), jnp.int32)
+    state = (best_t, best_kind, best_idx)
+
+    def fold(state, t, valid, kind, base, j):
+        best_t, best_kind, best_idx = state
+        t = jnp.where(valid, t, BIG_F32)
+        cmin = jnp.argmin(t, axis=1)
+        tmin = jnp.take_along_axis(t, cmin[:, None], 1)[:, 0]
+        better = tmin < best_t
+        best_t = jnp.where(better, tmin, best_t)
+        best_kind = jnp.where(better, kind, best_kind)
+        best_idx = jnp.where(better, base + cmin.astype(jnp.int32), best_idx)
+        return best_t, best_kind, best_idx
+
+    if meta.n_tri:
+        c, nch = _chunks(meta.n_tri)
+        pad = c * nch
+        v = jnp.pad(scene["tri_v"], ((0, pad - scene["tri_v"].shape[0]),
+                                     (0, 0), (0, 0)))
+        vr = v.reshape(nch, c, 3, 3)
+        idx_valid = (jnp.arange(pad) < meta.n_tri).reshape(nch, c)
+
+        def body(st, xs):
+            tv, mask, j = xs
+            t, valid = _tri_hits(origin, direction, tv[:, 0], tv[:, 1],
+                                 tv[:, 2])
+            valid = valid & mask[None, :]
+            return fold(st, t, valid, SHAPE_TRI, j * c, j), None
+
+        state, _ = jax.lax.scan(body, state,
+                                (vr, idx_valid, jnp.arange(nch)))
+
+    if meta.n_sph:
+        c, nch = _chunks(meta.n_sph)
+        pad = c * nch
+        cs = jnp.pad(scene["sph_c"], ((0, pad - scene["sph_c"].shape[0]),
+                                      (0, 0))).reshape(nch, c, 3)
+        rs = jnp.pad(scene["sph_r"],
+                     (0, pad - scene["sph_r"].shape[0])).reshape(nch, c)
+        idx_valid = (jnp.arange(pad) < meta.n_sph).reshape(nch, c)
+
+        def body(st, xs):
+            cc, rr, mask, j = xs
+            t, valid = _sph_hits(origin, direction, cc, rr)
+            valid = valid & mask[None, :]
+            return fold(st, t, valid, SHAPE_SPH, j * c, j), None
+
+        state, _ = jax.lax.scan(body, state,
+                                (cs, rs, idx_valid, jnp.arange(nch)))
+
+    if meta.n_quad:
+        c, nch = _chunks(meta.n_quad)
+        pad = c * nch
+
+        def padq(a):
+            width = ((0, pad - a.shape[0]),) + ((0, 0),) * (a.ndim - 1)
+            return jnp.pad(a, width).reshape((nch, c) + a.shape[1:])
+
+        qq, qu, qv, qn = (padq(scene[k]) for k in
+                          ("quad_q", "quad_u", "quad_v", "quad_n"))
+        qd = padq(scene["quad_d"])
+        qw = padq(scene["quad_w"])
+        idx_valid = (jnp.arange(pad) < meta.n_quad).reshape(nch, c)
+
+        def body(st, xs):
+            q, u, v, nn, dd, w, mask, j = xs
+            t, valid, _, _ = _quad_hits(origin, direction, q, nn, dd, u, v,
+                                        w)
+            valid = valid & mask[None, :]
+            return fold(st, t, valid, SHAPE_QUAD, j * c, j), None
+
+        state, _ = jax.lax.scan(body, state,
+                                (qq, qu, qv, qn, qd, qw, idx_valid,
+                                 jnp.arange(nch)))
+
+    best_t, best_kind, best_idx = state
+    valid = best_kind >= 0
+    return dict(t=best_t, kind=best_kind, idx=best_idx, valid=valid)
+
+
+# ---------------------------------------------------------------------------
+# Interaction assembly (gathers at the winning primitive)
+# ---------------------------------------------------------------------------
+
+def make_interaction(scene, meta, origin, direction, hit):
+    """Build the SurfaceInteraction SoA for a hit batch.
+
+    Reproduces the per-shape interaction conventions:
+      triangle: Shape.cpp:185-244 (bary interp, normal-orientation fix,
+                +-eps*N offset, Gram-Schmidt tangent, normal mapping)
+      sphere:   Shape.cpp:3-38 (outward normal, +eps*n offset, sphere uv)
+      quad:     Shape.cpp:320-343 (two-sided ns, +eps*ns offset)
+    """
+    n = origin.shape[0]
+    t = hit["t"]
+    idx = hit["idx"]
+    kind = hit["kind"]
+    p_raw = origin + t[:, None] * direction
+
+    # --- triangle
+    ti = jnp.clip(idx, 0, scene["tri_v"].shape[0] - 1)
+    tv = scene["tri_v"][ti]                     # [N,3,3]
+    tn = scene["tri_n"][ti]
+    tuv = scene["tri_uv"][ti]
+    ttan = scene["tri_tan"][ti]
+    tprop = scene["tri_prop"][ti]
+    e1 = tv[:, 1] - tv[:, 0]
+    e2 = tv[:, 2] - tv[:, 0]
+    # recompute barycentrics at the hit point (cheaper than storing them)
+    h = jnp.cross(direction, e2)
+    det = vdot(e1, h)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+    s = origin - tv[:, 0]
+    bu = vdot(s, h) * inv_det
+    q = jnp.cross(s, e1)
+    bv = vdot(direction, q) * inv_det
+    bw = 1.0 - bu - bv
+    tri_uv = (bu[:, None] * tuv[:, 1] + bv[:, None] * tuv[:, 2]
+              + bw[:, None] * tuv[:, 0])
+    ns_t = safe_normalize(bu[:, None] * tn[:, 1] + bv[:, None] * tn[:, 2]
+                          + bw[:, None] * tn[:, 0])
+    ng_t = safe_normalize(jnp.cross(e1, e2))
+    ns_t = jnp.where(vdot_k(ng_t, ns_t) < 0, -ns_t, ns_t)
+    tan_raw = (bu[:, None] * ttan[:, 1] + bv[:, None] * ttan[:, 2]
+               + bw[:, None] * ttan[:, 0])
+    has_tan = tprop[:, 3] > 0
+    tan_gs = safe_normalize(tan_raw - ns_t * vdot_k(ns_t, tan_raw))
+    tb, bb, nb = onb_from_normal(ns_t)
+    tan_t = jnp.where(has_tan[:, None], tan_gs, bb)
+    # fallback tangent: reference uses normalize(cross(up, ns))
+    # (Shape.cpp:239-240) == onb axis[1]
+    off_sign = jnp.where(vdot_k(direction, ng_t) > 0, -1.0, 1.0)
+    p_t = p_raw + SHADOW_EPS * ng_t * off_sign
+
+    # --- sphere
+    si = jnp.clip(idx, 0, scene["sph_c"].shape[0] - 1)
+    sc = scene["sph_c"][si]
+    sprop = scene["sph_prop"][si]
+    ns_s = safe_normalize(p_raw - sc)
+    p_s = p_raw + SHADOW_EPS * ns_s
+    uv_s = sphere_uv(ns_s)
+    tan_s = safe_normalize(jnp.cross(
+        jnp.where((jnp.abs(ns_s[..., 0:1]) > 0.9999),
+                  jnp.asarray([0.0, 1.0, 0.0]),
+                  jnp.asarray([1.0, 0.0, 0.0])), ns_s))
+
+    # --- quad
+    qi = jnp.clip(idx, 0, scene["quad_q"].shape[0] - 1)
+    qn = scene["quad_n"][qi]
+    qprop = scene["quad_prop"][qi]
+    flip_q = vdot_k(direction, qn) > 0
+    ns_q = jnp.where(flip_q, -qn, qn)
+    planar = p_raw - scene["quad_q"][qi]
+    alpha = vdot(scene["quad_w"][qi], jnp.cross(planar, scene["quad_v"][qi]))
+    beta = vdot(scene["quad_w"][qi], jnp.cross(scene["quad_u"][qi], planar))
+    uv_q = jnp.stack([alpha, beta], -1)
+    tan_q = safe_normalize(jnp.cross(
+        jnp.where((jnp.abs(ns_q[..., 0:1]) > 0.9999),
+                  jnp.asarray([0.0, 1.0, 0.0]),
+                  jnp.asarray([1.0, 0.0, 0.0])), ns_q))
+    p_q = p_raw + SHADOW_EPS * ns_q
+
+    is_t = (kind == SHAPE_TRI)[:, None]
+    is_s = (kind == SHAPE_SPH)[:, None]
+    it = dict(
+        valid=hit["valid"], t=t, p_raw=p_raw,
+        p=jnp.where(is_t, p_t, jnp.where(is_s, p_s, p_q)),
+        n=jnp.where(is_t, ng_t, jnp.where(is_s, ns_s, qn)),
+        ns=jnp.where(is_t, ns_t, jnp.where(is_s, ns_s, ns_q)),
+        tangent=jnp.where(is_t, tan_t, jnp.where(is_s, tan_s, tan_q)),
+        uv=jnp.where(is_t, tri_uv, jnp.where(is_s, uv_s, uv_q)),
+        mat_id=jnp.where(kind == SHAPE_TRI, tprop[:, 0],
+                         jnp.where(kind == SHAPE_SPH, sprop[:, 0],
+                                   qprop[:, 0])),
+        light_id=jnp.where(kind == SHAPE_TRI, tprop[:, 1],
+                           jnp.where(kind == SHAPE_SPH, sprop[:, 1],
+                                     qprop[:, 1])),
+        med_id=jnp.where(kind == SHAPE_TRI, tprop[:, 2],
+                         jnp.where(kind == SHAPE_SPH, sprop[:, 2],
+                                   qprop[:, 2])),
+        kind=kind, idx=idx,
+    )
+
+    # normal mapping (Material::sample_normalMap, Material.hpp:344-348),
+    # applied where the material has a normal texture
+    mat_ids = jnp.clip(it["mat_id"], 0, scene["mat_type"].shape[0] - 1)
+    norm_tex = scene["mat_tex"][mat_ids, 3]
+    has_norm = (norm_tex >= 0) & (it["mat_id"] >= 0) & it["valid"]
+    if meta.n_mat:
+        nmap = texture_eval(scene, norm_tex, it["uv"])
+        n_local = safe_normalize(2.0 * nmap - 1.0)
+        tt, bb2, nn2 = onb_from_interaction(it["ns"], it["tangent"])
+        ns_mapped = safe_normalize(to_world(tt, bb2, nn2, n_local))
+        it["ns"] = jnp.where(has_norm[:, None], ns_mapped, it["ns"])
+    return it
+
+
+# ---------------------------------------------------------------------------
+# Shadow predicates
+# ---------------------------------------------------------------------------
+
+def occluded(scene, meta, origin, direction, t_max, rand_key=None):
+    """Scene::IntersectPred with alpha-tested restarts
+    (Primitive.cpp:6-14, Material.hpp:181-198).
+
+    Without alpha materials: one closest-hit pass.  With alpha: restart
+    loop — march past surfaces whose stochastic/mask alpha test says
+    "transparent" (bounded number of restarts).
+    """
+    hit = intersect(scene, meta, origin, direction, t_max - SHADOW_EPS)
+    if not meta.has_alpha:
+        return hit["valid"]
+
+    max_restarts = 8
+
+    def cond(st):
+        _, _, _, live, it_ = st
+        return jnp.any(live) & (it_ < max_restarts)
+
+    def body(st):
+        o, t_rem, occ, live, it_ = st
+        h = intersect(scene, meta, o, direction, t_rem)
+        inter = make_interaction(scene, meta, o, direction, h)
+        mat_ids = jnp.clip(inter["mat_id"], 0, scene["mat_type"].shape[0] - 1)
+        mode = scene["mat_alpha_mode"][mat_ids]
+        cutoff = scene["mat_alpha_cutoff"][mat_ids]
+        atex = scene["mat_tex"][mat_ids, 4]
+        btex = scene["mat_tex"][mat_ids, 0]
+        a_from_mask = texture_alpha(scene, jnp.where(atex >= 0, atex, btex),
+                                    inter["uv"])
+        a_from_mask = jnp.where(atex >= 0,
+                                texture_eval(scene, atex, inter["uv"])[:, 0],
+                                a_from_mask)
+        u = uniform_from_u32(hash_u32(
+            jnp.arange(o.shape[0]), it_,
+            0 if rand_key is None else rand_key))
+        solid = jnp.where(mode == ALPHA_BLEND, u < a_from_mask,
+                          jnp.where(mode == ALPHA_MASK,
+                                    a_from_mask > cutoff, True))
+        solid = solid | (inter["mat_id"] < 0)  # no material: plain occluder
+        newly_occ = h["valid"] & solid
+        done_clear = ~h["valid"]
+        occ = jnp.where(live & newly_occ, True, occ)
+        live_next = live & h["valid"] & ~solid
+        adv = h["t"] + SHADOW_EPS
+        o = jnp.where(live_next[:, None], o + adv[:, None] * direction, o)
+        t_rem = jnp.where(live_next, t_rem - adv, t_rem)
+        del done_clear
+        return o, t_rem, occ, live_next, it_ + 1
+
+    n = origin.shape[0]
+    t0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32) - SHADOW_EPS,
+                          (n,))
+    init = (origin, t0, jnp.zeros((n,), bool), jnp.ones((n,), bool),
+            jnp.asarray(0))
+    _, _, occ, _, _ = jax.lax.while_loop(cond, body, init)
+    return occ

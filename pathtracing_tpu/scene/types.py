@@ -1,0 +1,63 @@
+"""Scene IR: static metadata + device array conventions.
+
+The reference's recursive shared_ptr scene graph (Scene.hpp:5-37,
+Primitive.hpp:17-66) is replaced by a flattened SoA "scene IR": one dict of
+device arrays (geometry, material, light, medium, texture tables) plus this
+hashable static `SceneMeta` that callers close over under jit.
+
+Array schema (all float32 / int32):
+  tri_v   [T,3,3]  triangle vertices        tri_n   [T,3,3] shading normals
+  tri_uv  [T,3,2]  texcoords                tri_tan [T,3,3] tangents
+  tri_prop[T,4]    (mat, light, medium, has_tangent)
+  sph_c   [S,3]    sphere centers           sph_r   [S]     radii
+  sph_prop[S,3]    (mat, light, medium)
+  quad_q/u/v/n [Q,3], quad_d [Q], quad_w [Q,3], quad_prop [Q,3]
+  mat_type[M], mat_base[M,3], mat_rough[M], mat_metal[M], mat_ior[M],
+  mat_tex [M,5]    (base, roughness, metallic, normal, alpha) texture ids
+  mat_alpha_mode[M], mat_alpha_cutoff[M]
+  light_type[L], light_color[L,3], light_vec[L,3], light_shape[L,2],
+  light_flags[L], light_emtex[L], light_area[L], light_power[L],
+  light_cdf[L], inf_idx[LI]
+  env_weights/env_cdf [NC], env_total [1]
+  med_sigma_a/s/t [D,3], med_g [D], med_le [D,3]
+  tex_* (see textures.py)
+
+Ids use -1 for "none". All tables are padded to >=1 row so gathers stay
+well-formed; `SceneMeta` counts define validity.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+MAT_NONE = -1
+
+LIGHT_UNIFORM_INF = 0
+LIGHT_ENV_TEX = 1
+LIGHT_DISTANT = 2
+LIGHT_POINT = 3
+LIGHT_AREA = 4
+
+SHAPE_TRI = 0
+SHAPE_SPH = 1
+SHAPE_QUAD = 2
+
+ALPHA_OPAQUE = 0
+ALPHA_BLEND = 1
+ALPHA_MASK = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneMeta:
+    n_tri: int = 0
+    n_sph: int = 0
+    n_quad: int = 0
+    n_mat: int = 0
+    n_lights: int = 0
+    n_inf: int = 0
+    n_media: int = 0
+    env_nx: int = 0
+    env_ny: int = 0
+    scene_medium: int = -1      # global medium id (Scene.hpp sceneMedium)
+    camera_medium: int = -1
+    has_alpha: bool = False     # any non-opaque material in scene
+    light_sampler: str = "power"  # "power" | "uniform"
