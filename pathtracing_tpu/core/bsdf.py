@@ -51,9 +51,11 @@ def fresnel_dielectric(cos_i, eta):
     sin2_i = 1.0 - cos_i * cos_i
     sin2_t = sin2_i / (eta * eta)
     tir = sin2_t >= 1.0
-    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
-    r_parl = (eta * cos_i - cos_t) / (eta * cos_i + cos_t)
-    r_perp = (cos_i - eta * cos_t) / (cos_i + eta * cos_t)
+    cos_t = jnp.sqrt(jnp.where(tir, 1.0, jnp.maximum(0.0, 1.0 - sin2_t)))
+    denom_a = eta * cos_i + cos_t
+    denom_b = cos_i + eta * cos_t
+    r_parl = (eta * cos_i - cos_t) / jnp.where(denom_a == 0, 1.0, denom_a)
+    r_perp = (cos_i - eta * cos_t) / jnp.where(denom_b == 0, 1.0, denom_b)
     return jnp.where(tir, 1.0, 0.5 * (r_parl * r_parl + r_perp * r_perp))
 
 
@@ -194,7 +196,10 @@ def _diffuse_sample(mat, ray_dir, it, u, uv2):
     wo = to_local(t, b, n, -ray_dir)
     take_spec = u >= prob
 
-    wh_s = ggx_sample_vndf(wo, alpha, uv2[..., 0], uv2[..., 1])
+    # detached sampling: the sampled half-vector is a constant for AD;
+    # f and pdf stay differentiable w.r.t. roughness through D/G/PDF
+    wh_s = jax.lax.stop_gradient(
+        ggx_sample_vndf(wo, alpha, uv2[..., 0], uv2[..., 1]))
     wi_s = reflect(-wo, wh_s)
     wi_d = cosine_sample_hemisphere(uv2)
     wh_d = safe_normalize(wo + wi_d)
@@ -275,8 +280,9 @@ def _dielectric_sample(mat, ray_dir, it, u, uv2):
     flags_smooth = jnp.full_like(u, FLAG_TRANSMISSIVE | FLAG_SPECULAR,
                                  dtype=jnp.uint32)
 
-    # ---- rough path (Material.hpp:436-476)
-    wh = ggx_sample_vndf(wo, alpha, uv2[..., 0], uv2[..., 1])
+    # ---- rough path (Material.hpp:436-476); wh detached (see diffuse)
+    wh = jax.lax.stop_gradient(
+        ggx_sample_vndf(wo, alpha, uv2[..., 0], uv2[..., 1]))
     f_r = fresnel_dielectric(vdot(wo, wh), 1.0 / eta)
     r_r = f_r
     t_r = 1.0 - r_r
@@ -299,12 +305,14 @@ def _dielectric_sample(mat, ray_dir, it, u, uv2):
     denom_r = jnp.maximum((dwi + dwo * eta) ** 2, 1e-20)
     dwh_dwi = jnp.abs(dwi) / denom_r
     pdf_refr = ggx_vndf_pdf(wo, wh, alpha) * dwh_dwi * t_r
+    # guard: the divisor denom_r*wi.z*wo.z underflows to 0 on masked lanes
+    # (0/0 = NaN would poison the batch); compute it as a single guarded
+    # quotient and zero invalid lanes explicitly.
+    div = denom_r * wi_refr[..., 2] * wo[..., 2]
+    div_ok = div != 0.0
     ft = (t_r * ggx_d(wh, alpha) * ggx_g(wo, wi_refr, alpha)
-          * jnp.abs(dwi * dwo / (denom_r
-                                 * jnp.where(wi_refr[..., 2] == 0.0, 1e-20,
-                                             wi_refr[..., 2])
-                                 * jnp.where(wo[..., 2] == 0.0, 1e-20,
-                                             wo[..., 2]))))
+          * jnp.abs(dwi * dwo / jnp.where(div_ok, div, 1.0)))
+    ft = jnp.where(valid_refr & div_ok, ft, 0.0)
     f_refr = base * ft[..., None]
 
     wi_rough = jnp.where(refl_r[..., None], wi_refl, wi_refr)

@@ -32,9 +32,18 @@ def normalize(v, eps: float = 0.0):
     return v / jnp.sqrt(n2)
 
 
+def safe_sqrt(x):
+    """sqrt with a NaN-free gradient at and below zero (the 'double
+    where' guard — required everywhere a masked lane may see x<=0,
+    or reverse-mode AD poisons the whole batch)."""
+    pos = x > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
 def safe_normalize(v):
     n2 = jnp.sum(v * v, axis=-1, keepdims=True)
-    return jnp.where(n2 > 0, v / jnp.sqrt(jnp.maximum(n2, 1e-30)), v)
+    pos = n2 > 0
+    return jnp.where(pos, v / jnp.sqrt(jnp.where(pos, n2, 1.0)), v)
 
 
 def cross(a, b):
@@ -60,7 +69,7 @@ def refract(i, n, eta):
     cosi = vdot_k(n, i)
     eta = jnp.asarray(eta)[..., None] if jnp.ndim(eta) == jnp.ndim(i) - 1 else eta
     k = 1.0 - eta * eta * (1.0 - cosi * cosi)
-    refr = eta * i - (eta * cosi + jnp.sqrt(jnp.maximum(k, 0.0))) * n
+    refr = eta * i - (eta * cosi + safe_sqrt(k)) * n
     return jnp.where(k >= 0.0, refr, jnp.zeros_like(i))
 
 

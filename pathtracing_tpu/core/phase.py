@@ -1,6 +1,7 @@
 """Henyey–Greenstein phase function (reference PhaseFunction.hpp/.cpp)."""
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .math import INV_PI, onb_from_normal, to_world, safe_normalize, vdot
@@ -34,5 +35,7 @@ def hg_sample(w_in, g, uv):
                        sin_theta * jnp.sin(phi),
                        cos_theta], axis=-1)
     t, b, n = onb_from_normal(w_in)
-    w_out = safe_normalize(to_world(t, b, n, local))
-    return w_out, phase_hg(cos_theta, g)
+    # detached sampling: direction is an AD constant, the returned pdf
+    # (= phase value) stays differentiable w.r.t. g
+    w_out = jax.lax.stop_gradient(safe_normalize(to_world(t, b, n, local)))
+    return w_out, phase_hg(jax.lax.stop_gradient(cos_theta), g)

@@ -150,11 +150,11 @@ def sample_ld(scene, meta, cfg, ray_dir, it, mat, is_medium_vertex,
     ls = L.light_sample(scene, meta, lidx, ref_p, u_cell, uv_light, None)
 
     sdir = ls["dir"]
-    # shadow length: area/point t = |d| - eps (Integrators.cpp:272,443-444)
-    t_shadow = jnp.where(ls["to_inf"], BIG_F32, ls["dist"] - SHADOW_EPS)
-    if volumetric:
-        t_shadow = jnp.where(ls["to_inf"], BIG_F32,
-                             ls["dist"] - 2.0 * SHADOW_EPS)
+    # shadow length: the reference shortens by an absolute shadowEpsilon
+    # (Integrators.cpp:272,443-444) which is below f32 ULP at scene scale;
+    # we use a relative shortening so no light self-occludes at any scale.
+    t_shadow = jnp.where(ls["to_inf"], BIG_F32,
+                         ls["dist"] * (1.0 - 1e-3) - SHADOW_EPS)
 
     # surface: backface rejection (Integrators.cpp:279,460)
     cos_s = vdot(it["ns"], sdir)

@@ -42,19 +42,19 @@ def _sample_wave(scene, cam, meta, cfg: RenderConfig, film, pixel_idx,
     return filmmod.splat(film, cfg.filter, cam["resolution"], p, color)
 
 
-@partial(jax.jit, static_argnames=("meta", "cfg", "n_samples",
-                                   "sample_offset"))
+@partial(jax.jit, static_argnames=("meta", "cfg", "n_samples"))
 def render_tile(scene, cam, meta, cfg: RenderConfig, film, pixel_idx,
-                n_samples: int, sample_offset: int = 0):
-    """Scan `n_samples` sample waves for one pixel batch."""
+                n_samples: int, sample_offset=0):
+    """Scan `n_samples` sample waves for one pixel batch.
+    `sample_offset` is traced, so resuming a render reuses the compile."""
+    offset = jnp.asarray(sample_offset, jnp.uint32)
+
     def body(film, s_idx):
         return _sample_wave(scene, cam, meta, cfg, film, pixel_idx,
-                            s_idx), None
+                            s_idx + offset), None
 
     film, _ = jax.lax.scan(body, film,
-                           jnp.arange(sample_offset,
-                                      sample_offset + n_samples,
-                                      dtype=jnp.uint32))
+                           jnp.arange(n_samples, dtype=jnp.uint32))
     return film
 
 

@@ -373,7 +373,11 @@ class SceneBuilder:
                      else np.zeros((0, width), np.int32))
             if len(props):
                 old = props[:, 1]
-                props[:, 1] = np.where(old >= 0, remap[old], -1)
+                if len(remap):
+                    mapped = remap[np.clip(old, 0, len(remap) - 1)]
+                else:
+                    mapped = np.full_like(old, -1)
+                props[:, 1] = np.where(old >= 0, mapped, -1)
             return props
 
         tri_prop = remap_prop(self._tri["prop"], 4)

@@ -293,7 +293,13 @@ def make_interaction(scene, meta, origin, direction, hit):
         tt, bb2, nn2 = onb_from_interaction(it["ns"], it["tangent"])
         ns_mapped = safe_normalize(to_world(tt, bb2, nn2, n_local))
         it["ns"] = jnp.where(has_norm[:, None], ns_mapped, it["ns"])
-    return it
+    # geometry is detached from AD: gradients target material / texture /
+    # light / medium parameters (detached-sampling estimator); geometry
+    # derivatives (silhouettes) need dedicated estimators and are out of
+    # scope, and detaching removes a large NaN-gradient surface.
+    return {k: (jax.lax.stop_gradient(v)
+                if isinstance(v, jnp.ndarray) else v)
+            for k, v in it.items()}
 
 
 # ---------------------------------------------------------------------------

@@ -1,6 +1,7 @@
 """Thin-lens camera (reference Camera.hpp:4-64)."""
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core.math import safe_normalize, in_unit_disk
@@ -31,4 +32,7 @@ def generate_ray(cam, p, time_u, lens_uv):
     origin = jnp.where(no_dof, cam["origin"],
                        cam["origin"] + offset)
     direction = jnp.where(no_dof, direction, dir_dof)
-    return origin, direction, t
+    # camera parameters are not AD targets (see make_interaction note)
+    return (jax.lax.stop_gradient(origin),
+            jax.lax.stop_gradient(direction),
+            jax.lax.stop_gradient(t))

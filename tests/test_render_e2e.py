@@ -1,0 +1,120 @@
+"""End-to-end integration tests (SURVEY.md §4 test pyramid, level 3).
+
+The reference has no tests; verification was golden-image eyeballing.
+Here the golden standard is *estimator consistency*: the MIS+NEE path
+integrator and the BSDF-only simple integrator are different unbiased
+estimators of the same integral, so their converged images must agree.
+Plus physics invariants (furnace) and bitwise determinism.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pathtracing_tpu import scenes, RenderConfig, render
+from pathtracing_tpu.core.rng import SamplerConfig
+from pathtracing_tpu.sensor import film as fm
+
+
+def _img(scene, cam, meta, cfg):
+    f = render(scene, cam, meta, cfg)
+    w, h = cam["resolution"]
+    return np.asarray(fm.finalize(f)).reshape(h, w, 3)
+
+
+def test_furnace_sky_and_albedo():
+    scene, cam, meta = scenes.furnace(resolution=(16, 16))
+    cfg = RenderConfig(spp=8, max_depth=4, integrator="path",
+                       sampler=SamplerConfig(x_samples=4, y_samples=2,
+                                             seed=3))
+    img = _img(scene, cam, meta, cfg)
+    assert np.isfinite(img).all()
+    # corner rays escape to the uniform sky == exactly 1.0
+    np.testing.assert_allclose(img[0, 0], 1.0, atol=1e-4)
+    # sphere center: approximately albedo under a uniform dome
+    c = img[8, 8]
+    assert 0.55 < c.mean() < 0.85
+
+
+def test_path_vs_simple_consistency_cornell():
+    """Two different unbiased estimators must agree in the mean."""
+    scene, cam, meta = scenes.cornell_box(resolution=(32, 32))
+    img_p = _img(scene, cam, meta,
+                 RenderConfig(spp=32, max_depth=5, integrator="path",
+                              sampler=SamplerConfig(x_samples=8,
+                                                    y_samples=4, seed=1)))
+    img_s = _img(scene, cam, meta,
+                 RenderConfig(spp=64, max_depth=5, integrator="simple",
+                              sampler=SamplerConfig(x_samples=8,
+                                                    y_samples=8, seed=2)))
+    assert np.isfinite(img_p).all() and np.isfinite(img_s).all()
+    rel = abs(img_p.mean() - img_s.mean()) / img_p.mean()
+    assert rel < 0.08, f"estimator mismatch: {rel:.3f}"
+
+
+def test_bitwise_determinism():
+    scene, cam, meta = scenes.cornell_box(resolution=(16, 16))
+    cfg = RenderConfig(spp=4, max_depth=4, integrator="path",
+                       sampler=SamplerConfig(x_samples=2, y_samples=2,
+                                             seed=7))
+    a = _img(scene, cam, meta, cfg)
+    b = _img(scene, cam, meta, cfg)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_textured_alpha_scene():
+    scene, cam, meta = scenes.textured_quad(resolution=(24, 24))
+    cfg = RenderConfig(spp=8, max_depth=4, integrator="path",
+                       sampler=SamplerConfig(x_samples=4, y_samples=2,
+                                             seed=1))
+    img = _img(scene, cam, meta, cfg)
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.01
+
+
+def test_volpath_medium_scene():
+    scene, cam, meta = scenes.spheres_medium(resolution=(24, 24))
+    cfg = RenderConfig(spp=8, max_depth=5, integrator="volpath",
+                       sampler=SamplerConfig(x_samples=4, y_samples=2,
+                                             seed=1))
+    img = _img(scene, cam, meta, cfg)
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.005
+
+
+def test_volpath_reduces_to_path_without_media():
+    """With no media in the scene, volpath must agree with path closely
+    (same estimator; RR stream differs only via dims)."""
+    scene, cam, meta = scenes.cornell_box(resolution=(16, 16))
+    cfg_p = RenderConfig(spp=16, max_depth=4, integrator="path",
+                         sampler=SamplerConfig(x_samples=4, y_samples=4,
+                                               seed=5))
+    cfg_v = RenderConfig(spp=16, max_depth=4, integrator="volpath",
+                         sampler=SamplerConfig(x_samples=4, y_samples=4,
+                                               seed=5))
+    img_p = _img(scene, cam, meta, cfg_p)
+    img_v = _img(scene, cam, meta, cfg_v)
+    np.testing.assert_allclose(img_v, img_p, rtol=1e-4, atol=1e-5)
+
+
+def test_gradients_through_render():
+    """Pixel gradients flow to material base color (M5 seed test)."""
+    import jax
+    from pathtracing_tpu.integrators.render import render_tile
+
+    scene, cam, meta = scenes.furnace(resolution=(8, 8))
+    cfg = RenderConfig(spp=2, max_depth=3, integrator="path",
+                       differentiable=True,
+                       sampler=SamplerConfig(x_samples=2, y_samples=1,
+                                             seed=1))
+    pixel_idx = jnp.arange(64, dtype=jnp.int32)
+
+    def loss(base):
+        sc = dict(scene, mat_base=base)
+        f = fm.new_film(cam["resolution"])
+        f = render_tile(sc, cam, meta, cfg, f, pixel_idx, 2)
+        return jnp.sum(f["rgb"])
+
+    g = jax.grad(loss)(scene["mat_base"])
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0.0
