@@ -24,9 +24,9 @@ import jax
 import jax.numpy as jnp
 
 from .math import (INV_PI, SHADOW_EPS, vdot, vdot_k, normalize,
-                   safe_normalize, onb_from_normal, onb_from_interaction,
-                   to_local, to_world, reflect, refract,
-                   cosine_sample_hemisphere)
+                   safe_normalize, safe_denom, onb_from_normal,
+                   onb_from_interaction, to_local, to_world, reflect,
+                   refract, cosine_sample_hemisphere)
 
 MAT_DIFFUSE = 0
 MAT_DIELECTRIC = 1
@@ -51,11 +51,11 @@ def fresnel_dielectric(cos_i, eta):
     sin2_i = 1.0 - cos_i * cos_i
     sin2_t = sin2_i / (eta * eta)
     tir = sin2_t >= 1.0
-    cos_t = jnp.sqrt(jnp.where(tir, 1.0, jnp.maximum(0.0, 1.0 - sin2_t)))
+    cos_t = jnp.sqrt(jnp.where(tir, 1.0, jnp.maximum(1e-24, 1.0 - sin2_t)))
     denom_a = eta * cos_i + cos_t
     denom_b = cos_i + eta * cos_t
-    r_parl = (eta * cos_i - cos_t) / jnp.where(denom_a == 0, 1.0, denom_a)
-    r_perp = (cos_i - eta * cos_t) / jnp.where(denom_b == 0, 1.0, denom_b)
+    r_parl = (eta * cos_i - cos_t) / safe_denom(denom_a, 1e-9)
+    r_perp = (cos_i - eta * cos_t) / safe_denom(denom_b, 1e-9)
     return jnp.where(tir, 1.0, 0.5 * (r_parl * r_parl + r_perp * r_perp))
 
 
@@ -76,20 +76,25 @@ def roughness_to_alpha(r):
 def ggx_lambda(w, alpha):
     cos2 = w[..., 2] * w[..., 2]
     sin2 = jnp.maximum(0.0, 1.0 - cos2)
-    tan2 = sin2 / jnp.maximum(cos2, 1e-20)
+    tan2 = sin2 / jnp.maximum(cos2, 1e-18)
     lam = 0.5 * (jnp.sqrt(1.0 + alpha * alpha * tan2) - 1.0)
     return jnp.where(cos2 == 0.0, 0.0, lam)
 
 
 def ggx_d(wh, alpha):
-    """GGX NDF; isotropic specialisation of Material.hpp:70-83."""
+    """GGX NDF; isotropic specialisation of Material.hpp:70-83.
+
+    Uses the algebraically equivalent a^2 / (pi * (cos2*(a^2-1)+1)^2)
+    form: the reference's tan-based form overflows (1+e)^2 to inf for
+    tiny alpha, and every lane evaluates every material under the
+    branch-free dispatch, so inf on a masked lane turns into 0*inf=NaN
+    in the backward pass.  alpha is clamped at the reference's isSmooth
+    bound (1e-6, Material.hpp:116) below which lanes take the specular
+    path anyway."""
+    a2 = jnp.maximum(alpha * alpha, 1e-12)
     cos2 = wh[..., 2] * wh[..., 2]
-    cos4 = cos2 * cos2
-    sin2 = jnp.maximum(0.0, 1.0 - cos2)
-    e = sin2 / jnp.maximum(cos2, 1e-20) / jnp.maximum(alpha * alpha, 1e-20)
-    denom = jnp.pi * alpha * alpha * cos4 * (1.0 + e) * (1.0 + e)
-    d = jnp.where(denom > 0.0, 1.0 / jnp.maximum(denom, 1e-30), jnp.inf)
-    return jnp.where(cos2 == 0.0, 0.0, d)
+    t = cos2 * (a2 - 1.0) + 1.0
+    return a2 / jnp.maximum(jnp.pi * t * t, 1e-18)
 
 
 def ggx_g1(w, alpha):
@@ -110,9 +115,9 @@ def ggx_sample_vndf(wo, alpha, u1, u2):
     flip = wo[..., 2:3] < 0.0
     ve = jnp.where(flip, -wo, wo)
     vh = normalize(jnp.stack([alpha * ve[..., 0], alpha * ve[..., 1],
-                              ve[..., 2]], axis=-1), eps=1e-30)
+                              ve[..., 2]], axis=-1), eps=1e-18)
     lensq = vh[..., 0] * vh[..., 0] + vh[..., 1] * vh[..., 1]
-    inv_len = 1.0 / jnp.sqrt(jnp.maximum(lensq, 1e-30))
+    inv_len = 1.0 / jnp.sqrt(jnp.maximum(lensq, 1e-18))
     t1 = jnp.where((lensq > 0.0)[..., None],
                    jnp.stack([-vh[..., 1] * inv_len, vh[..., 0] * inv_len,
                               jnp.zeros_like(inv_len)], axis=-1),
@@ -129,7 +134,7 @@ def ggx_sample_vndf(wo, alpha, u1, u2):
           + jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1 - p2 * p2))[..., None] * vh)
     ne = normalize(jnp.stack([alpha * nh[..., 0], alpha * nh[..., 1],
                               jnp.maximum(0.0, nh[..., 2])], axis=-1),
-                   eps=1e-30)
+                   eps=1e-18)
     return jnp.where(flip, -ne, ne)
 
 
@@ -137,8 +142,7 @@ def ggx_vndf_pdf(wo, wh, alpha):
     """PDF of VNDF sampling: D * G1(wo) * |dot(wo,wh)| / |wo.z|
     (Material.hpp:104-106)."""
     return (ggx_d(wh, alpha) * ggx_g1(wo, alpha)
-            * jnp.abs(vdot(wo, wh) / jnp.where(wo[..., 2] == 0.0, 1e-20,
-                                               wo[..., 2])))
+            * jnp.abs(vdot(wo, wh) / safe_denom(wo[..., 2], 1e-9)))
 
 
 # ---------------------------------------------------------------------------
@@ -181,7 +185,7 @@ def _diffuse_f_pdf(base_color, metallic, roughness, wo, wi, wh):
     fr = fresnel_schlick(vdot(wi, wh), f0)
     num = (ggx_d(wh, alpha) * ggx_g(wo, wi, alpha))[..., None] * fr
     denom = jnp.abs(4.0 * wo[..., 2] * wi[..., 2])
-    spec = num / jnp.maximum(denom, 1e-20)[..., None]
+    spec = num / jnp.maximum(denom, 1e-18)[..., None]
     spec = jnp.where((denom == 0.0)[..., None], 0.0, spec)
     kd = (1.0 - fr) * (1.0 - metallic[..., None])
     return kd * base_color * INV_PI + spec, denom
@@ -209,7 +213,7 @@ def _diffuse_sample(mat, ray_dir, it, u, uv2):
 
     diffuse_pdf = prob * wi[..., 2] * INV_PI
     spec_pdf = ((1.0 - prob) * ggx_vndf_pdf(wo, wh, alpha)
-                / (4.0 * jnp.maximum(jnp.abs(vdot(wo, wh)), 1e-20)))
+                / (4.0 * jnp.maximum(jnp.abs(vdot(wo, wh)), 1e-18)))
     pdf = diffuse_pdf + spec_pdf
 
     f, denom = _diffuse_f_pdf(mat["base_color"], mat["metallic"], roughness,
@@ -238,7 +242,7 @@ def _diffuse_eval_pdf(mat, ray_dir, it, wi_world):
     prob = _diffuse_sample_prob(roughness)
     diffuse = prob * jnp.abs(vdot(it["ns"], wi_world)) * INV_PI
     spec = (ggx_vndf_pdf(wo, wh_pdf, alpha)
-            / (4.0 * jnp.maximum(jnp.abs(vdot(wo, wh_pdf)), 1e-20)))
+            / (4.0 * jnp.maximum(jnp.abs(vdot(wo, wh_pdf)), 1e-18)))
     return f, diffuse + spec
 
 
@@ -272,7 +276,7 @@ def _dielectric_sample(mat, ray_dir, it, u, uv2):
     origin_smooth = jnp.where(refl_s[..., None],
                               p_raw + SHADOW_EPS * ng_facing,
                               p_raw - SHADOW_EPS * ng_facing)
-    denom_s = jnp.maximum(jnp.abs(vdot(ns, dir_smooth)), 1e-20)
+    denom_s = jnp.maximum(jnp.abs(vdot(ns, dir_smooth)), 1e-18)
     fval_smooth = base * (jnp.where(refl_s, r_s, 1.0 - r_s)
                           / denom_s)[..., None]
     pdf_smooth = jnp.where(refl_s, r_s, 1.0 - r_s)
@@ -286,15 +290,15 @@ def _dielectric_sample(mat, ray_dir, it, u, uv2):
     f_r = fresnel_dielectric(vdot(wo, wh), 1.0 / eta)
     r_r = f_r
     t_r = 1.0 - r_r
-    refl_r = u < r_r / jnp.maximum(r_r + t_r, 1e-20)
+    refl_r = u < r_r / jnp.maximum(r_r + t_r, 1e-18)
 
     wi_refl = reflect(-wo, wh)
     valid_refl = wo[..., 2] * wi_refl[..., 2] >= 0.0
     pdf_refl = (ggx_vndf_pdf(wo, wh, alpha)
-                / (4.0 * jnp.maximum(jnp.abs(vdot(wo, wh)), 1e-20)) * r_r)
+                / (4.0 * jnp.maximum(jnp.abs(vdot(wo, wh)), 1e-18)) * r_r)
     f_refl = base * (ggx_d(wh, alpha) * ggx_g(wo, wi_refl, alpha) * r_r
                      / jnp.maximum(jnp.abs(4.0 * wi_refl[..., 2]
-                                           * wo[..., 2]), 1e-20))[..., None]
+                                           * wo[..., 2]), 1e-18))[..., None]
 
     wi_refr = refract(-wo, wh, eta[..., None])
     valid_refr = (wo[..., 2] * wi_refr[..., 2] <= 0.0) \
@@ -302,16 +306,16 @@ def _dielectric_sample(mat, ray_dir, it, u, uv2):
         & (vdot(wi_refr, wi_refr) > 0.0)
     dwo = vdot(wo, wh)
     dwi = vdot(wi_refr, wh)
-    denom_r = jnp.maximum((dwi + dwo * eta) ** 2, 1e-20)
+    denom_r = jnp.maximum((dwi + dwo * eta) ** 2, 1e-18)
     dwh_dwi = jnp.abs(dwi) / denom_r
     pdf_refr = ggx_vndf_pdf(wo, wh, alpha) * dwh_dwi * t_r
     # guard: the divisor denom_r*wi.z*wo.z underflows to 0 on masked lanes
     # (0/0 = NaN would poison the batch); compute it as a single guarded
     # quotient and zero invalid lanes explicitly.
     div = denom_r * wi_refr[..., 2] * wo[..., 2]
-    div_ok = div != 0.0
+    div_ok = jnp.abs(div) > 1e-16
     ft = (t_r * ggx_d(wh, alpha) * ggx_g(wo, wi_refr, alpha)
-          * jnp.abs(dwi * dwo / jnp.where(div_ok, div, 1.0)))
+          * jnp.abs(dwi * dwo / safe_denom(div, 1e-16)))
     ft = jnp.where(valid_refr & div_ok, ft, 0.0)
     f_refr = base * ft[..., None]
 
@@ -364,22 +368,21 @@ def _dielectric_eval_pdf(mat, ray_dir, it, wi_world):
     tt = 1.0 - r
 
     vpdf = ggx_vndf_pdf(wo, wh, alpha)
-    pdf_reflect = vpdf / (4.0 * jnp.maximum(jnp.abs(vdot(wo, wh)), 1e-20)) \
-        * r / jnp.maximum(r + tt, 1e-20)
-    denom_pdf = jnp.maximum((vdot(wi, wh) + vdot(wo, wh) / etap) ** 2, 1e-20)
+    pdf_reflect = vpdf / (4.0 * jnp.maximum(jnp.abs(vdot(wo, wh)), 1e-18)) \
+        * r / jnp.maximum(r + tt, 1e-18)
+    denom_pdf = jnp.maximum((vdot(wi, wh) + vdot(wo, wh) / etap) ** 2, 1e-18)
     dwh_dwi = jnp.abs(vdot(wi, wh)) / denom_pdf
-    pdf_refract = vpdf * dwh_dwi * tt / jnp.maximum(r + tt, 1e-20)
+    pdf_refract = vpdf * dwh_dwi * tt / jnp.maximum(r + tt, 1e-18)
     pdf = jnp.where(is_reflect, pdf_reflect, pdf_refract)
 
     base = mat["base_color"]
     d = ggx_d(wh, alpha)
     g = ggx_g(wo, wi, alpha)
     f_reflect = base * (d * g * fr / jnp.maximum(
-        jnp.abs(4.0 * cos_i * cos_o), 1e-20))[..., None]
+        jnp.abs(4.0 * cos_i * cos_o), 1e-18))[..., None]
     denom_f = denom_pdf * cos_i * cos_o
     ft = d * (1.0 - fr) * g * jnp.abs(
-        vdot(wi, wh) * vdot(wo, wh)
-        / jnp.where(denom_f == 0.0, 1e-20, denom_f))
+        vdot(wi, wh) * vdot(wo, wh) / safe_denom(denom_f, 1e-16))
     f_refract = base * ft[..., None]
     f = jnp.where(is_reflect[..., None], f_reflect, f_refract)
 
@@ -403,7 +406,7 @@ def _thin_sample(mat, ray_dir, it, u, uv2):
     tt = 1.0 - r
     # interreflection series (Material.hpp:614-617)
     r_adj = jnp.where(r < 1.0,
-                      r + tt * tt * r / jnp.maximum(1.0 - r * r, 1e-20), r)
+                      r + tt * tt * r / jnp.maximum(1.0 - r * r, 1e-18), r)
     t_adj = 1.0 - r_adj
 
     take_refl = u < r_adj
@@ -414,7 +417,7 @@ def _thin_sample(mat, ray_dir, it, u, uv2):
     origin = jnp.where(take_refl[..., None],
                        it["p_raw"] + SHADOW_EPS * ng_facing,
                        it["p_raw"] - SHADOW_EPS * ng_facing)
-    denom = jnp.maximum(jnp.abs(vdot(ns, wi_world)), 1e-20)
+    denom = jnp.maximum(jnp.abs(vdot(ns, wi_world)), 1e-18)
     amount = jnp.where(take_refl, r_adj, t_adj)
     f = mat["base_color"] * (amount / denom)[..., None]
     pdf = amount
@@ -434,7 +437,7 @@ def _conductor_sample(mat, ray_dir, it, u, uv2):
     d = vdot(wi_world, ns)
     valid = d > 0.0
     f = fresnel_schlick(vdot(ns, -ray_dir), mat["base_color"]) \
-        / jnp.maximum(d, 1e-20)[..., None]
+        / jnp.maximum(d, 1e-18)[..., None]
     pdf = jnp.ones_like(u)
     flags = jnp.full_like(u, FLAG_SPECULAR, dtype=jnp.uint32)
     return wi_world, f, pdf, flags, valid, it["p"]

@@ -35,15 +35,32 @@ def normalize(v, eps: float = 0.0):
 def safe_sqrt(x):
     """sqrt with a NaN-free gradient at and below zero (the 'double
     where' guard — required everywhere a masked lane may see x<=0,
-    or reverse-mode AD poisons the whole batch)."""
-    pos = x > 0
+    or reverse-mode AD poisons the whole batch).  The threshold is
+    1e-24 (not 0): XLA flushes f32 denormals, so sqrt of a denormal
+    would put inf/NaN partials on masked lanes."""
+    pos = x > 1e-24
     return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
 
 
 def safe_normalize(v):
+    """normalize(v) that passes near-zero vectors through unchanged.
+
+    The threshold is 1e-12 on |v|^2 (not >0): the division VJP computes
+    ct*v/n, and with |v| below ~1e-19 the squared denominator flushes
+    to zero (TPU/XLA FTZ) giving 0/0=NaN on masked lanes."""
     n2 = jnp.sum(v * v, axis=-1, keepdims=True)
-    pos = n2 > 0
+    pos = n2 > 1e-12
     return jnp.where(pos, v / jnp.sqrt(jnp.where(pos, n2, 1.0)), v)
+
+
+def safe_denom(x, eps):
+    """Sign-preserving denominator clamp: |result| >= eps, same sign as x
+    (sign 0 counts as +).  Use for every division whose denominator can
+    legitimately pass near zero: `a / safe_denom(b, 1e-12)`.  A bare
+    `jnp.where(b == 0, eps, b)` is NOT enough — b can be 1e-30, nonzero
+    but so small that b*b in the division VJP flushes to 0 => 0/0 NaN."""
+    mag = jnp.maximum(jnp.abs(x), eps)
+    return jnp.where(x < 0, -mag, mag)
 
 
 def cross(a, b):

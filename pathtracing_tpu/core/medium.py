@@ -30,8 +30,8 @@ def medium_sample(sigma_t, sigma_s, t_max, u_channel, u_dist):
     u_dist = jax.lax.stop_gradient(u_dist)
     channel = jnp.minimum((u_channel * 3.0).astype(jnp.int32), 2)
     sig_c = jnp.take_along_axis(sigma_t, channel[..., None], axis=-1)[..., 0]
-    sig_c = jnp.maximum(sig_c, 1e-20)
-    dist = -jnp.log(jnp.maximum(1.0 - u_dist, 1e-20)) / sig_c
+    sig_c = jnp.maximum(sig_c, 1e-18)
+    dist = -jnp.log(jnp.maximum(1.0 - u_dist, 1e-18)) / sig_c
     dist = jax.lax.stop_gradient(dist)
     scattered = dist < t_max
     t_scatter = jnp.minimum(dist, t_max)
@@ -39,7 +39,7 @@ def medium_sample(sigma_t, sigma_s, t_max, u_channel, u_dist):
     tr = medium_tr(sigma_t, t_scatter)
     density = jnp.where(scattered[..., None], sigma_t * tr, tr)
     pdf = jnp.mean(density, axis=-1)
-    pdf = jnp.maximum(pdf, 1e-20)
+    pdf = jnp.maximum(pdf, 1e-18)
     weight = jnp.where(scattered[..., None],
                        tr * sigma_s / pdf[..., None],
                        tr / pdf[..., None])

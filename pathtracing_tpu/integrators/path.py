@@ -187,10 +187,10 @@ def sample_ld(scene, meta, cfg, ray_dir, it, mat, is_medium_vertex,
     light_pdf = pmf * shape_pdf
     w2 = light_pdf * light_pdf
     w1 = sampling_pdf * sampling_pdf
-    w_light = w2 / jnp.maximum(w1 + w2, 1e-30)
-    contrib_delta = l_val * f / jnp.maximum(pmf, 1e-20)[:, None]
+    w_light = w2 / jnp.maximum(w1 + w2, 1e-18)
+    contrib_delta = l_val * f / jnp.maximum(pmf, 1e-18)[:, None]
     contrib_mis = l_val * f * (w_light / jnp.maximum(light_pdf,
-                                                     1e-20))[:, None]
+                                                     1e-18))[:, None]
     contrib = jnp.where(ls["is_delta"][:, None], contrib_delta,
                         jnp.where((light_pdf > 0)[:, None], contrib_mis,
                                   0.0))
@@ -245,7 +245,7 @@ def trace(scene, cam, meta, cfg: RenderConfig, origin, direction, time,
             w = jnp.where(state["spec"], 1.0,
                           jnp.where(pp > 0,
                                     pp * pp / jnp.maximum(
-                                        pp * pp + lpdf * lpdf, 1e-30), 0.0))
+                                        pp * pp + lpdf * lpdf, 1e-18), 0.0))
             if simple:
                 w = jnp.ones_like(w)
             radiance = radiance + jnp.where(missed[:, None],
@@ -298,7 +298,7 @@ def trace(scene, cam, meta, cfg: RenderConfig, origin, direction, time,
         pp = state["prev_pdf"]
         w_emit = jnp.where(state["spec"], 1.0,
                            jnp.where(pp > 0, pp * pp / jnp.maximum(
-                               pp * pp + lpdf_hit * lpdf_hit, 1e-30), 0.0))
+                               pp * pp + lpdf_hit * lpdf_hit, 1e-18), 0.0))
         if simple:
             w_emit = jnp.ones_like(w_emit)
         radiance = radiance + jnp.where(has_emit[:, None],
@@ -348,7 +348,7 @@ def trace(scene, cam, meta, cfg: RenderConfig, origin, direction, time,
 
         # ---- throughput update (Integrators.cpp:247)
         cos_wi = jnp.abs(vdot(it["ns"], wi))
-        tput_new = tput * f * (cos_wi / jnp.maximum(pdf, 1e-20))[:, None]
+        tput_new = tput * f * (cos_wi / jnp.maximum(pdf, 1e-18))[:, None]
         tput = jnp.where(scattered[:, None], tput_new, tput)
 
         # ---- medium handoff (VolPath, Integrators.cpp:393-399)
@@ -386,7 +386,7 @@ def trace(scene, cam, meta, cfg: RenderConfig, origin, direction, time,
         rr_prob = jnp.minimum(0.95, jnp.max(tput, axis=-1))
         rr_kill = rr_on & (u_rr >= rr_prob)
         tput = jnp.where((rr_on & ~rr_kill)[:, None],
-                         tput / jnp.maximum(rr_prob, 1e-20)[:, None], tput)
+                         tput / jnp.maximum(rr_prob, 1e-18)[:, None], tput)
 
         alive = alive & ~absorbed & ~rr_kill
         alive = alive & (did_scatter | boundary)

@@ -90,11 +90,16 @@ def _quad_hits(o, d, q, n, dd, u, v, w, t_min=SHADOW_EPS):
 # ---------------------------------------------------------------------------
 
 def intersect(scene, meta, origin, direction, t_max):
-    """Closest hit: returns dict(t, kind, idx, valid) for a ray batch [N].
+    """Closest hit: returns dict(t, kind, idx, valid) for a ray batch [N]
+    (Scene::Intersect analog, Scene.cpp:31-33).
 
-    Scans primitives in fixed-size chunks so peak memory is O(N * CHUNK)
-    regardless of scene size (Scene::Intersect analog, Scene.cpp:31-33).
+    Dispatches on meta.accel: "bvh" = wide-node SAH BVH traversal
+    (accel/traverse.py); "brute" = chunked scan over all primitives (the
+    correctness reference every accelerator is tested against).
     """
+    if meta.accel == "bvh":
+        from ..accel.traverse import bvh_intersect
+        return bvh_intersect(scene, origin, direction, t_max)
     n = origin.shape[0]
     best_t = jnp.asarray(t_max, jnp.float32) * jnp.ones((n,), jnp.float32) \
         if jnp.ndim(t_max) == 0 else t_max.astype(jnp.float32)
@@ -293,6 +298,24 @@ def make_interaction(scene, meta, origin, direction, hit):
         tt, bb2, nn2 = onb_from_interaction(it["ns"], it["tangent"])
         ns_mapped = safe_normalize(to_world(tt, bb2, nn2, n_local))
         it["ns"] = jnp.where(has_norm[:, None], ns_mapped, it["ns"])
+    # sanitize miss lanes: with t = BIG_F32 the hit point overflows and the
+    # quad UV becomes inf/NaN; that garbage is masked in the forward pass
+    # but any `param * f(garbage)` has a NaN *partial*, and 0-cotangent x
+    # NaN-partial = NaN poisons the whole batch in reverse mode.
+    ok = hit["valid"]
+    okn = ok[:, None]
+    up = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), p_raw.shape)
+    right = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), p_raw.shape)
+    it["p"] = jnp.where(okn, it["p"], 0.0)
+    it["p_raw"] = jnp.where(okn, it["p_raw"], 0.0)
+    it["n"] = jnp.where(okn, it["n"], up)
+    it["ns"] = jnp.where(okn, it["ns"], up)
+    it["tangent"] = jnp.where(okn, it["tangent"], right)
+    it["uv"] = jnp.where(okn, it["uv"], 0.0)
+    it["mat_id"] = jnp.where(ok, it["mat_id"], -1)
+    it["light_id"] = jnp.where(ok, it["light_id"], -1)
+    it["med_id"] = jnp.where(ok, it["med_id"], -1)
+
     # geometry is detached from AD: gradients target material / texture /
     # light / medium parameters (detached-sampling estimator); geometry
     # derivatives (silhouettes) need dedicated estimators and are out of
@@ -314,9 +337,15 @@ def occluded(scene, meta, origin, direction, t_max, rand_key=None):
     loop — march past surfaces whose stochastic/mask alpha test says
     "transparent" (bounded number of restarts).
     """
-    hit = intersect(scene, meta, origin, direction, t_max - SHADOW_EPS)
     if not meta.has_alpha:
-        return hit["valid"]
+        # opaque scene: pure any-hit (IntersectPred early-out semantics,
+        # BVH.hpp:1019-1109)
+        if meta.accel == "bvh":
+            from ..accel.traverse import bvh_intersect
+            return bvh_intersect(scene, origin, direction,
+                                 t_max - SHADOW_EPS, any_hit=True)["valid"]
+        return intersect(scene, meta, origin, direction,
+                         t_max - SHADOW_EPS)["valid"]
 
     max_restarts = 8
 

@@ -109,7 +109,7 @@ def _shape_solid_angle_pdf(scene, kind, sidx, area, ref_p, sample_p,
     wdir = safe_normalize(to_shape)
     cos = jnp.abs(vdot(-wdir, sample_n))
     denom = cos * area
-    return jnp.where(denom > 0, d2 / jnp.maximum(denom, 1e-20), 0.0)
+    return jnp.where(denom > 0, d2 / jnp.maximum(denom, 1e-18), 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -133,7 +133,7 @@ def env_pdf(scene, meta, d):
     ncell = meta.env_nx * meta.env_ny
     cell_omega = 4.0 * jnp.pi / ncell
     return scene["env_weights"][cell] / jnp.maximum(
-        scene["env_total"][0], 1e-20) / cell_omega
+        scene["env_total"][0], 1e-18) / cell_omega
 
 
 def env_sample_dir(scene, meta, u_cell, uv2):
@@ -228,7 +228,7 @@ def light_sample(scene, meta, idx, ref_p, u_cell, uv2, time):
     # target point for point/area lights
     target = jnp.where((ltype == LIGHT_POINT)[..., None], lvec, p_a)
     to_light = target - ref_p
-    dist_pt = jnp.sqrt(jnp.maximum(vdot(to_light, to_light), 1e-20))
+    dist_pt = jnp.sqrt(jnp.maximum(vdot(to_light, to_light), 1e-18))
     dir_pt = to_light / dist_pt[..., None]
 
     dirn = jnp.where(to_inf[..., None],

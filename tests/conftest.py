@@ -1,15 +1,17 @@
-import os
-
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding is
 # exercised without TPU hardware (SURVEY.md §4 item 5).
-# NOTE: the host environment pre-sets JAX_PLATFORMS=axon (remote TPU with
-# very slow per-op dispatch) — tests must override it, not setdefault.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+#
+# NOTE: this host's sitecustomize registers a remote-TPU ("axon") PJRT
+# plugin at interpreter start and pins jax_platforms itself, so setting
+# JAX_PLATFORMS in os.environ here is too late — the config must be
+# updated through the jax API after import.  jax>=0.8 also replaced
+# --xla_force_host_platform_device_count with the jax_num_cpu_devices
+# config.
+import jax
 
-import jax  # noqa: E402
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert jax.device_count() == 8, jax.device_count()
