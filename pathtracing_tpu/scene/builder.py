@@ -334,11 +334,13 @@ class SceneBuilder:
                     env_cdf=jnp.asarray((cdf / total).astype(np.float32)),
                     env_total=jnp.asarray([total], jnp.float32)), nx, ny
 
-    def build(self, power_cull: float = 0.01):
+    def build(self, power_cull: float = 0.01, accel: str = "bvh"):
         """Pack everything into (scene_arrays, camera_arrays, SceneMeta).
 
         power_cull mirrors LightSampler::PreProcess culling lights with
         Power() < 0.01 (LightSampler.cpp:52-64).
+        accel: "bvh" builds the wide-node SAH BVH (Scene::BuildTlas analog,
+        Scene.hpp:20-24); "brute" keeps the chunked all-prims scan.
         """
         tex = self.textures.pack()
 
@@ -476,12 +478,29 @@ class SceneBuilder:
         has_alpha = any(int(m) != ALPHA_OPAQUE
                         for m in self._mat["alpha_mode"])
 
+        if accel == "bvh" and (nt or ns or nq):
+            from ..accel.build import build_bvh
+            bvh_arrays, _ = build_bvh(dict(
+                tri_v=np.asarray(self._tri["v"], np.float32)
+                if self._tri["v"] else None,
+                sph_c=np.asarray(self._sph["c"], np.float32)
+                if self._sph["r"] else None,
+                sph_r=np.asarray(self._sph["r"], np.float32)
+                if self._sph["r"] else None,
+                quad_q=quad_q[:nq] if nq else None,
+                quad_u=quad_u[:nq] if nq else None,
+                quad_v=quad_v[:nq] if nq else None))
+            scene.update({k: jnp.asarray(v) for k, v in bvh_arrays.items()})
+        else:
+            accel = "brute"
+
         meta = SceneMeta(
             n_tri=nt, n_sph=ns, n_quad=nq, n_mat=nm, n_lights=nl,
             n_inf=len(inf_idx), n_media=nd, env_nx=env_nx, env_ny=env_ny,
             scene_medium=self.scene_medium,
             camera_medium=(self.camera or {}).get("medium", -1),
-            has_alpha=has_alpha, light_sampler=self.light_sampler)
+            has_alpha=has_alpha, light_sampler=self.light_sampler,
+            accel=accel)
 
         cam = self._pack_camera()
         return scene, cam, meta

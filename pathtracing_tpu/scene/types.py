@@ -61,3 +61,4 @@ class SceneMeta:
     camera_medium: int = -1
     has_alpha: bool = False     # any non-opaque material in scene
     light_sampler: str = "power"  # "power" | "uniform"
+    accel: str = "bvh"          # "bvh" (wide-node traversal) | "brute"

@@ -1,0 +1,165 @@
+"""BVH build + traversal vs the brute-force intersector (the kernel-contract
+tier of SURVEY.md §4: accelerator output must match the reference scan)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pathtracing_tpu.accel.build import build_bvh, LEAF_SHIFT, decode_leaf
+from pathtracing_tpu.accel.traverse import bvh_intersect
+from pathtracing_tpu.scene import intersect as isect
+from pathtracing_tpu.core.math import BIG_F32
+
+
+def _random_scene(rng, n_tri=80, n_sph=20, n_quad=10, spread=10.0):
+    v0 = rng.uniform(-spread, spread, (n_tri, 3)).astype(np.float32)
+    e1 = rng.normal(0, 1.0, (n_tri, 3)).astype(np.float32)
+    e2 = rng.normal(0, 1.0, (n_tri, 3)).astype(np.float32)
+    tri_v = np.stack([v0, v0 + e1, v0 + e2], 1)
+    sph_c = rng.uniform(-spread, spread, (n_sph, 3)).astype(np.float32)
+    sph_r = rng.uniform(0.2, 1.5, (n_sph,)).astype(np.float32)
+    quad_q = rng.uniform(-spread, spread, (n_quad, 3)).astype(np.float32)
+    quad_u = rng.normal(0, 2.0, (n_quad, 3)).astype(np.float32)
+    quad_v = rng.normal(0, 2.0, (n_quad, 3)).astype(np.float32)
+    qn_raw = np.cross(quad_u, quad_v)
+    qlen2 = np.maximum((qn_raw ** 2).sum(-1, keepdims=True), 1e-20)
+    quad_n = qn_raw / np.sqrt(qlen2)
+    quad_d = (quad_n * quad_q).sum(-1)
+    quad_w = qn_raw / qlen2
+
+    host = dict(tri_v=tri_v, sph_c=sph_c, sph_r=sph_r,
+                quad_q=quad_q, quad_u=quad_u, quad_v=quad_v)
+    bvh, meta = build_bvh(host)
+    scene = dict(
+        tri_v=jnp.asarray(tri_v), sph_c=jnp.asarray(sph_c),
+        sph_r=jnp.asarray(sph_r), quad_q=jnp.asarray(quad_q),
+        quad_u=jnp.asarray(quad_u), quad_v=jnp.asarray(quad_v),
+        quad_n=jnp.asarray(quad_n), quad_d=jnp.asarray(quad_d),
+        quad_w=jnp.asarray(quad_w),
+        **{k: jnp.asarray(v) for k, v in bvh.items()})
+    return scene, meta, (n_tri, n_sph, n_quad)
+
+
+class _BruteMeta:
+    accel = "brute"
+    has_alpha = False
+
+    def __init__(self, nt, ns, nq):
+        self.n_tri, self.n_sph, self.n_quad = nt, ns, nq
+
+
+def _rays(rng, n=256, spread=10.0):
+    o = rng.uniform(-2 * spread, 2 * spread, (n, 3)).astype(np.float32)
+    d = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_leaf_code_roundtrip():
+    from pathtracing_tpu.accel.build import _leaf_code
+    for base in (0, 1, 1000, 10_000_000):
+        for count in range(1, LEAF_SHIFT):
+            b, c = decode_leaf(np.asarray(_leaf_code(base, count)))
+            assert (int(b), int(c)) == (base, count)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_bvh_matches_brute_force(seed):
+    rng = np.random.default_rng(seed)
+    scene, bmeta, counts = _random_scene(rng)
+    o, d = _rays(rng)
+    t_max = jnp.full((o.shape[0],), BIG_F32)
+
+    got = bvh_intersect(scene, o, d, t_max)
+    ref = isect.intersect(scene, _BruteMeta(*counts), o, d, t_max)
+
+    np.testing.assert_array_equal(np.asarray(got["valid"]),
+                                  np.asarray(ref["valid"]))
+    v = np.asarray(ref["valid"])
+    np.testing.assert_allclose(np.asarray(got["t"])[v],
+                               np.asarray(ref["t"])[v], rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got["kind"])[v],
+                                  np.asarray(ref["kind"])[v])
+    np.testing.assert_array_equal(np.asarray(got["idx"])[v],
+                                  np.asarray(ref["idx"])[v])
+
+
+def test_bvh_any_hit_consistent():
+    rng = np.random.default_rng(7)
+    scene, bmeta, counts = _random_scene(rng)
+    o, d = _rays(rng, n=128)
+    t_max = jnp.full((128,), 8.0)
+    any_hit = bvh_intersect(scene, o, d, t_max, any_hit=True)
+    closest = bvh_intersect(scene, o, d, t_max)
+    np.testing.assert_array_equal(np.asarray(any_hit["valid"]),
+                                  np.asarray(closest["valid"]))
+
+
+def test_bvh_respects_t_max():
+    rng = np.random.default_rng(3)
+    scene, bmeta, counts = _random_scene(rng)
+    o, d = _rays(rng, n=128)
+    full = bvh_intersect(scene, o, d, jnp.full((128,), BIG_F32))
+    t = np.asarray(full["t"])
+    v = np.asarray(full["valid"])
+    # shorten below each hit: must miss
+    shortened = bvh_intersect(scene, o, d,
+                              jnp.asarray(np.where(v, t * 0.99, 1e-3)))
+    assert not np.asarray(shortened["valid"])[v].any()
+
+
+def test_scene_builder_bvh_end_to_end():
+    """cornell through the builder with accel=bvh matches accel=brute."""
+    import dataclasses
+    from pathtracing_tpu import scenes
+    from pathtracing_tpu.integrators.path import RenderConfig
+    from pathtracing_tpu.integrators.render import render_image
+
+    scene_b, cam, meta_b = scenes.cornell_box(resolution=(24, 24))
+    assert meta_b.accel == "bvh"
+    meta_brute = dataclasses.replace(meta_b, accel="brute")
+    cfg = RenderConfig(spp=2, max_depth=3)
+    img_bvh = np.asarray(render_image(scene_b, cam, meta_b, cfg))
+    img_brt = np.asarray(render_image(scene_b, cam, meta_brute, cfg))
+    np.testing.assert_allclose(img_bvh, img_brt, rtol=1e-4, atol=1e-5)
+
+
+def test_native_builder_matches_numpy():
+    """The C++ builder and the NumPy builder are interchangeable: both
+    produce a valid BVH whose traversal matches brute force."""
+    from pathtracing_tpu.native.loader import native_available
+
+    if not native_available():
+        pytest.skip("no C++ toolchain")
+    rng = np.random.default_rng(11)
+    n_tri = 5000
+    v0 = rng.uniform(-10, 10, (n_tri, 3)).astype(np.float32)
+    e1 = rng.normal(0, 0.5, (n_tri, 3)).astype(np.float32)
+    e2 = rng.normal(0, 0.5, (n_tri, 3)).astype(np.float32)
+    tri_v = np.stack([v0, v0 + e1, v0 + e2], 1)
+    host = dict(tri_v=tri_v)
+    bvh_nat, meta_nat = build_bvh(host, backend="native")
+    bvh_np, meta_np = build_bvh(host, backend="numpy")
+    assert meta_nat.n_prims == meta_np.n_prims == n_tri
+
+    scene_common = dict(
+        tri_v=jnp.asarray(tri_v),
+        sph_c=jnp.zeros((1, 3)), sph_r=jnp.zeros((1,)),
+        quad_q=jnp.zeros((1, 3)), quad_u=jnp.zeros((1, 3)),
+        quad_v=jnp.zeros((1, 3)), quad_n=jnp.zeros((1, 3)),
+        quad_d=jnp.zeros((1,)), quad_w=jnp.zeros((1, 3)))
+    rng2 = np.random.default_rng(12)
+    o, d = _rays(rng2, n=512)
+    t_max = jnp.full((512,), BIG_F32)
+    got_n = bvh_intersect({**scene_common,
+                           **{k: jnp.asarray(v) for k, v in bvh_nat.items()}},
+                          o, d, t_max)
+    got_p = bvh_intersect({**scene_common,
+                           **{k: jnp.asarray(v) for k, v in bvh_np.items()}},
+                          o, d, t_max)
+    np.testing.assert_array_equal(np.asarray(got_n["valid"]),
+                                  np.asarray(got_p["valid"]))
+    v = np.asarray(got_p["valid"])
+    np.testing.assert_allclose(np.asarray(got_n["t"])[v],
+                               np.asarray(got_p["t"])[v], rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got_n["idx"])[v],
+                                  np.asarray(got_p["idx"])[v])
