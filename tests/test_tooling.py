@@ -1,0 +1,75 @@
+"""M7 tooling: checkpoint/resume, adaptive sampling, CLI, profiler."""
+import json
+import subprocess
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+
+from pathtracing_tpu import scenes
+from pathtracing_tpu.integrators.path import RenderConfig
+from pathtracing_tpu.integrators.render import render
+from pathtracing_tpu.utils.checkpoint import (save_checkpoint,
+                                              load_checkpoint,
+                                              render_with_checkpoints)
+from pathtracing_tpu.utils.adaptive import (welford_init, welford_add,
+                                            relative_variance,
+                                            render_adaptive)
+
+
+def test_checkpoint_resume_bit_identical(tmp_path):
+    scene, cam, meta = scenes.furnace(resolution=(16, 16))
+    cfg = RenderConfig(spp=8, max_depth=3)
+    straight = render(scene, cam, meta, cfg, spp=8)
+
+    ckpt = tmp_path / "ck.npz"
+    # render 4, "crash", resume 4 more
+    f1 = render_with_checkpoints(scene, cam, meta, cfg, 4, ckpt, every=2)
+    f2 = render_with_checkpoints(scene, cam, meta, cfg, 8, ckpt, every=2)
+    np.testing.assert_array_equal(np.asarray(f2["rgb"]),
+                                  np.asarray(straight["rgb"]))
+    np.testing.assert_array_equal(np.asarray(f2["weight"]),
+                                  np.asarray(straight["weight"]))
+
+
+def test_welford_matches_numpy():
+    rng = np.random.default_rng(0)
+    xs = rng.uniform(0, 1, (20, 5, 3)).astype(np.float32)
+    st = welford_init(5)
+    mask = jnp.ones((5,), bool)
+    for x in xs:
+        st = welford_add(st, jnp.asarray(x), mask)
+    np.testing.assert_allclose(np.asarray(st["mean"]), xs.mean(0),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(st["m2"]) / (len(xs) - 1),
+                               xs.var(0, ddof=1), rtol=1e-4)
+    rel = np.asarray(relative_variance(st))
+    assert rel.shape == (5,) and np.isfinite(rel).all()
+
+
+def test_adaptive_render_converges():
+    scene, cam, meta = scenes.furnace(resolution=(8, 8))
+    cfg = RenderConfig(spp=4, max_depth=2)
+    film, stats = render_adaptive(scene, cam, meta, cfg, base_spp=4,
+                                  target=1.5, max_factor=8)
+    assert stats["mean_spp"] >= 4
+    img = np.asarray(film["rgb"] / np.maximum(
+        np.asarray(film["weight"])[:, None], 1e-12))
+    assert np.isfinite(img).all()
+
+
+def test_cli_render_smoke(tmp_path):
+    out = tmp_path / "img.png"
+    cp = subprocess.run(
+        [sys.executable, "-m", "pathtracing_tpu", "render",
+         "--scene", "furnace", "--resolution", "32", "32",
+         "--spp", "2", "--max-depth", "2", "--out", str(out)],
+        capture_output=True, text=True, timeout=560,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"})
+    assert cp.returncode == 0, cp.stderr[-2000:]
+    assert out.exists()
+    # metrics line is JSON (may share a tty line with \r progress)
+    line = [l for l in cp.stderr.splitlines()
+            if '"samples_per_s"' in l][-1]
+    m = json.loads(line[line.index("{"):])
+    assert m["samples_per_s"] > 0
