@@ -42,6 +42,7 @@ class BVHMeta:
     n_nodes: int
     n_prims: int
     max_depth: int      # wide-tree depth, for stack sizing
+    block_k: int = 0    # beam-traversal prims per block
 
 
 def _leaf_code(base: int, count: int) -> int:
@@ -296,5 +297,30 @@ def build_bvh(host_arrays, backend: str = "auto"):
         prim_kind=kinds[order].astype(np.int32),
         prim_idx=idxs[order].astype(np.int32),
     )
-    meta = BVHMeta(n_nodes=len(wlo), n_prims=len(order), max_depth=depth)
+    # beam-traversal block cut over the same SAH order (accel/beam.py);
+    # its padded prim tables supersede the unpadded ones (indices of the
+    # unpadded prefix are unchanged, so BVH leaf codes stay valid)
+    from .beam import build_blocks, beam_tables
+    blocks, _m = build_blocks(lo, hi, kinds, idxs, order)
+    arrays.update(blocks)
+    quad_u = host_arrays.get("quad_u")
+    if host_arrays.get("quad_q") is not None and \
+            host_arrays.get("quad_n") is None and quad_u is not None:
+        # derive plane data when the caller passed only q/u/v
+        q = np.asarray(host_arrays["quad_q"], np.float32)
+        u = np.asarray(quad_u, np.float32)
+        v = np.asarray(host_arrays["quad_v"], np.float32)
+        raw = np.cross(u, v)
+        len2 = np.maximum((raw * raw).sum(-1, keepdims=True), 1e-20)
+        host_arrays = dict(host_arrays, quad_n=raw / np.sqrt(len2),
+                           quad_d=((raw / np.sqrt(len2)) * q).sum(-1),
+                           quad_w=raw / len2)
+    arrays.update(beam_tables(
+        tri_v=host_arrays.get("tri_v"), sph_c=host_arrays.get("sph_c"),
+        sph_r=host_arrays.get("sph_r"), quad_q=host_arrays.get("quad_q"),
+        quad_u=host_arrays.get("quad_u"), quad_v=host_arrays.get("quad_v"),
+        quad_n=host_arrays.get("quad_n"), quad_d=host_arrays.get("quad_d"),
+        quad_w=host_arrays.get("quad_w")))
+    meta = BVHMeta(n_nodes=len(wlo), n_prims=len(order), max_depth=depth,
+                   block_k=int(blocks["blk_k"][0]))
     return arrays, meta

@@ -334,13 +334,15 @@ class SceneBuilder:
                     env_cdf=jnp.asarray((cdf / total).astype(np.float32)),
                     env_total=jnp.asarray([total], jnp.float32)), nx, ny
 
-    def build(self, power_cull: float = 0.01, accel: str = "bvh"):
+    def build(self, power_cull: float = 0.01, accel: str = "auto"):
         """Pack everything into (scene_arrays, camera_arrays, SceneMeta).
 
         power_cull mirrors LightSampler::PreProcess culling lights with
         Power() < 0.01 (LightSampler.cpp:52-64).
-        accel: "bvh" builds the wide-node SAH BVH (Scene::BuildTlas analog,
-        Scene.hpp:20-24); "brute" keeps the chunked all-prims scan.
+        accel: "auto" picks by scene size; "beam" = block-beam traversal
+        (accel/beam.py), "bvh" = per-ray-stack wide-node traversal,
+        "brute" = chunked all-prims scan.  All share the SAH build
+        (Scene::BuildTlas analog, Scene.hpp:20-24).
         """
         tex = self.textures.pack()
 
@@ -478,9 +480,15 @@ class SceneBuilder:
         has_alpha = any(int(m) != ALPHA_OPAQUE
                         for m in self._mat["alpha_mode"])
 
-        if accel == "bvh" and (nt or ns or nq):
+        n_prims = nt + ns + nq
+        if accel == "auto":
+            # dense whole-scene scan beats any traversal below ~4K prims
+            # (measured on v5e; the [N, n_prims] test is one fused VPU op)
+            accel = "brute" if n_prims < 4096 else "beam"
+        block_k = 0
+        if accel in ("bvh", "beam") and n_prims:
             from ..accel.build import build_bvh
-            bvh_arrays, _ = build_bvh(dict(
+            bvh_arrays, bvh_meta = build_bvh(dict(
                 tri_v=np.asarray(self._tri["v"], np.float32)
                 if self._tri["v"] else None,
                 sph_c=np.asarray(self._sph["c"], np.float32)
@@ -491,6 +499,7 @@ class SceneBuilder:
                 quad_u=quad_u[:nq] if nq else None,
                 quad_v=quad_v[:nq] if nq else None))
             scene.update({k: jnp.asarray(v) for k, v in bvh_arrays.items()})
+            block_k = bvh_meta.block_k
         else:
             accel = "brute"
 
@@ -500,7 +509,7 @@ class SceneBuilder:
             scene_medium=self.scene_medium,
             camera_medium=(self.camera or {}).get("medium", -1),
             has_alpha=has_alpha, light_sampler=self.light_sampler,
-            accel=accel)
+            accel=accel, block_k=block_k)
 
         cam = self._pack_camera()
         return scene, cam, meta

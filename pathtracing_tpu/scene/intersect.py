@@ -97,6 +97,12 @@ def intersect(scene, meta, origin, direction, t_max):
     (accel/traverse.py); "brute" = chunked scan over all primitives (the
     correctness reference every accelerator is tested against).
     """
+    if meta.accel == "beam":
+        from ..accel.beam import beam_intersect
+        return beam_intersect(scene, origin, direction, t_max,
+                              meta.block_k,
+                              shapes=(meta.n_tri > 0, meta.n_sph > 0,
+                                      meta.n_quad > 0))
     if meta.accel == "bvh":
         from ..accel.traverse import bvh_intersect
         return bvh_intersect(scene, origin, direction, t_max)
@@ -340,6 +346,13 @@ def occluded(scene, meta, origin, direction, t_max, rand_key=None):
     if not meta.has_alpha:
         # opaque scene: pure any-hit (IntersectPred early-out semantics,
         # BVH.hpp:1019-1109)
+        if meta.accel == "beam":
+            from ..accel.beam import beam_intersect
+            return beam_intersect(scene, origin, direction,
+                                  t_max - SHADOW_EPS, meta.block_k,
+                                  any_hit=True,
+                                  shapes=(meta.n_tri > 0, meta.n_sph > 0,
+                                          meta.n_quad > 0))["valid"]
         if meta.accel == "bvh":
             from ..accel.traverse import bvh_intersect
             return bvh_intersect(scene, origin, direction,

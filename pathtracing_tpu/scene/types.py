@@ -61,4 +61,5 @@ class SceneMeta:
     camera_medium: int = -1
     has_alpha: bool = False     # any non-opaque material in scene
     light_sampler: str = "power"  # "power" | "uniform"
-    accel: str = "bvh"          # "bvh" (wide-node traversal) | "brute"
+    accel: str = "beam"         # "beam" | "bvh" (per-ray stack) | "brute"
+    block_k: int = 0            # beam prims-per-block (static shape)
