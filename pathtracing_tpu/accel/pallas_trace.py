@@ -1,0 +1,283 @@
+"""Pallas TPU traversal kernel: tile-divergent block-BVH ray casting.
+
+The XLA formulations hit two walls (see beam.py): per-lane stacks lower to
+sort-based scatters, and any while_loop runs until the WORST lane of the
+whole 64K-ray batch finishes while every iteration still pays full-batch
+gather traffic.  This kernel fixes both with the one thing only Pallas
+gives us: an independent control-flow instance per grid step.
+
+Design (triangles; the few analytic prims of a scene take the dense XLA
+path and results are merged):
+
+  * rays are split into tiles of 128 (one grid step each).  Each tile runs
+    its OWN while loop over candidate blocks — divergence costs are paid
+    per 128 coherent rays, not per 65K;
+  * candidate blocks and their visit order are computed per tile in XLA
+    beforehand (dense [tiles, M] slab test + argsort — cheap, gather-free)
+    and passed in VMEM: `order` [T, M] and the sorted tile-min entry
+    distances `sentry` [T, M];
+  * per visited block, the kernel DMAs the block's 9xK contiguous triangle
+    columns HBM->VMEM and tests K prims x 128 rays as one dense [K, 128]
+    VPU op (prims in sublanes, rays in lanes);
+  * a tile exits when the next block's tile-min entry exceeds the tile's
+    worst best-hit: the entryDist t-max culling of the reference
+    (BVH.hpp:1129-1135) hoisted to tile granularity.
+
+Outputs (t, slot) where slot indexes the block-ordered prim tables;
+callers map slot -> original triangle id with one gather.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.math import BIG_F32, SHADOW_EPS
+
+TILE = 128          # rays per grid step
+
+
+# ---------------------------------------------------------------------------
+# Host-side build: triangle-only block structure
+# ---------------------------------------------------------------------------
+
+def build_tri_blocks(tri_v: np.ndarray, block_k: int | None = None):
+    """SAH-order triangles, cut into K-sized blocks, emit kernel tables.
+
+    Returns (arrays, block_k):
+      pk_tri     [16, M*K] f32 block-contiguous v0/e1/e2 components
+                               (rows 9..15 are alignment padding)
+      pk_blk_lo  [M, 3], pk_blk_hi [M, 3]
+      pk_slot2tri[M*K] i32     slot -> original triangle id (-1 = padding)
+    """
+    from .build import _sah_build_binary
+    from .beam import pick_block_k
+
+    tri_v = np.asarray(tri_v, np.float32)
+    lo = tri_v.min(1)
+    hi = tri_v.max(1)
+    _, order = _sah_build_binary(lo, hi, leaf_size=4)
+    n = len(order)
+    # K is a multiple of 128 (the VPU lane width the DMA'd block occupies);
+    # M is capped so the per-tile order tables stay SMEM-sized
+    k = block_k or max(128, -(-pick_block_k(n) // 128) * 128)
+    while -(-n // k) > 4096:
+        k += 128
+    m = -(-n // k)
+    pad = m * k - n
+    ord_pad = np.concatenate([order, np.repeat(order[-1:], pad)])
+    v = tri_v[ord_pad]                                   # [MK, 3, 3]
+    v0 = v[:, 0]
+    e1 = v[:, 1] - v0
+    e2 = v[:, 2] - v0
+    # 16 rows (9 used): DMA slices must be 8-sublane aligned on dim 0
+    tri9 = np.concatenate([v0.T, e1.T, e2.T,
+                           np.zeros((7, len(v)), np.float32)],
+                          0).astype(np.float32)
+    plo = lo[ord_pad].reshape(m, k, 3).min(1)
+    phi = hi[ord_pad].reshape(m, k, 3).max(1)
+    slot2tri = ord_pad.astype(np.int32)
+    if pad:
+        slot2tri[n:] = -1
+    return dict(pk_tri=tri9, pk_blk_lo=plo.astype(np.float32),
+                pk_blk_hi=phi.astype(np.float32),
+                pk_slot2tri=slot2tri), k
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+def _kernel(order_ref, sentry_ref, ox_ref, oy_ref, oz_ref,
+            dx_ref, dy_ref, dz_ref, tmax_ref, tri_hbm,
+            out_t_ref, out_slot_ref, scratch, sem, *, block_k: int,
+            n_blocks: int, any_hit: bool):
+    K = block_k
+
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]           # [1,128]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    t_min = jnp.full_like(ox, SHADOW_EPS)
+
+    def dma(slot, b):
+        return pltpu.make_async_copy(
+            tri_hbm.at[:, pl.ds(b * K, K)],
+            scratch.at[slot], sem.at[slot])
+
+    b0 = order_ref[0, 0, 0]
+    dma(0, b0).start()
+
+    def test_block(best_t, best_slot, b, slot):
+        tri = scratch[slot]                                # [9, K]
+        col = lambda i: tri[i, :][:, None]                 # [K, 1]
+        # Möller–Trumbore: [K, 128] = prim sublanes x ray lanes
+        e1x, e1y, e1z = col(3), col(4), col(5)
+        e2x, e2y, e2z = col(6), col(7), col(8)
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        det = e1x * hx + e1y * hy + e1z * hz
+        near0 = jnp.abs(det) < 1e-9
+        inv_det = 1.0 / jnp.where(near0, 1.0, det)
+        sx = ox - col(0)
+        sy = oy - col(1)
+        sz = oz - col(2)
+        u = (sx * hx + sy * hy + sz * hz) * inv_det
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        ok = (~near0 & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
+              & (t >= t_min) & (t < best_t))
+        t = jnp.where(ok, t, BIG_F32)
+        kbest = jnp.argmin(t, axis=0)                      # [128]
+        tbest = jnp.min(t, axis=0)[None, :]                # [1,128]
+        better = tbest < best_t
+        best_t = jnp.where(better, tbest, best_t)
+        best_slot = jnp.where(better, (b * K + kbest)[None, :], best_slot)
+        return best_t, best_slot
+
+    def cond(carry):
+        j, best_t, best_slot, live = carry
+        return live
+
+    def body(carry):
+        j, best_t, best_slot, _ = carry
+        slot = jax.lax.rem(j, 2)
+        b = order_ref[0, 0, j]
+        # prefetch next block while testing this one
+        @pl.when(j + 1 < n_blocks)
+        def _():
+            dma(1 - slot, order_ref[0, 0, j + 1]).start()
+        dma(slot, b).wait()
+        best_t, best_slot = test_block(best_t, best_slot, b, slot)
+        j = j + 1
+        jc = jnp.minimum(j, n_blocks - 1)
+        nxt = sentry_ref[0, 0, jc]
+        if any_hit:
+            # done when every ray found some hit or candidates exhausted
+            live = (j < n_blocks) & (nxt < BIG_F32 * 0.5) \
+                & ~jnp.all(best_slot >= 0)
+        else:
+            live = (j < n_blocks) & (nxt < jnp.max(best_t))
+        # drain the prefetched DMA if we exit with one in flight
+        @pl.when(~live & (j < n_blocks))
+        def _():
+            dma(1 - slot, order_ref[0, 0, jc]).wait()
+        return j, best_t, best_slot, live
+
+    best_t0 = tmax_ref[0]
+    best_slot0 = jnp.full(best_t0.shape, -1, jnp.int32)
+    live0 = sentry_ref[0, 0, 0] < BIG_F32 * 0.5
+    j, best_t, best_slot, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), best_t0, best_slot0, live0))
+    # if the first block was never consumed (tile had no candidates), the
+    # initial DMA is still in flight: wait so the semaphore drains
+    @pl.when(j == 0)
+    def _():
+        dma(0, b0).wait()
+    out_t_ref[0] = best_t
+    out_slot_ref[0] = best_slot
+
+
+def _tile_order(blk_lo, blk_hi, ox, oy, oz, ix, iy, iz, t_min, t_max):
+    """Per-tile block visit order, computed densely in XLA.
+    Rays [N] grouped in tiles of TILE; returns (order [T,M] i32,
+    sentry [T,M] f32) where sentry[t] is the sorted min-over-tile entry."""
+    n = ox.shape[0]
+    t = n // TILE
+
+    def axis(lo_a, hi_a, o_a, inv_a):
+        u0 = (lo_a[None, :] - o_a[:, None]) * inv_a[:, None]
+        u1 = (hi_a[None, :] - o_a[:, None]) * inv_a[:, None]
+        return jnp.minimum(u0, u1), jnp.maximum(u0, u1)
+
+    def chunk(args):
+        oxc, oyc, ozc, ixc, iyc, izc, tminc, tmaxc = args
+        n0, f0 = axis(blk_lo[:, 0], blk_hi[:, 0], oxc, ixc)
+        n1, f1 = axis(blk_lo[:, 1], blk_hi[:, 1], oyc, iyc)
+        n2, f2 = axis(blk_lo[:, 2], blk_hi[:, 2], ozc, izc)
+        tn = jnp.maximum(jnp.maximum(n0, n1),
+                         jnp.maximum(n2, tminc[:, None]))
+        tf = jnp.minimum(jnp.minimum(f0, f1),
+                         jnp.minimum(f2, tmaxc[:, None]))
+        entry = jnp.where(tn <= tf, tn, BIG_F32)
+        return jnp.min(entry.reshape(-1, TILE, entry.shape[-1]), axis=1)
+
+    args = tuple(a.reshape(t, TILE) for a in
+                 (ox, oy, oz, ix, iy, iz, t_min, t_max))
+    # chunk tiles through lax.map to bound the [rays, M] temp
+    step = max(1, 4096 // max(TILE, 1))          # rays per map step
+    tile_entry = jax.lax.map(chunk, args,
+                             batch_size=min(step, t))     # [T, M]
+    tile_entry = tile_entry.reshape(t, -1)
+    order = jnp.argsort(tile_entry, axis=1).astype(jnp.int32)
+    sentry = jnp.take_along_axis(tile_entry, order, 1)
+    return order, sentry
+
+
+@functools.partial(jax.jit, static_argnames=("block_k", "any_hit"))
+def pallas_tri_intersect(scene, origin, direction, t_max, block_k: int,
+                         any_hit: bool = False):
+    """Closest-hit over the triangle block tables via the Pallas kernel.
+
+    Returns dict(t [N], tri [N] original-triangle-id, valid [N]).
+    N must be a multiple of TILE (callers pad; padded rays get t_max<=0).
+    """
+    n = origin.shape[0]
+    assert n % TILE == 0, n
+    tiles = n // TILE
+    m = scene["pk_blk_lo"].shape[0]
+    K = block_k
+
+    ox, oy, oz = origin[:, 0], origin[:, 1], origin[:, 2]
+    dx, dy, dz = direction[:, 0], direction[:, 1], direction[:, 2]
+
+    def inv(c):
+        return 1.0 / jnp.where(jnp.abs(c) < 1e-32,
+                               jnp.where(c < 0, -1e-32, 1e-32), c)
+
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    t_min = jnp.full((n,), SHADOW_EPS)
+    order, sentry = _tile_order(scene["pk_blk_lo"], scene["pk_blk_hi"],
+                                ox, oy, oz, inv(dx), inv(dy), inv(dz),
+                                t_min, t_max)
+
+    ray_spec = pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    # order/sentry are read as scalars inside the loop -> SMEM blocks
+    om_spec = pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0),
+                           memory_space=pltpu.SMEM)
+
+    kernel = functools.partial(_kernel, block_k=K, n_blocks=m,
+                               any_hit=any_hit)
+    # off-TPU (tests, virtual CPU meshes) the kernel runs interpreted
+    interpret = jax.default_backend() != "tpu"
+    out_t, out_slot = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=(tiles,),
+        in_specs=[om_spec, om_spec] + [ray_spec] * 7 + [
+            pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[ray_spec, ray_spec],
+        out_shape=[jax.ShapeDtypeStruct((tiles, 1, TILE), jnp.float32),
+                   jax.ShapeDtypeStruct((tiles, 1, TILE), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((2, 16, K), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+    )(order.reshape(tiles, 1, m), sentry.reshape(tiles, 1, m),
+      ox.reshape(tiles, 1, TILE), oy.reshape(tiles, 1, TILE),
+      oz.reshape(tiles, 1, TILE),
+      dx.reshape(tiles, 1, TILE), dy.reshape(tiles, 1, TILE),
+      dz.reshape(tiles, 1, TILE), t_max.reshape(tiles, 1, TILE),
+      scene["pk_tri"])
+
+    t = out_t.reshape(n)
+    slot = out_slot.reshape(n)
+    valid = slot >= 0
+    tri = jnp.where(valid, scene["pk_slot2tri"][jnp.clip(slot, 0)], -1)
+    valid = valid & (tri >= 0)
+    return dict(t=jnp.where(valid, t, BIG_F32), tri=tri, valid=valid)

@@ -483,9 +483,23 @@ class SceneBuilder:
         n_prims = nt + ns + nq
         if accel == "auto":
             # dense whole-scene scan beats any traversal below ~4K prims
-            # (measured on v5e; the [N, n_prims] test is one fused VPU op)
-            accel = "brute" if n_prims < 4096 else "beam"
+            # (measured on v5e; the [N, n_prims] test is one fused VPU op);
+            # above that, triangles go through the Pallas tile-divergent
+            # kernel (analytic prims merged via the dense path)
+            if n_prims < 4096:
+                accel = "brute"
+            elif nt:
+                accel = "pallas"
+            else:
+                accel = "beam"
         block_k = 0
+        if accel == "pallas" and nt:
+            from ..accel.pallas_trace import build_tri_blocks
+            pk_arrays, block_k = build_tri_blocks(
+                np.asarray(self._tri["v"], np.float32))
+            scene.update({k: jnp.asarray(v) for k, v in pk_arrays.items()})
+        elif accel == "pallas":
+            accel = "brute"
         if accel in ("bvh", "beam") and n_prims:
             from ..accel.build import build_bvh
             bvh_arrays, bvh_meta = build_bvh(dict(
@@ -500,7 +514,7 @@ class SceneBuilder:
                 quad_v=quad_v[:nq] if nq else None))
             scene.update({k: jnp.asarray(v) for k, v in bvh_arrays.items()})
             block_k = bvh_meta.block_k
-        else:
+        elif accel != "pallas":
             accel = "brute"
 
         meta = SceneMeta(

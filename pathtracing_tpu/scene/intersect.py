@@ -89,6 +89,41 @@ def _quad_hits(o, d, q, n, dd, u, v, w, t_min=SHADOW_EPS):
 # Closest-hit over the whole scene
 # ---------------------------------------------------------------------------
 
+def _pallas_dispatch(scene, meta, origin, direction, t_max,
+                     any_hit: bool = False):
+    """Triangles via the Pallas tile-divergent kernel; the (few) analytic
+    prims of a mixed scene take the dense brute path; results merged."""
+    import dataclasses
+    from ..accel.pallas_trace import pallas_tri_intersect, TILE
+
+    n = origin.shape[0]
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    pad = (-n) % TILE
+    if pad:
+        o = jnp.pad(origin, ((0, pad), (0, 0)))
+        d = jnp.pad(direction, ((0, pad), (0, 0)), constant_values=1.0)
+        tm = jnp.pad(t_max, (0, pad))          # t_max 0 => padded rays miss
+    else:
+        o, d, tm = origin, direction, t_max
+    hit = pallas_tri_intersect(scene, o, d, tm, meta.block_k,
+                               any_hit=any_hit)
+    t = hit["t"][:n]
+    idx = hit["tri"][:n]
+    valid = hit["valid"][:n]
+    kind = jnp.where(valid, SHAPE_TRI, -1)
+
+    if meta.n_sph or meta.n_quad:
+        meta2 = dataclasses.replace(meta, n_tri=0, accel="brute")
+        other = intersect(scene, meta2, origin, direction, t_max)
+        better = other["valid"] & (~valid | (other["t"] < t))
+        t = jnp.where(better, other["t"], t)
+        kind = jnp.where(better, other["kind"], kind)
+        idx = jnp.where(better, other["idx"], idx)
+        valid = valid | other["valid"]
+    return dict(t=jnp.where(valid, t, BIG_F32), kind=kind, idx=idx,
+                valid=valid)
+
+
 def intersect(scene, meta, origin, direction, t_max):
     """Closest hit: returns dict(t, kind, idx, valid) for a ray batch [N]
     (Scene::Intersect analog, Scene.cpp:31-33).
@@ -97,6 +132,8 @@ def intersect(scene, meta, origin, direction, t_max):
     (accel/traverse.py); "brute" = chunked scan over all primitives (the
     correctness reference every accelerator is tested against).
     """
+    if meta.accel == "pallas":
+        return _pallas_dispatch(scene, meta, origin, direction, t_max)
     if meta.accel == "beam":
         from ..accel.beam import beam_intersect
         return beam_intersect(scene, origin, direction, t_max,
@@ -346,6 +383,10 @@ def occluded(scene, meta, origin, direction, t_max, rand_key=None):
     if not meta.has_alpha:
         # opaque scene: pure any-hit (IntersectPred early-out semantics,
         # BVH.hpp:1019-1109)
+        if meta.accel == "pallas":
+            return _pallas_dispatch(scene, meta, origin, direction,
+                                    t_max - SHADOW_EPS,
+                                    any_hit=True)["valid"]
         if meta.accel == "beam":
             from ..accel.beam import beam_intersect
             return beam_intersect(scene, origin, direction,

@@ -200,3 +200,74 @@ def test_native_builder_matches_numpy():
                                np.asarray(got_p["t"])[v], rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(got_n["idx"])[v],
                                   np.asarray(got_p["idx"])[v])
+
+
+def test_pallas_matches_brute():
+    """Pallas tile-divergent kernel (interpret mode on CPU) vs brute."""
+    import jax
+    from pathtracing_tpu.accel.pallas_trace import (build_tri_blocks,
+                                                    pallas_tri_intersect)
+    rng = np.random.default_rng(5)
+    n_tri = 700
+    v0 = rng.uniform(-5, 5, (n_tri, 3)).astype(np.float32)
+    tri_v = np.stack([v0,
+                      v0 + rng.normal(0, .5, (n_tri, 3)).astype(np.float32),
+                      v0 + rng.normal(0, .5, (n_tri, 3)).astype(np.float32)],
+                     1)
+    arrays, K = build_tri_blocks(tri_v)
+    pk = {k: jnp.asarray(v) for k, v in arrays.items()}
+    scene = dict(tri_v=jnp.asarray(tri_v),
+                 sph_c=jnp.zeros((1, 3)), sph_r=jnp.zeros((1,)),
+                 quad_q=jnp.zeros((1, 3)), quad_u=jnp.zeros((1, 3)),
+                 quad_v=jnp.zeros((1, 3)), quad_n=jnp.asarray([[0., 0, 1]]),
+                 quad_d=jnp.zeros((1,)), quad_w=jnp.zeros((1, 3)), **pk)
+    o, d = _rays(np.random.default_rng(6), n=256, spread=5.0)
+    t_max = jnp.full((256,), BIG_F32)
+    got = pallas_tri_intersect(scene, o, d, t_max, K)
+    ref = isect.intersect(scene, _BruteMeta(n_tri, 0, 0), o, d, t_max)
+    v = np.asarray(ref["valid"])
+    np.testing.assert_array_equal(np.asarray(got["valid"]), v)
+    np.testing.assert_allclose(np.asarray(got["t"])[v],
+                               np.asarray(ref["t"])[v], rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got["tri"])[v],
+                                  np.asarray(ref["idx"])[v])
+    # any-hit consistency
+    ah = pallas_tri_intersect(scene, o, d, t_max, K, any_hit=True)
+    np.testing.assert_array_equal(np.asarray(ah["valid"]), v)
+
+
+def test_pallas_scene_end_to_end():
+    """A >4K-tri mesh scene picks accel=pallas and renders like brute."""
+    import math
+    import dataclasses
+    from pathtracing_tpu.scene.builder import SceneBuilder
+    from pathtracing_tpu.integrators.path import RenderConfig
+    from pathtracing_tpu.integrators.render import render_image
+
+    def build(accel):
+        b = SceneBuilder()
+        res = 52
+        x, z = np.meshgrid(np.linspace(-5, 5, res + 1),
+                           np.linspace(-5, 5, res + 1))
+        y = 0.5 * np.sin(x) * np.cos(z)
+        V = np.stack([x, y, z], -1).reshape(-1, 3)
+        i, j = np.meshgrid(np.arange(res), np.arange(res), indexing="ij")
+        v00 = (i * (res + 1) + j).ravel()
+        F = np.concatenate([np.stack([v00, v00 + res + 1, v00 + 1], -1),
+                            np.stack([v00 + 1, v00 + res + 1,
+                                      v00 + res + 2], -1)])
+        m = b.add_diffuse((0.6, 0.5, 0.4))
+        b.add_mesh(V, F, material=m)
+        b.add_sphere([0, 2, 0], 0.7, material=b.add_diffuse((0.8, 0.2, 0.2)))
+        b.add_uniform_inf_light((1.0, 1.0, 1.0))
+        b.set_camera([0, 5, -9], [0, 0, 0], math.radians(40), (24, 24))
+        return b.build(accel=accel)
+
+    scene_p, cam, meta_p = build("auto")
+    assert meta_p.accel == "pallas", meta_p.accel
+    scene_b, _, meta_b = build("brute")
+    cfg = RenderConfig(spp=2, max_depth=3)
+    img_p = np.asarray(render_image(scene_p, cam, meta_p, cfg))
+    img_b = np.asarray(render_image(scene_b, cam, meta_b, cfg))
+    close = np.isclose(img_p, img_b, rtol=1e-4, atol=1e-5)
+    assert close.mean() > 0.99
