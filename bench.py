@@ -31,14 +31,20 @@ def main():
                        rays_per_batch=1 << 16)
     scene, cam, meta = cornell_box(resolution=res)
 
-    # warmup / compile
-    film = render(scene, cam, meta, cfg, spp=1)
+    # warmup / compile with the SAME wave count (n_samples is a static
+    # arg: a different count would recompile inside the timed region)
+    film = render(scene, cam, meta, cfg, spp=spp)
     jax.block_until_ready(film)
 
-    t0 = time.perf_counter()
-    film = render(scene, cam, meta, cfg, spp=spp, sample_offset=1)
-    jax.block_until_ready(film)
-    dt = time.perf_counter() - t0
+    # 2 timed rounds, keep the slower-consistent last one: the remote-TPU
+    # tunnel can report ready before the device queue fully drains, which
+    # makes the first post-warmup round absurdly fast
+    for round_idx in (1, 2):
+        t0 = time.perf_counter()
+        film = render(scene, cam, meta, cfg, spp=spp,
+                      sample_offset=spp * round_idx)
+        jax.block_until_ready(film)
+        dt = time.perf_counter() - t0
 
     n_samples = res[0] * res[1] * spp
     rate = n_samples / dt
