@@ -36,15 +36,14 @@ def main():
     film = render(scene, cam, meta, cfg, spp=spp)
     jax.block_until_ready(film)
 
-    # 2 timed rounds, keep the slower-consistent last one: the remote-TPU
-    # tunnel can report ready before the device queue fully drains, which
-    # makes the first post-warmup round absurdly fast
-    for round_idx in (1, 2):
-        t0 = time.perf_counter()
-        film = render(scene, cam, meta, cfg, spp=spp,
-                      sample_offset=spp * round_idx)
-        jax.block_until_ready(film)
-        dt = time.perf_counter() - t0
+    # NOTE: on the remote-TPU tunnel block_until_ready can report ready
+    # before the device work drains; only a device->host read truly
+    # syncs, so time through jax.device_get
+    jax.device_get(film["rgb"])
+    t0 = time.perf_counter()
+    film = render(scene, cam, meta, cfg, spp=spp, sample_offset=spp)
+    jax.device_get(film["rgb"])
+    dt = time.perf_counter() - t0
 
     n_samples = res[0] * res[1] * spp
     rate = n_samples / dt
