@@ -95,7 +95,8 @@ def resolve_material(scene, meta, it):
 # transmittance marching (Scene::IntersectTr, Scene.cpp:8-29)
 # ---------------------------------------------------------------------------
 
-def transmittance(scene, meta, origin, direction, dist, medium, active):
+def transmittance(scene, meta, origin, direction, dist, medium, active,
+                  time=None):
     """March through material-less medium boundaries accumulating Tr.
     Returns (Tr [N,3], blocked [N])."""
     n = origin.shape[0]
@@ -113,8 +114,8 @@ def transmittance(scene, meta, origin, direction, dist, medium, active):
 
     def body(st):
         o, rem, med, tr, blocked, live, i = st
-        h = intersect(scene, meta, o, direction, rem)
-        it = make_interaction(scene, meta, o, direction, h)
+        h = intersect(scene, meta, o, direction, rem, time=time)
+        it = make_interaction(scene, meta, o, direction, h, time=time)
         seg = jnp.where(h["valid"], h["t"], rem)
         tr = jnp.where(live[:, None], tr * med_tr(med, seg), tr)
         hit_mat = h["valid"] & (it["mat_id"] >= 0)
@@ -141,7 +142,7 @@ def transmittance(scene, meta, origin, direction, dist, medium, active):
 
 def sample_ld(scene, meta, cfg, ray_dir, it, mat, is_medium_vertex,
               medium, g_lanes, u_select, uv_light, u_cell, alpha_salt,
-              active, volumetric):
+              active, volumetric, time=None):
     if meta.n_lights == 0:
         return jnp.zeros(ray_dir.shape, jnp.float32)
 
@@ -173,11 +174,11 @@ def sample_ld(scene, meta, cfg, ray_dir, it, mat, is_medium_vertex,
 
     if volumetric:
         tr, blocked = transmittance(scene, meta, ref_p, sdir, t_shadow,
-                                    medium, active)
+                                    medium, active, time=time)
         vis = ~blocked
     else:
         occ = occluded(scene, meta, ref_p, sdir, t_shadow,
-                       rand_key=alpha_salt)
+                       rand_key=alpha_salt, time=time)
         vis = ~occ
         tr = jnp.ones_like(f)
 
@@ -229,8 +230,9 @@ def trace(scene, cam, meta, cfg: RenderConfig, origin, direction, time,
         tput = state["tput"]
         radiance = state["radiance"]
 
-        hit = intersect(scene, meta, o, d, jnp.full((n,), BIG_F32))
-        it = make_interaction(scene, meta, o, d, hit)
+        hit = intersect(scene, meta, o, d, jnp.full((n,), BIG_F32),
+                        time=time)
+        it = make_interaction(scene, meta, o, d, hit, time=time)
         missed = alive & ~hit["valid"]
 
         # ---- escaped rays: infinite lights (Integrators.cpp:196-208)
@@ -313,7 +315,8 @@ def trace(scene, cam, meta, cfg: RenderConfig, origin, direction, time,
             nee_med = sample_ld(scene, meta, cfg, d, it_med, mat,
                                 jnp.ones((n,), bool), state["medium"],
                                 g_lanes, u_select, uv_light, u_cell,
-                                alpha_salt, med_scatter, volumetric)
+                                alpha_salt, med_scatter, volumetric,
+                                time=time)
             radiance = radiance + jnp.where(med_scatter[:, None],
                                             tput * nee_med, 0.0)
             mle = scene["med_le"][mi]
@@ -337,7 +340,7 @@ def trace(scene, cam, meta, cfg: RenderConfig, origin, direction, time,
             nee = sample_ld(scene, meta, cfg, d, it, mat,
                             jnp.zeros((n,), bool), state["medium"], g_lanes,
                             u_select, uv_light, u_cell, alpha_salt,
-                            nee_active, volumetric)
+                            nee_active, volumetric, time=time)
             radiance = radiance + jnp.where(nee_active[:, None],
                                             tput * nee, 0.0)
             _, pdf_mis = bsdf_eval_pdf(mat, d, it, wi)

@@ -29,10 +29,11 @@ class SceneBuilder:
         # materials
         self._mat = dict(type=[], base=[], rough=[], metal=[], ior=[],
                          tex=[], alpha_mode=[], alpha_cutoff=[])
-        # geometry
-        self._tri = dict(v=[], n=[], uv=[], tan=[], prop=[])
-        self._sph = dict(c=[], r=[], prop=[])
-        self._quad = dict(q=[], u=[], v=[], prop=[])
+        # geometry (vel = linear velocity for motion blur,
+        # AnimatedPrimitive analog, Primitive.hpp:52-66)
+        self._tri = dict(v=[], n=[], uv=[], tan=[], prop=[], vel=[])
+        self._sph = dict(c=[], r=[], prop=[], vel=[])
+        self._quad = dict(q=[], u=[], v=[], prop=[], vel=[])
         # lights (entries are dicts; packed at build)
         self._lights = []
         # media
@@ -119,17 +120,22 @@ class SceneBuilder:
     # -- geometry ------------------------------------------------------------
 
     def add_sphere(self, center, radius, material=-1, medium=-1,
-                   emission=None, em_tex=-1, one_sided=False) -> int:
+                   emission=None, em_tex=-1, one_sided=False,
+                   velocity=(0.0, 0.0, 0.0)) -> int:
+        """velocity: linear motion over the shutter (AnimatedPrimitive,
+        Primitive.hpp:52-66) — position at ray time t is center+velocity*t."""
         idx = len(self._sph["r"])
         lid = self._maybe_area_light(SHAPE_SPH, idx, emission, em_tex,
                                      one_sided)
         self._sph["c"].append(np.asarray(center, np.float32))
         self._sph["r"].append(float(radius))
         self._sph["prop"].append([material, lid, medium])
+        self._sph["vel"].append(np.asarray(velocity, np.float32))
         return idx
 
     def add_quad(self, q, u, v, material=-1, medium=-1, emission=None,
-                 em_tex=-1, one_sided=False) -> int:
+                 em_tex=-1, one_sided=False,
+                 velocity=(0.0, 0.0, 0.0)) -> int:
         idx = len(self._quad["q"])
         lid = self._maybe_area_light(SHAPE_QUAD, idx, emission, em_tex,
                                      one_sided)
@@ -137,11 +143,13 @@ class SceneBuilder:
         self._quad["u"].append(np.asarray(u, np.float32))
         self._quad["v"].append(np.asarray(v, np.float32))
         self._quad["prop"].append([material, lid, medium])
+        self._quad["vel"].append(np.asarray(velocity, np.float32))
         return idx
 
     def add_mesh(self, vertices, indices, normals=None, uvs=None,
                  tangents=None, material=-1, medium=-1, emission=None,
-                 em_tex=-1, transform=None, emissive_power_cull=0.005):
+                 em_tex=-1, transform=None, emissive_power_cull=0.005,
+                 velocity=(0.0, 0.0, 0.0)):
         """Flatten a triangle mesh into the global triangle table.
 
         Mirrors Model::BuildBlas (Model.hpp:41-81): per-triangle area lights
@@ -199,9 +207,60 @@ class SceneBuilder:
             self._tri["tan"].append(tangents[[i0, i1, i2]])
             self._tri["prop"].append([material, lid, medium,
                                       1 if has_tan else 0])
+            self._tri["vel"].append(np.asarray(velocity, np.float32))
         return first, len(indices)
 
     # -- non-area lights ------------------------------------------------------
+
+    def add_function_inf_light(self, fn, nx=512, ny=256, scale=1.0):
+        """FunctionInfiniteLight (Light.cpp:52-107): procedural sky.
+
+        `fn` maps directions [K,3] -> rgb [K,3] (vectorized NumPy).  Baked
+        to an equirect texture over the sphere_uv parameterisation, then
+        importance-sampled exactly like TextureInfiniteLight — replacing
+        the reference's 10k-cell x 100-spp MC power estimate with exact
+        texel quadrature."""
+        xs = (np.arange(nx) + 0.5) / nx
+        ys = (np.arange(ny) + 0.5) / ny
+        u, v = np.meshgrid(xs, ys)              # [ny, nx]
+        theta = np.pi * v
+        phi = 2.0 * np.pi * u
+        dirs = np.stack([np.sin(theta) * np.cos(phi), np.cos(theta),
+                         np.sin(theta) * np.sin(phi)], -1).reshape(-1, 3)
+        rgb = np.asarray(fn(dirs.astype(np.float32)),
+                         np.float32).reshape(ny, nx, 3)
+        tid = self.textures.add_image(rgb)
+        return self.add_env_light(tid, scale=scale)
+
+    # -- models & instancing ---------------------------------------------
+
+    def add_model(self, vertices, indices, normals=None, uvs=None,
+                  tangents=None, material=-1, medium=-1,
+                  emission=None, em_tex=-1) -> int:
+        """Register a reusable model (ResourceManager::CacheModel analog,
+        ResourceManager.hpp:45-55).  Instance it with add_model_instance."""
+        if not hasattr(self, "_models"):
+            self._models = []
+        self._models.append(dict(vertices=vertices, indices=indices,
+                                 normals=normals, uvs=uvs,
+                                 tangents=tangents, material=material,
+                                 medium=medium, emission=emission,
+                                 em_tex=em_tex))
+        return len(self._models) - 1
+
+    def add_model_instance(self, model_id: int, transform=None):
+        """TransformedPrimitive instancing (Primitive.hpp:34-48).
+
+        Geometry is re-emitted in world space per instance (object-space
+        traversal with shared BLASes is a planned optimisation; the
+        capability — many placed copies of a cached model — matches)."""
+        m = self._models[model_id]
+        return self.add_mesh(m["vertices"], m["indices"],
+                             normals=m["normals"], uvs=m["uvs"],
+                             tangents=m["tangents"],
+                             material=m["material"], medium=m["medium"],
+                             emission=m["emission"], em_tex=m["em_tex"],
+                             transform=transform)
 
     def add_uniform_inf_light(self, color):
         """UniformInfiniteLight (Light.cpp:27-50)."""
@@ -433,6 +492,9 @@ class SceneBuilder:
             quad_v=jnp.asarray(quad_v), quad_n=jnp.asarray(quad_n),
             quad_d=jnp.asarray(quad_d), quad_w=jnp.asarray(quad_w),
             quad_prop=jnp.asarray(pad(quad_prop, (1, 3), np.int32, -1)),
+            tri_vel=jnp.asarray(pad(self._tri["vel"], (1, 3))),
+            sph_vel=jnp.asarray(pad(self._sph["vel"], (1, 3))),
+            quad_vel=jnp.asarray(pad(self._quad["vel"], (1, 3))),
             mat_type=jnp.asarray(pad(self._mat["type"], (1,), np.int32, -1)),
             mat_base=jnp.asarray(pad(self._mat["base"], (1, 3))),
             mat_rough=jnp.asarray(pad(self._mat["rough"], (1,))),
@@ -480,7 +542,13 @@ class SceneBuilder:
         has_alpha = any(int(m) != ALPHA_OPAQUE
                         for m in self._mat["alpha_mode"])
 
+        has_motion = any(
+            float(np.abs(np.asarray(v)).max()) > 0.0
+            for tbl in (self._tri, self._sph, self._quad)
+            for v in tbl["vel"])
         n_prims = nt + ns + nq
+        if has_motion:
+            accel = "brute"   # traversal accels assume static bounds
         if accel == "auto":
             # dense whole-scene scan beats any traversal below ~4K prims
             # (measured on v5e; the [N, n_prims] test is one fused VPU op);
@@ -523,7 +591,7 @@ class SceneBuilder:
             scene_medium=self.scene_medium,
             camera_medium=(self.camera or {}).get("medium", -1),
             has_alpha=has_alpha, light_sampler=self.light_sampler,
-            accel=accel, block_k=block_k)
+            accel=accel, block_k=block_k, has_motion=has_motion)
 
         cam = self._pack_camera()
         return scene, cam, meta

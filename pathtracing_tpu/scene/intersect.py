@@ -32,7 +32,16 @@ def _chunks(n: int):
 # Per-shape batched intersection tests: rays [N,3] x prims [C,...] -> [N,C]
 # ---------------------------------------------------------------------------
 
-def _tri_hits(o, d, v0, v1, v2, t_min=SHADOW_EPS):
+def _ray_origins(o, vel, time):
+    """Per-(ray, prim) effective origins: a prim moving at `vel` hit by a
+    ray at `time` is the static prim hit from origin o - vel*time
+    (AnimatedPrimitive re-wrap, Primitive.cpp:77-96)."""
+    if vel is None or time is None:
+        return o[:, None, :]
+    return o[:, None, :] - vel[None] * time[:, None, None]
+
+
+def _tri_hits(o, d, v0, v1, v2, t_min=SHADOW_EPS, vel=None, time=None):
     """Möller–Trumbore, two-sided (Shape.cpp:246-267). Returns (t, valid)."""
     e1 = v1 - v0          # [C,3]
     e2 = v2 - v0
@@ -40,7 +49,7 @@ def _tri_hits(o, d, v0, v1, v2, t_min=SHADOW_EPS):
     det = jnp.sum(e1[None] * h, -1)                       # [N,C]
     near_zero = jnp.abs(det) < 1e-9
     inv_det = 1.0 / jnp.where(near_zero, 1.0, det)
-    s = o[:, None, :] - v0[None]                          # [N,C,3]
+    s = _ray_origins(o, vel, time) - v0[None]             # [N,C,3]
     u = jnp.sum(s * h, -1) * inv_det
     q = jnp.cross(s, e1[None])
     v = jnp.sum(d[:, None, :] * q, -1) * inv_det
@@ -50,9 +59,9 @@ def _tri_hits(o, d, v0, v1, v2, t_min=SHADOW_EPS):
     return jnp.where(valid, t, BIG_F32), valid
 
 
-def _sph_hits(o, d, c, r, t_min=SHADOW_EPS):
+def _sph_hits(o, d, c, r, t_min=SHADOW_EPS, vel=None, time=None):
     """Quadratic sphere test, both roots (Shape.cpp:3-56)."""
-    oc = o[:, None, :] - c[None]                          # [N,C,3]
+    oc = _ray_origins(o, vel, time) - c[None]             # [N,C,3]
     a = jnp.sum(d * d, -1)[:, None]
     b = jnp.sum(oc * d[:, None, :], -1)
     cc = jnp.sum(oc * oc, -1) - (r * r)[None]
@@ -67,17 +76,19 @@ def _sph_hits(o, d, c, r, t_min=SHADOW_EPS):
     return t, t0v | t1v
 
 
-def _quad_hits(o, d, q, n, dd, u, v, w, t_min=SHADOW_EPS):
+def _quad_hits(o, d, q, n, dd, u, v, w, t_min=SHADOW_EPS, vel=None,
+               time=None):
     """Two-sided parallelogram test (Shape.cpp:320-358).
     Returns (t, valid, alpha, beta)."""
+    oe = _ray_origins(o, vel, time)                       # [N,C,3]
     flip = jnp.sum(d[:, None, :] * n[None], -1) > 0       # [N,C]
     nn = jnp.where(flip[..., None], -n[None], n[None])    # [N,C,3]
     dd_s = jnp.where(flip, -dd[None], dd[None])
     denom = jnp.sum(nn * d[:, None, :], -1)
     small = jnp.abs(denom) < 1e-8
-    t = (dd_s - jnp.sum(nn * o[:, None, :], -1)) / jnp.where(small, 1.0,
-                                                             denom)
-    p = o[:, None, :] + t[..., None] * d[:, None, :] - q[None]
+    t = (dd_s - jnp.sum(nn * oe, -1)) / jnp.where(small, 1.0,
+                                                  denom)
+    p = oe + t[..., None] * d[:, None, :] - q[None]
     alpha = jnp.sum(w[None] * jnp.cross(p, v[None]), -1)
     beta = jnp.sum(w[None] * jnp.cross(u[None], p), -1)
     interior = (alpha >= 0) & (alpha <= 1) & (beta >= 0) & (beta <= 1)
@@ -124,7 +135,7 @@ def _pallas_dispatch(scene, meta, origin, direction, t_max,
                 valid=valid)
 
 
-def intersect(scene, meta, origin, direction, t_max):
+def intersect(scene, meta, origin, direction, t_max, time=None):
     """Closest hit: returns dict(t, kind, idx, valid) for a ray batch [N]
     (Scene::Intersect analog, Scene.cpp:31-33).
 
@@ -134,6 +145,7 @@ def intersect(scene, meta, origin, direction, t_max):
     """
     if meta.accel == "pallas":
         return _pallas_dispatch(scene, meta, origin, direction, t_max)
+    motion = meta.has_motion and time is not None
     if meta.accel == "beam":
         from ..accel.beam import beam_intersect
         return beam_intersect(scene, origin, direction, t_max,
@@ -170,14 +182,21 @@ def intersect(scene, meta, origin, direction, t_max):
         idx_valid = (jnp.arange(pad) < meta.n_tri).reshape(nch, c)
 
         def body(st, xs):
-            tv, mask, j = xs
+            if motion:
+                tv, mask, j, vl = xs
+            else:
+                (tv, mask, j), vl = xs, None
             t, valid = _tri_hits(origin, direction, tv[:, 0], tv[:, 1],
-                                 tv[:, 2])
+                                 tv[:, 2], vel=vl, time=time)
             valid = valid & mask[None, :]
             return fold(st, t, valid, SHAPE_TRI, j * c, j), None
 
-        state, _ = jax.lax.scan(body, state,
-                                (vr, idx_valid, jnp.arange(nch)))
+        xs = (vr, idx_valid, jnp.arange(nch))
+        if motion:
+            xs += (jnp.pad(scene["tri_vel"],
+                           ((0, pad - scene["tri_vel"].shape[0]), (0, 0))
+                           ).reshape(nch, c, 3),)
+        state, _ = jax.lax.scan(body, state, xs)
 
     if meta.n_sph:
         c, nch = _chunks(meta.n_sph)
@@ -189,13 +208,21 @@ def intersect(scene, meta, origin, direction, t_max):
         idx_valid = (jnp.arange(pad) < meta.n_sph).reshape(nch, c)
 
         def body(st, xs):
-            cc, rr, mask, j = xs
-            t, valid = _sph_hits(origin, direction, cc, rr)
+            if motion:
+                cc, rr, mask, j, vl = xs
+            else:
+                (cc, rr, mask, j), vl = xs, None
+            t, valid = _sph_hits(origin, direction, cc, rr, vel=vl,
+                                 time=time)
             valid = valid & mask[None, :]
             return fold(st, t, valid, SHAPE_SPH, j * c, j), None
 
-        state, _ = jax.lax.scan(body, state,
-                                (cs, rs, idx_valid, jnp.arange(nch)))
+        xs = (cs, rs, idx_valid, jnp.arange(nch))
+        if motion:
+            xs += (jnp.pad(scene["sph_vel"],
+                           ((0, pad - scene["sph_vel"].shape[0]), (0, 0))
+                           ).reshape(nch, c, 3),)
+        state, _ = jax.lax.scan(body, state, xs)
 
     if meta.n_quad:
         c, nch = _chunks(meta.n_quad)
@@ -212,15 +239,21 @@ def intersect(scene, meta, origin, direction, t_max):
         idx_valid = (jnp.arange(pad) < meta.n_quad).reshape(nch, c)
 
         def body(st, xs):
-            q, u, v, nn, dd, w, mask, j = xs
+            if motion:
+                q, u, v, nn, dd, w, mask, j, vl = xs
+            else:
+                (q, u, v, nn, dd, w, mask, j), vl = xs, None
             t, valid, _, _ = _quad_hits(origin, direction, q, nn, dd, u, v,
-                                        w)
+                                        w, vel=vl, time=time)
             valid = valid & mask[None, :]
             return fold(st, t, valid, SHAPE_QUAD, j * c, j), None
 
-        state, _ = jax.lax.scan(body, state,
-                                (qq, qu, qv, qn, qd, qw, idx_valid,
-                                 jnp.arange(nch)))
+        xs = (qq, qu, qv, qn, qd, qw, idx_valid, jnp.arange(nch))
+        if motion:
+            xs += (jnp.pad(scene["quad_vel"],
+                           ((0, pad - scene["quad_vel"].shape[0]), (0, 0))
+                           ).reshape(nch, c, 3),)
+        state, _ = jax.lax.scan(body, state, xs)
 
     best_t, best_kind, best_idx = state
     valid = best_kind >= 0
@@ -231,7 +264,7 @@ def intersect(scene, meta, origin, direction, t_max):
 # Interaction assembly (gathers at the winning primitive)
 # ---------------------------------------------------------------------------
 
-def make_interaction(scene, meta, origin, direction, hit):
+def make_interaction(scene, meta, origin, direction, hit, time=None):
     """Build the SurfaceInteraction SoA for a hit batch.
 
     Reproduces the per-shape interaction conventions:
@@ -245,10 +278,13 @@ def make_interaction(scene, meta, origin, direction, hit):
     idx = hit["idx"]
     kind = hit["kind"]
     p_raw = origin + t[:, None] * direction
+    motion = meta.has_motion and time is not None
 
     # --- triangle
     ti = jnp.clip(idx, 0, scene["tri_v"].shape[0] - 1)
     tv = scene["tri_v"][ti]                     # [N,3,3]
+    if motion:
+        tv = tv + (scene["tri_vel"][ti] * time[:, None])[:, None, :]
     tn = scene["tri_n"][ti]
     tuv = scene["tri_uv"][ti]
     ttan = scene["tri_tan"][ti]
@@ -284,6 +320,8 @@ def make_interaction(scene, meta, origin, direction, hit):
     # --- sphere
     si = jnp.clip(idx, 0, scene["sph_c"].shape[0] - 1)
     sc = scene["sph_c"][si]
+    if motion:
+        sc = sc + scene["sph_vel"][si] * time[:, None]
     sprop = scene["sph_prop"][si]
     ns_s = safe_normalize(p_raw - sc)
     p_s = p_raw + SHADOW_EPS * ns_s
@@ -295,11 +333,14 @@ def make_interaction(scene, meta, origin, direction, hit):
 
     # --- quad
     qi = jnp.clip(idx, 0, scene["quad_q"].shape[0] - 1)
+    qq_p = scene["quad_q"][qi]
+    if motion:
+        qq_p = qq_p + scene["quad_vel"][qi] * time[:, None]
     qn = scene["quad_n"][qi]
     qprop = scene["quad_prop"][qi]
     flip_q = vdot_k(direction, qn) > 0
     ns_q = jnp.where(flip_q, -qn, qn)
-    planar = p_raw - scene["quad_q"][qi]
+    planar = p_raw - qq_p
     alpha = vdot(scene["quad_w"][qi], jnp.cross(planar, scene["quad_v"][qi]))
     beta = vdot(scene["quad_w"][qi], jnp.cross(scene["quad_u"][qi], planar))
     uv_q = jnp.stack([alpha, beta], -1)
@@ -372,7 +413,8 @@ def make_interaction(scene, meta, origin, direction, hit):
 # Shadow predicates
 # ---------------------------------------------------------------------------
 
-def occluded(scene, meta, origin, direction, t_max, rand_key=None):
+def occluded(scene, meta, origin, direction, t_max, rand_key=None,
+             time=None):
     """Scene::IntersectPred with alpha-tested restarts
     (Primitive.cpp:6-14, Material.hpp:181-198).
 
@@ -399,7 +441,7 @@ def occluded(scene, meta, origin, direction, t_max, rand_key=None):
             return bvh_intersect(scene, origin, direction,
                                  t_max - SHADOW_EPS, any_hit=True)["valid"]
         return intersect(scene, meta, origin, direction,
-                         t_max - SHADOW_EPS)["valid"]
+                         t_max - SHADOW_EPS, time=time)["valid"]
 
     max_restarts = 8
 
@@ -409,8 +451,8 @@ def occluded(scene, meta, origin, direction, t_max, rand_key=None):
 
     def body(st):
         o, t_rem, occ, live, it_ = st
-        h = intersect(scene, meta, o, direction, t_rem)
-        inter = make_interaction(scene, meta, o, direction, h)
+        h = intersect(scene, meta, o, direction, t_rem, time=time)
+        inter = make_interaction(scene, meta, o, direction, h, time=time)
         mat_ids = jnp.clip(inter["mat_id"], 0, scene["mat_type"].shape[0] - 1)
         mode = scene["mat_alpha_mode"][mat_ids]
         cutoff = scene["mat_alpha_cutoff"][mat_ids]

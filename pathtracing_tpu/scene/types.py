@@ -61,5 +61,6 @@ class SceneMeta:
     camera_medium: int = -1
     has_alpha: bool = False     # any non-opaque material in scene
     light_sampler: str = "power"  # "power" | "uniform"
-    accel: str = "beam"         # "beam" | "bvh" (per-ray stack) | "brute"
-    block_k: int = 0            # beam prims-per-block (static shape)
+    accel: str = "beam"  # "pallas" | "beam" | "bvh" | "brute"
+    block_k: int = 0            # beam/pallas prims-per-block (static)
+    has_motion: bool = False    # any primitive with nonzero velocity
