@@ -100,8 +100,31 @@ def _quad_hits(o, d, q, n, dd, u, v, w, t_min=SHADOW_EPS, vel=None,
 # Closest-hit over the whole scene
 # ---------------------------------------------------------------------------
 
+def _morton_key(scene, origin, direction):
+    """Ray-coherence sort key: direction octant (high bits) + 7-bit-per-
+    axis Morton code of the origin within the scene bounds.  Secondary
+    (bounce) rays arrive pixel-ordered but spatially scattered; sorting
+    keeps each 128-ray kernel tile visiting the same few blocks."""
+    lo = scene["scene_lo"]
+    ext = jnp.maximum(scene["scene_hi"] - lo, 1e-6)
+    q = jnp.clip((origin - lo) / ext * 127.0, 0.0, 127.0).astype(jnp.uint32)
+
+    def spread(x):  # 7 bits -> every 3rd bit
+        x = (x | (x << 8)) & jnp.uint32(0x0100FF)
+        x = (x | (x << 4)) & jnp.uint32(0x10C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x9249249)
+        return x
+
+    morton = (spread(q[:, 0]) | (spread(q[:, 1]) << 1)
+              | (spread(q[:, 2]) << 2))
+    octant = ((direction[:, 0] > 0).astype(jnp.uint32)
+              | ((direction[:, 1] > 0).astype(jnp.uint32) << 1)
+              | ((direction[:, 2] > 0).astype(jnp.uint32) << 2))
+    return (octant << 21) | (morton & jnp.uint32(0x1FFFFF))
+
+
 def _pallas_dispatch(scene, meta, origin, direction, t_max,
-                     any_hit: bool = False):
+                     any_hit: bool = False, sort: bool = True):
     """Triangles via the Pallas tile-divergent kernel; the (few) analytic
     prims of a mixed scene take the dense brute path; results merged."""
     import dataclasses
@@ -109,18 +132,29 @@ def _pallas_dispatch(scene, meta, origin, direction, t_max,
 
     n = origin.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    if sort and "scene_lo" in scene:
+        perm = jnp.argsort(_morton_key(scene, origin, direction))
+        origin_s = origin[perm]
+        direction_s = direction[perm]
+        tmax_s = t_max[perm]
+    else:
+        perm = None
+        origin_s, direction_s, tmax_s = origin, direction, t_max
     pad = (-n) % TILE
     if pad:
-        o = jnp.pad(origin, ((0, pad), (0, 0)))
-        d = jnp.pad(direction, ((0, pad), (0, 0)), constant_values=1.0)
-        tm = jnp.pad(t_max, (0, pad))          # t_max 0 => padded rays miss
+        o = jnp.pad(origin_s, ((0, pad), (0, 0)))
+        d = jnp.pad(direction_s, ((0, pad), (0, 0)), constant_values=1.0)
+        tm = jnp.pad(tmax_s, (0, pad))         # t_max 0 => padded rays miss
     else:
-        o, d, tm = origin, direction, t_max
+        o, d, tm = origin_s, direction_s, tmax_s
     hit = pallas_tri_intersect(scene, o, d, tm, meta.block_k,
                                any_hit=any_hit)
     t = hit["t"][:n]
     idx = hit["tri"][:n]
     valid = hit["valid"][:n]
+    if perm is not None:
+        inv = jnp.argsort(perm)
+        t, idx, valid = t[inv], idx[inv], valid[inv]
     kind = jnp.where(valid, SHAPE_TRI, -1)
 
     if meta.n_sph or meta.n_quad:
