@@ -42,6 +42,8 @@ def _random_scene(rng, n_tri=80, n_sph=20, n_quad=10, spread=10.0):
 class _BruteMeta:
     accel = "brute"
     has_alpha = False
+    has_motion = False
+    block_k = 0
 
     def __init__(self, nt, ns, nq):
         self.n_tri, self.n_sph, self.n_quad = nt, ns, nq
