@@ -66,6 +66,57 @@ def _build_scene(args):
     return out
 
 
+def _turntable(args, scene, cam, meta, cfg):
+    """Orbit the camera around look_at over N frames and encode a video
+    if ffmpeg is available (the reference's video path, main.cpp:557-594)."""
+    import shutil
+    import subprocess
+    import numpy as np
+    from .integrators.render import render
+    from .scene.builder import SceneBuilder
+    from .sensor import film as filmmod
+
+    out = Path(args.out)
+    frames_dir = out.with_suffix("") if out.suffix else out
+    frames_dir = Path(str(frames_dir) + "_frames")
+    frames_dir.mkdir(parents=True, exist_ok=True)
+    look_at = np.asarray([float(x) for x in args.look_at.split(",")])
+    look_from0 = np.asarray([float(x) for x in args.look_from.split(",")])
+    rel = look_from0 - look_at
+    radius = math.hypot(rel[0], rel[2])
+    phi0 = math.atan2(rel[2], rel[0])
+    for f in range(args.turntable):
+        phi = phi0 + 2.0 * math.pi * f / args.turntable
+        lf = look_at + np.asarray([radius * math.cos(phi), rel[1],
+                                   radius * math.sin(phi)])
+        b = SceneBuilder()   # camera-only rebuild: reuse scene arrays
+        b.camera = dict(look_from=lf.astype(np.float32),
+                        look_at=look_at.astype(np.float32),
+                        fov=math.radians(args.fov),
+                        resolution=tuple(args.resolution),
+                        focus_angle=math.radians(args.focus_angle),
+                        focus_distance=args.focus_distance,
+                        shutter=(0.0, 0.0), medium=-1)
+        cam_f = b._pack_camera()
+        film = render(scene, cam_f, meta, cfg)
+        filmmod.write_png(film, cam_f["resolution"],
+                          frames_dir / f"frame_{f:04d}.png",
+                          tone_mapper=args.tonemap)
+        print(f"\r[turntable] {f + 1}/{args.turntable}", end="",
+              file=sys.stderr)
+    print("", file=sys.stderr)
+    if shutil.which("ffmpeg"):
+        video = out if out.suffix == ".mp4" else out.with_suffix(".mp4")
+        subprocess.run(
+            ["ffmpeg", "-y", "-framerate", "30", "-i",
+             str(frames_dir / "frame_%04d.png"), "-pix_fmt", "yuv420p",
+             str(video)], check=False, capture_output=True)
+        print(f"[turntable] wrote {video}", file=sys.stderr)
+    else:
+        print(f"[turntable] frames in {frames_dir} (no ffmpeg found)",
+              file=sys.stderr)
+
+
 def cmd_render(args):
     from .integrators.path import RenderConfig
     from .core.rng import SamplerConfig
@@ -83,6 +134,10 @@ def cmd_render(args):
                               y_samples=max(1, args.spp // x),
                               seed=args.seed),
         rays_per_batch=args.rays_per_batch)
+
+    if args.turntable:
+        _turntable(args, scene, cam, meta, cfg)
+        return
 
     def progress(done, total):
         print(f"\r[render] {100.0*done/total:5.1f}%", end="",
@@ -168,6 +223,8 @@ def main(argv=None):
     r.add_argument("--focus-distance", type=float, default=0.0)
     r.add_argument("--env-light", type=float, default=None)
     r.add_argument("--sun", type=float, default=None)
+    r.add_argument("--turntable", type=int, default=0,
+                   help="render N orbit frames + encode video (ffmpeg)")
     r.set_defaults(fn=cmd_render)
 
     b = sub.add_parser("bench", help="run the benchmark")

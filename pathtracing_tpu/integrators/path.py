@@ -230,8 +230,11 @@ def trace(scene, cam, meta, cfg: RenderConfig, origin, direction, time,
         tput = state["tput"]
         radiance = state["radiance"]
 
-        hit = intersect(scene, meta, o, d, jnp.full((n,), BIG_F32),
-                        time=time)
+        # dead lanes get t_max=0: they miss immediately, and after the
+        # Morton sort clusters them the pallas kernel's whole-tile early
+        # exit skips their traversal work entirely
+        hit = intersect(scene, meta, o, d,
+                        jnp.where(alive, BIG_F32, 0.0), time=time)
         it = make_interaction(scene, meta, o, d, hit, time=time)
         missed = alive & ~hit["valid"]
 
