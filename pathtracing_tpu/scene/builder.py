@@ -262,6 +262,23 @@ class SceneBuilder:
                              emission=m["emission"], em_tex=m["em_tex"],
                              transform=transform)
 
+    def add_env_light_from_file(self, path, scale: float = 1.0):
+        """TextureInfiniteLight from an image file: .hdr via the Radiance
+        decoder (io/hdr.py, the stb_image HDR analog), LDR formats via PIL
+        with sRGB->linear."""
+        from pathlib import Path as _P
+        p = _P(path)
+        if p.suffix.lower() == ".hdr":
+            from ..io.hdr import read_hdr
+            img = read_hdr(p)[::-1]     # pool samples bottom-left origin
+            tid = self.textures.add_image(img)
+        else:
+            from PIL import Image
+            arr = np.asarray(Image.open(p).convert("RGB"),
+                             np.float32) / 255.0
+            tid = self.textures.add_image(arr[::-1], srgb=True)
+        return self.add_env_light(tid, scale=scale)
+
     def add_uniform_inf_light(self, color):
         """UniformInfiniteLight (Light.cpp:27-50)."""
         self._lights.append(dict(type=LIGHT_UNIFORM_INF,
