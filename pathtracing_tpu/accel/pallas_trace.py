@@ -56,11 +56,17 @@ def build_tri_blocks(tri_v: np.ndarray, block_k: int | None = None):
     """
     from .build import _sah_build_binary
     from .beam import pick_block_k
+    from ..native.loader import native_build_bvh
 
     tri_v = np.asarray(tri_v, np.float32)
     lo = tri_v.min(1)
     hi = tri_v.max(1)
-    _, order = _sah_build_binary(lo, hi, leaf_size=4)
+    # only the SAH leaf ORDER is needed; prefer the threaded C++ builder
+    native = native_build_bvh(lo, hi, 4)
+    if native is not None:
+        order = native[3]
+    else:
+        _, order = _sah_build_binary(lo, hi, leaf_size=4)
     n = len(order)
     # K is a multiple of 128 (the VPU lane width the DMA'd block occupies);
     # M is capped so the per-tile order tables stay SMEM-sized

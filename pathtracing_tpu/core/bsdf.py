@@ -447,51 +447,64 @@ def _conductor_sample(mat, ray_dir, it, u, uv2):
 # Dispatch
 # ---------------------------------------------------------------------------
 
-def bsdf_sample(mat, ray_dir, it, u, uv2):
+ALL_MATS = (True, True, True, True)
+
+
+def bsdf_sample(mat, ray_dir, it, u, uv2, present=ALL_MATS):
     """Material::scatter for every lane.
 
     mat: dict from material_lanes (per-lane resolved parameters)
     ray_dir: [...,3] incoming (unit) direction
     it: interaction dict with p, p_raw, n, ns, tangent
     u: [...] lobe-choice uniform; uv2: [...,2] direction uniforms
+    present: static (diffuse, dielectric, thin, conductor) — material
+    models absent from the scene are skipped entirely (the branch-free
+    dispatch otherwise evaluates all four on every lane).
 
     Returns (wi, f, pdf, flags, valid, origin).  Sampling decisions are
     detached; f/pdf stay differentiable w.r.t. material parameters.
     """
     u = jax.lax.stop_gradient(u)
     uv2 = jax.lax.stop_gradient(uv2)
-    results = [
-        _diffuse_sample(mat, ray_dir, it, u, uv2),
-        _dielectric_sample(mat, ray_dir, it, u, uv2),
-        _thin_sample(mat, ray_dir, it, u, uv2),
-        _conductor_sample(mat, ray_dir, it, u, uv2),
-    ]
+    fns = [_diffuse_sample, _dielectric_sample, _thin_sample,
+           _conductor_sample]
     mtype = mat["type"]
-    out = []
-    for idx in range(6):
-        acc = results[0][idx]
-        for k in (1, 2, 3):
-            sel = mtype == k
-            v = results[k][idx]
-            if v.ndim > sel.ndim:
-                sel = sel[..., None]
-            acc = jnp.where(sel, v, acc)
-        out.append(acc)
+    out = None
+    for k in range(4):
+        if not present[k]:
+            continue
+        res = fns[k](mat, ray_dir, it, u, uv2)
+        if out is None:
+            out = list(res)
+            continue
+        sel = mtype == k
+        for idx in range(6):
+            v = res[idx]
+            s_ = sel[..., None] if v.ndim > sel.ndim else sel
+            out[idx] = jnp.where(s_, v, out[idx])
+    if out is None:
+        out = list(_diffuse_sample(mat, ray_dir, it, u, uv2))
     wi, f, pdf, flags, valid, origin = out
     wi = jax.lax.stop_gradient(wi)
     origin = jax.lax.stop_gradient(origin)
     return wi, f, pdf, flags, valid, origin
 
 
-def bsdf_eval_pdf(mat, ray_dir, it, wi_world):
+def bsdf_eval_pdf(mat, ray_dir, it, wi_world, present=ALL_MATS):
     """calc_attenuation + PDF for NEE / MIS.  Thin dielectric and conductor
     return zeros (specular-only, Material.hpp:646-652,660-673)."""
-    f_d, p_d = _diffuse_eval_pdf(mat, ray_dir, it, wi_world)
-    f_g, p_g = _dielectric_eval_pdf(mat, ray_dir, it, wi_world)
     mtype = mat["type"]
-    is_d = (mtype == MAT_DIFFUSE)[..., None]
-    is_g = (mtype == MAT_DIELECTRIC)[..., None]
-    f = jnp.where(is_d, f_d, jnp.where(is_g, f_g, 0.0))
-    pdf = jnp.where(mtype == MAT_DIFFUSE, p_d,
-                    jnp.where(mtype == MAT_DIELECTRIC, p_g, 0.0))
+    if present[MAT_DIFFUSE]:
+        f, pdf = _diffuse_eval_pdf(mat, ray_dir, it, wi_world)
+        is_d = mtype == MAT_DIFFUSE
+        f = jnp.where(is_d[..., None], f, 0.0)
+        pdf = jnp.where(is_d, pdf, 0.0)
+    else:
+        f = jnp.zeros(wi_world.shape, wi_world.dtype)
+        pdf = jnp.zeros(mtype.shape, jnp.float32)
+    if present[MAT_DIELECTRIC]:
+        f_g, p_g = _dielectric_eval_pdf(mat, ray_dir, it, wi_world)
+        is_g = mtype == MAT_DIELECTRIC
+        f = jnp.where(is_g[..., None], f_g, f)
+        pdf = jnp.where(is_g, p_g, pdf)
     return f, pdf

@@ -162,7 +162,9 @@ def sample_ld(scene, meta, cfg, ray_dir, it, mat, is_medium_vertex,
     surf_reject = cos_s * vdot(ray_dir, it["ns"]) >= 0.0
 
     # f and sampling pdf
-    f_surf, pdf_surf = bsdf_eval_pdf(mat, ray_dir, it, sdir)
+    f_surf, pdf_surf = bsdf_eval_pdf(
+        mat, ray_dir, it, sdir,
+        present=getattr(meta, "mats_present", (1, 1, 1, 1)))
     f_surf = f_surf * jnp.abs(cos_s)[:, None]
     ph = hg_pdf(ray_dir, sdir, g_lanes)
     f = jnp.where(is_medium_vertex[:, None], ph[:, None], f_surf)
@@ -331,7 +333,8 @@ def trace(scene, cam, meta, cfg: RenderConfig, origin, direction, time,
         boundary = surf & (it["mat_id"] < 0)
         can_scatter = surf & (it["mat_id"] >= 0)
         wi, f, pdf, flags, bvalid, new_origin = bsdf_sample(
-            mat, d, it, u_scatter, uv_scatter)
+            mat, d, it, u_scatter, uv_scatter,
+            present=getattr(meta, "mats_present", (1, 1, 1, 1)))
         absorbed = can_scatter & ~bvalid
         scattered = can_scatter & bvalid
         new_spec = (flags & FLAG_SPECULAR) > 0
@@ -346,7 +349,9 @@ def trace(scene, cam, meta, cfg: RenderConfig, origin, direction, time,
                             nee_active, volumetric, time=time)
             radiance = radiance + jnp.where(nee_active[:, None],
                                             tput * nee, 0.0)
-            _, pdf_mis = bsdf_eval_pdf(mat, d, it, wi)
+            _, pdf_mis = bsdf_eval_pdf(
+                mat, d, it, wi,
+                present=getattr(meta, "mats_present", (1, 1, 1, 1)))
             new_prev_pdf = jnp.where(scattered & ~new_spec, pdf_mis,
                                      state["prev_pdf"])
         else:

@@ -558,6 +558,9 @@ class SceneBuilder:
 
         has_alpha = any(int(m) != ALPHA_OPAQUE
                         for m in self._mat["alpha_mode"])
+        types_in_scene = set(int(t) for t in self._mat["type"])
+        mats_present = tuple(bool(k in types_in_scene) or not types_in_scene
+                             for k in range(4))
 
         has_motion = any(
             float(np.abs(np.asarray(v)).max()) > 0.0
@@ -608,7 +611,8 @@ class SceneBuilder:
             scene_medium=self.scene_medium,
             camera_medium=(self.camera or {}).get("medium", -1),
             has_alpha=has_alpha, light_sampler=self.light_sampler,
-            accel=accel, block_k=block_k, has_motion=has_motion)
+            accel=accel, block_k=block_k, has_motion=has_motion,
+            mats_present=mats_present)
 
         cam = self._pack_camera()
         return scene, cam, meta

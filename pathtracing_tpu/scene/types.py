@@ -64,3 +64,4 @@ class SceneMeta:
     accel: str = "beam"  # "pallas" | "beam" | "bvh" | "brute"
     block_k: int = 0            # beam/pallas prims-per-block (static)
     has_motion: bool = False    # any primitive with nonzero velocity
+    mats_present: tuple = (True, True, True, True)  # diffuse/diel/thin/cond
