@@ -73,6 +73,10 @@ def build_tri_blocks(tri_v: np.ndarray, block_k: int | None = None):
     k = block_k or max(128, -(-pick_block_k(n) // 128) * 128)
     while -(-n // k) > 4096:
         k += 128
+    if k > 512:
+        # kernel tests blocks in 512-prim sub-chunks (VMEM intermediates
+        # are [sub, 128]); keep K a multiple of the sub-chunk
+        k = -(-k // 512) * 512
     m = -(-n // k)
     pad = m * k - n
     ord_pad = np.concatenate([order, np.repeat(order[-1:], pad)])
@@ -116,35 +120,41 @@ def _kernel(order_ref, sentry_ref, ox_ref, oy_ref, oz_ref,
     b0 = order_ref[0, 0, 0]
     dma(0, b0).start()
 
+    SUB = min(K, 512)
+    assert K % SUB == 0
+
     def test_block(best_t, best_slot, b, slot):
-        tri = scratch[slot]                                # [9, K]
-        col = lambda i: tri[i, :][:, None]                 # [K, 1]
-        # Möller–Trumbore: [K, 128] = prim sublanes x ray lanes
-        e1x, e1y, e1z = col(3), col(4), col(5)
-        e2x, e2y, e2z = col(6), col(7), col(8)
-        hx = dy * e2z - dz * e2y
-        hy = dz * e2x - dx * e2z
-        hz = dx * e2y - dy * e2x
-        det = e1x * hx + e1y * hy + e1z * hz
-        near0 = jnp.abs(det) < 1e-9
-        inv_det = 1.0 / jnp.where(near0, 1.0, det)
-        sx = ox - col(0)
-        sy = oy - col(1)
-        sz = oz - col(2)
-        u = (sx * hx + sy * hy + sz * hz) * inv_det
-        qx = sy * e1z - sz * e1y
-        qy = sz * e1x - sx * e1z
-        qz = sx * e1y - sy * e1x
-        v = (dx * qx + dy * qy + dz * qz) * inv_det
-        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-        ok = (~near0 & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
-              & (t >= t_min) & (t < best_t))
-        t = jnp.where(ok, t, BIG_F32)
-        kbest = jnp.argmin(t, axis=0)                      # [128]
-        tbest = jnp.min(t, axis=0)[None, :]                # [1,128]
-        better = tbest < best_t
-        best_t = jnp.where(better, tbest, best_t)
-        best_slot = jnp.where(better, (b * K + kbest)[None, :], best_slot)
+        # sub-chunks bound the [SUB, 128] VPU intermediates to VMEM
+        for sub in range(K // SUB):
+            tri = scratch[slot, :, sub * SUB:(sub + 1) * SUB]  # [16->9,SUB]
+            col = lambda i: tri[i, :][:, None]                 # [SUB, 1]
+            # Möller–Trumbore: [SUB, 128] = prim sublanes x ray lanes
+            e1x, e1y, e1z = col(3), col(4), col(5)
+            e2x, e2y, e2z = col(6), col(7), col(8)
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            det = e1x * hx + e1y * hy + e1z * hz
+            near0 = jnp.abs(det) < 1e-9
+            inv_det = 1.0 / jnp.where(near0, 1.0, det)
+            sx = ox - col(0)
+            sy = oy - col(1)
+            sz = oz - col(2)
+            u = (sx * hx + sy * hy + sz * hz) * inv_det
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            ok = (~near0 & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
+                  & (t >= t_min) & (t < best_t))
+            t = jnp.where(ok, t, BIG_F32)
+            kbest = jnp.argmin(t, axis=0)                      # [128]
+            tbest = jnp.min(t, axis=0)[None, :]                # [1,128]
+            better = tbest < best_t
+            best_t = jnp.where(better, tbest, best_t)
+            best_slot = jnp.where(
+                better, (b * K + sub * SUB + kbest)[None, :], best_slot)
         return best_t, best_slot
 
     def cond(carry):

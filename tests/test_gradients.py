@@ -102,3 +102,32 @@ def test_gradient_descent_recovers_albedo():
         if l0 is None:
             l0 = float(l)
     assert float(l) < 0.3 * l0, (l0, float(l))
+
+
+def test_gradients_flow_to_texels():
+    """Texture texels are AD leaves: gradients reach the texel pool."""
+    import numpy as np
+    from pathtracing_tpu.scene.builder import SceneBuilder
+
+    b = SceneBuilder()
+    tex = np.full((8, 8, 3), 0.5, np.float32)
+    tid = b.textures.add_image(tex)
+    m = b.add_diffuse((1, 1, 1), roughness=1.0, base_tex=tid)
+    b.add_quad([-2, 0, -2], [4, 0, 0], [0, 0, 4], material=m)
+    b.add_uniform_inf_light((1.0, 1.0, 1.0))
+    b.set_camera([0, 3, -3], [0, 0, 0], math.radians(40), (8, 8))
+    scene, cam, meta = b.build()
+    cfg = RenderConfig(spp=2, max_depth=2, differentiable=True,
+                       sampler=SamplerConfig(x_samples=2, y_samples=1,
+                                             seed=4))
+    pix = jnp.arange(64, dtype=jnp.int32)
+
+    def loss(texels):
+        sc = dict(scene, tex_texels=texels)
+        f = fm.new_film(cam["resolution"])
+        f = render_tile(sc, cam, meta, cfg, f, pix, 2)
+        return jnp.sum(f["rgb"])
+
+    g = np.asarray(jax.grad(loss)(scene["tex_texels"]))
+    assert np.isfinite(g).all()
+    assert np.abs(g[:, :3]).max() > 0.0     # rgb texels get gradient
