@@ -1,0 +1,263 @@
+"""Two-level Pallas traversal for San-Miguel-scale scenes (>~2M tris).
+
+The single-level kernel (pallas_trace.py) keeps per-tile order tables
+SMEM-sized by capping the block count at 4096, which forces K=2688-prim
+blocks at 10M tris — every visited block tests 2688 prims.  This kernel
+adds a middle level:
+
+  L1 superblocks (<=4096, ordered per tile in XLA exactly like the
+  single-level kernel) each own G=16 L2 blocks of K2 prims.  All L2
+  AABBs stay resident in VMEM ([8, M2] component rows, ~2MB at M2=64K);
+  per visited L1 the kernel slab-tests its G L2 boxes in one [G, 128]
+  op and DMAs + tests only the L2 blocks SOME ray in the tile enters
+  (`pl.when` tile-level skip).  Per-ray work drops from K1=G*K2 to
+  ~hit_blocks*K2.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.math import BIG_F32, SHADOW_EPS
+from .pallas_trace import TILE, _tile_order
+
+G = 16              # L2 blocks per L1 superblock
+
+
+def build_tri_blocks2(tri_v: np.ndarray, k2: int | None = None):
+    """Two-level block tables.  Returns (arrays, k2):
+      pk_tri      [16, M2*K2]   block-contiguous triangle components
+      pk_l2box    [8, M2]       L2 AABBs (lox,loy,loz,hix,hiy,hiz,0,0)
+      pk_blk_lo/hi[M1, 3]       L1 bounds (reuses single-level XLA phase)
+      pk_slot2tri [M2*K2]
+    """
+    from .build import _sah_build_binary
+    from ..native.loader import native_build_bvh
+
+    tri_v = np.asarray(tri_v, np.float32)
+    lo = tri_v.min(1)
+    hi = tri_v.max(1)
+    native = native_build_bvh(lo, hi, 4)
+    if native is not None:
+        order = native[3]
+    else:
+        _, order = _sah_build_binary(lo, hi, leaf_size=4)
+    n = len(order)
+    if k2 is None:
+        k2 = 128
+        while -(-n // (k2 * G)) > 4096:
+            k2 += 128
+    m2 = -(-n // k2)
+    m2 = -(-m2 // G) * G                  # pad M2 to a multiple of G
+    pad = m2 * k2 - n
+    ord_pad = np.concatenate([order, np.repeat(order[-1:], pad)])
+    v = tri_v[ord_pad]
+    v0 = v[:, 0]
+    e1 = v[:, 1] - v0
+    e2 = v[:, 2] - v0
+    tri9 = np.concatenate([v0.T, e1.T, e2.T,
+                           np.zeros((7, len(v)), np.float32)], 0)
+    l2lo = lo[ord_pad].reshape(m2, k2, 3).min(1)
+    l2hi = hi[ord_pad].reshape(m2, k2, 3).max(1)
+    # padding tail blocks (duplicated prim) keep the duplicate's box; give
+    # fully-padded blocks (beyond the data) empty boxes
+    n_blocks_data = -(-n // k2)
+    if m2 > n_blocks_data:
+        l2lo[n_blocks_data:] = np.inf
+        l2hi[n_blocks_data:] = -np.inf
+    m1 = m2 // G
+    # [M1, 8, 128]: per-L1 row of its G children's box components padded
+    # into the 128-lane axis (unused lanes get empty boxes) — the layout a
+    # single aligned DMA can fetch per visited L1
+    l2box = np.zeros((m1, 8, 128), np.float32)
+    l2box[:, 0:3, :] = np.inf          # empty lo
+    l2box[:, 3:6, :] = -np.inf         # empty hi
+    l2box[:, 0:3, :G] = l2lo.reshape(m1, G, 3).transpose(0, 2, 1)
+    l2box[:, 3:6, :G] = l2hi.reshape(m1, G, 3).transpose(0, 2, 1)
+    l1lo = l2lo.reshape(m1, G, 3).min(1)
+    l1hi = l2hi.reshape(m1, G, 3).max(1)
+    slot2tri = ord_pad.astype(np.int32)
+    if pad:
+        slot2tri[n:] = -1
+    return dict(pk_tri=tri9.astype(np.float32),
+                pk_l2box=l2box,
+                pk_blk_lo=l1lo.astype(np.float32),
+                pk_blk_hi=l1hi.astype(np.float32),
+                pk_slot2tri=slot2tri), k2
+
+
+def _kernel2(order_ref, sentry_ref, ox_ref, oy_ref, oz_ref,
+             dx_ref, dy_ref, dz_ref, tmax_ref, l2box_hbm, tri_hbm,
+             out_t_ref, out_slot_ref, scratch, sem, box_scratch, box_sem,
+             *, k2: int, n_l1: int, any_hit: bool):
+    K2 = k2
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]           # [1,128]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    t_min = jnp.full_like(ox, SHADOW_EPS)
+
+    def inv(c):
+        return 1.0 / jnp.where(jnp.abs(c) < 1e-32,
+                               jnp.where(c < 0, -1e-32, 1e-32), c)
+    ix, iy, iz = inv(dx), inv(dy), inv(dz)
+
+    def dma(slot, b2):
+        return pltpu.make_async_copy(
+            tri_hbm.at[:, pl.ds(b2 * K2, K2)],
+            scratch.at[slot], sem.at[slot])
+
+    def test_l2(best, b2, slot):
+        best_t, best_slot = best
+        tri = scratch[slot]                                # [16->9, K2]
+        col = lambda i: tri[i, :][:, None]
+        e1x, e1y, e1z = col(3), col(4), col(5)
+        e2x, e2y, e2z = col(6), col(7), col(8)
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        det = e1x * hx + e1y * hy + e1z * hz
+        near0 = jnp.abs(det) < 1e-9
+        inv_det = 1.0 / jnp.where(near0, 1.0, det)
+        sx = ox - col(0)
+        sy = oy - col(1)
+        sz = oz - col(2)
+        u = (sx * hx + sy * hy + sz * hz) * inv_det
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        ok = (~near0 & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
+              & (t >= t_min) & (t < best_t))
+        t = jnp.where(ok, t, BIG_F32)
+        kbest = jnp.argmin(t, axis=0)
+        tbest = jnp.min(t, axis=0)[None, :]
+        better = tbest < best_t
+        best_t = jnp.where(better, tbest, best_t)
+        best_slot = jnp.where(better, (b2 * K2 + kbest)[None, :],
+                              best_slot)
+        return best_t, best_slot
+
+    def dma_boxes(b1):
+        return pltpu.make_async_copy(l2box_hbm.at[b1], box_scratch,
+                                     box_sem)
+
+    def body(carry):
+        j, best_t, best_slot, _ = carry
+        b1 = order_ref[0, 0, j]
+        dma_boxes(b1).start()
+        dma_boxes(b1).wait()
+
+        best = (best_t, best_slot)
+        for g in range(G):
+            # per-child slab test over the tile rays (static indices into
+            # the DMA'd box row -> plain scalar reads)
+            lox, loy, loz = (box_scratch[0, g], box_scratch[1, g],
+                             box_scratch[2, g])
+            hix, hiy, hiz = (box_scratch[3, g], box_scratch[4, g],
+                             box_scratch[5, g])
+            u0x = (lox - ox) * ix
+            u1x = (hix - ox) * ix
+            u0y = (loy - oy) * iy
+            u1y = (hiy - oy) * iy
+            u0z = (loz - oz) * iz
+            u1z = (hiz - oz) * iz
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(u0x, u1x), jnp.minimum(u0y, u1y)),
+                jnp.maximum(jnp.minimum(u0z, u1z), t_min))
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(u0x, u1x), jnp.maximum(u0y, u1y)),
+                jnp.minimum(jnp.maximum(u0z, u1z), best[0]))
+            hit_g = jnp.any((tn <= tf).astype(jnp.int32) > 0)
+            b2 = b1 * G + g
+
+            def do(best=best, b2=b2, g=g):
+                slot = g % 2
+                dma(slot, b2).start()
+                dma(slot, b2).wait()
+                return test_l2(best, b2, slot)
+
+            # lax.cond so the skip saves real work (pl.when can't return)
+            best = jax.lax.cond(hit_g, do, lambda best=best: best)
+        best_t, best_slot = best
+
+        j = j + 1
+        jc = jnp.minimum(j, n_l1 - 1)
+        nxt = sentry_ref[0, 0, jc]
+        if any_hit:
+            live = (j < n_l1) & (nxt < BIG_F32 * 0.5) \
+                & ~jnp.all(best_slot >= 0)
+        else:
+            live = (j < n_l1) & (nxt < jnp.max(best_t))
+        return j, best_t, best_slot, live
+
+    best_t0 = tmax_ref[0]
+    best_slot0 = jnp.full(best_t0.shape, -1, jnp.int32)
+    live0 = sentry_ref[0, 0, 0] < BIG_F32 * 0.5
+    _, best_t, best_slot, _ = jax.lax.while_loop(
+        lambda c: c[3], body,
+        (jnp.asarray(0, jnp.int32), best_t0, best_slot0, live0))
+    out_t_ref[0] = best_t
+    out_slot_ref[0] = best_slot
+
+
+@functools.partial(jax.jit, static_argnames=("k2", "any_hit"))
+def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
+                          any_hit: bool = False):
+    """Two-level closest/any hit.  Same contract as pallas_tri_intersect."""
+    n = origin.shape[0]
+    assert n % TILE == 0, n
+    tiles = n // TILE
+    m1 = scene["pk_blk_lo"].shape[0]
+
+    ox, oy, oz = origin[:, 0], origin[:, 1], origin[:, 2]
+    dx, dy, dz = direction[:, 0], direction[:, 1], direction[:, 2]
+
+    def inv(c):
+        return 1.0 / jnp.where(jnp.abs(c) < 1e-32,
+                               jnp.where(c < 0, -1e-32, 1e-32), c)
+
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    t_min = jnp.full((n,), SHADOW_EPS)
+    order, sentry = _tile_order(scene["pk_blk_lo"], scene["pk_blk_hi"],
+                                ox, oy, oz, inv(dx), inv(dy), inv(dz),
+                                t_min, t_max)
+
+    ray_spec = pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    om_spec = pl.BlockSpec((1, 1, m1), lambda i: (i, 0, 0),
+                           memory_space=pltpu.SMEM)
+
+    kernel = functools.partial(_kernel2, k2=k2, n_l1=m1, any_hit=any_hit)
+    interpret = jax.default_backend() != "tpu"
+    out_t, out_slot = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=(tiles,),
+        in_specs=[om_spec, om_spec] + [ray_spec] * 7 + [
+            pl.BlockSpec(memory_space=pltpu.ANY),    # l2box rows in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY)],   # tri table in HBM
+        out_specs=[ray_spec, ray_spec],
+        out_shape=[jax.ShapeDtypeStruct((tiles, 1, TILE), jnp.float32),
+                   jax.ShapeDtypeStruct((tiles, 1, TILE), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((2, 16, k2), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.VMEM((8, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
+    )(order.reshape(tiles, 1, m1), sentry.reshape(tiles, 1, m1),
+      ox.reshape(tiles, 1, TILE), oy.reshape(tiles, 1, TILE),
+      oz.reshape(tiles, 1, TILE),
+      dx.reshape(tiles, 1, TILE), dy.reshape(tiles, 1, TILE),
+      dz.reshape(tiles, 1, TILE), t_max.reshape(tiles, 1, TILE),
+      scene["pk_l2box"], scene["pk_tri"])
+
+    t = out_t.reshape(n)
+    slot = out_slot.reshape(n)
+    valid = slot >= 0
+    tri = jnp.where(valid, scene["pk_slot2tri"][jnp.clip(slot, 0)], -1)
+    valid = valid & (tri >= 0)
+    return dict(t=jnp.where(valid, t, BIG_F32), tri=tri, valid=valid)

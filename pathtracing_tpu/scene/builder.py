@@ -582,9 +582,16 @@ class SceneBuilder:
                 accel = "beam"
         block_k = 0
         if accel == "pallas" and nt:
-            from ..accel.pallas_trace import build_tri_blocks
-            pk_arrays, block_k = build_tri_blocks(
-                np.asarray(self._tri["v"], np.float32))
+            if nt > 2_000_000:
+                # two-level kernel: keeps visited-block prim counts small
+                # at San-Miguel scale (single-level K grows with n/4096)
+                from ..accel.pallas_trace2 import build_tri_blocks2
+                pk_arrays, block_k = build_tri_blocks2(
+                    np.asarray(self._tri["v"], np.float32))
+            else:
+                from ..accel.pallas_trace import build_tri_blocks
+                pk_arrays, block_k = build_tri_blocks(
+                    np.asarray(self._tri["v"], np.float32))
             scene.update({k: jnp.asarray(v) for k, v in pk_arrays.items()})
         elif accel == "pallas":
             accel = "brute"

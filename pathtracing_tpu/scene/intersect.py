@@ -147,8 +147,13 @@ def _pallas_dispatch(scene, meta, origin, direction, t_max,
         tm = jnp.pad(tmax_s, (0, pad))         # t_max 0 => padded rays miss
     else:
         o, d, tm = origin_s, direction_s, tmax_s
-    hit = pallas_tri_intersect(scene, o, d, tm, meta.block_k,
-                               any_hit=any_hit)
+    if "pk_l2box" in scene:
+        from ..accel.pallas_trace2 import pallas_tri_intersect2
+        hit = pallas_tri_intersect2(scene, o, d, tm, meta.block_k,
+                                    any_hit=any_hit)
+    else:
+        hit = pallas_tri_intersect(scene, o, d, tm, meta.block_k,
+                                   any_hit=any_hit)
     t = hit["t"][:n]
     idx = hit["tri"][:n]
     valid = hit["valid"][:n]

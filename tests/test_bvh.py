@@ -273,3 +273,33 @@ def test_pallas_scene_end_to_end():
     img_b = np.asarray(render_image(scene_b, cam, meta_b, cfg))
     close = np.isclose(img_p, img_b, rtol=1e-4, atol=1e-5)
     assert close.mean() > 0.99
+
+
+def test_pallas_two_level_matches_brute():
+    """Two-level (San-Miguel-scale) kernel vs brute, interpret mode."""
+    from pathtracing_tpu.accel.pallas_trace2 import (build_tri_blocks2,
+                                                     pallas_tri_intersect2)
+    rng = np.random.default_rng(13)
+    n_tri = 3000
+    v0 = rng.uniform(-6, 6, (n_tri, 3)).astype(np.float32)
+    tri_v = np.stack([v0,
+                      v0 + rng.normal(0, .4, (n_tri, 3)).astype(np.float32),
+                      v0 + rng.normal(0, .4, (n_tri, 3)).astype(np.float32)],
+                     1)
+    arrays, K2 = build_tri_blocks2(tri_v)
+    pk = {k: jnp.asarray(v) for k, v in arrays.items()}
+    scene = dict(tri_v=jnp.asarray(tri_v),
+                 sph_c=jnp.zeros((1, 3)), sph_r=jnp.zeros((1,)),
+                 quad_q=jnp.zeros((1, 3)), quad_u=jnp.zeros((1, 3)),
+                 quad_v=jnp.zeros((1, 3)), quad_n=jnp.asarray([[0., 0, 1]]),
+                 quad_d=jnp.zeros((1,)), quad_w=jnp.zeros((1, 3)), **pk)
+    o, d = _rays(np.random.default_rng(14), n=256, spread=6.0)
+    t_max = jnp.full((256,), BIG_F32)
+    got = pallas_tri_intersect2(scene, o, d, t_max, K2)
+    ref = isect.intersect(scene, _BruteMeta(n_tri, 0, 0), o, d, t_max)
+    v = np.asarray(ref["valid"])
+    np.testing.assert_array_equal(np.asarray(got["valid"]), v)
+    np.testing.assert_allclose(np.asarray(got["t"])[v],
+                               np.asarray(ref["t"])[v], rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got["tri"])[v],
+                                  np.asarray(ref["idx"])[v])
