@@ -143,6 +143,12 @@ def train_step_sharded(scene, cam, meta, cfg: RenderConfig, target,
 
     Returns (new_params dict, loss scalar). Scene stays unmodified; callers
     merge params back with {**scene, **new_params}.
+
+    NOTE: with reconstruction filters wider than one pixel (Mitchell etc.)
+    samples splat into neighbor pixels, and pixels at shard borders miss
+    incoming spill from other devices, so per-pixel normalized images (and
+    the loss) differ slightly across device counts.  Use a box filter in
+    cfg for sharding-exact losses, or accept the border approximation.
     """
     mesh = mesh or make_mesh()
     cfg = RenderConfig(**{**cfg.__dict__, "differentiable": True})

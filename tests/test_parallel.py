@@ -55,10 +55,17 @@ def test_train_step_sharded_gradients_flow():
 
 
 def test_train_step_gradient_matches_unsharded():
-    """psum-all-reduced sharded grads == single-device grads."""
+    """psum-all-reduced sharded grads == single-device grads.
+
+    Uses the box filter: a wider reconstruction filter splats samples
+    into neighbor pixels, and pixels at shard borders lose incoming
+    spill from other devices' samples, so the per-pixel normalized
+    images (hence losses) legitimately differ slightly between device
+    counts.  With radius 0.5 the loss is sharding-exact."""
+    from pathtracing_tpu.core.filters import box
     scene, cam, meta = furnace(resolution=(8, 8))
     cfg = RenderConfig(spp=2, max_depth=2, rays_per_batch=64,
-                       differentiable=True)
+                       differentiable=True, filter=box())
     target = jnp.full((8, 8, 3), 0.25, jnp.float32)
     lr = 1.0
     p1, l1 = train_step_sharded(scene, cam, meta, cfg, target,
