@@ -21,8 +21,12 @@ from .path import RenderConfig, trace
 
 
 def _sample_wave(scene, cam, meta, cfg: RenderConfig, film, pixel_idx,
-                 sample_idx):
-    """Trace one sample for a batch of pixels and splat into the film."""
+                 sample_idx, rows: int | None = None, row0=None):
+    """Trace one sample for a batch of pixels and splat into the film.
+
+    When the batch covers whole image rows [row0, row0+rows) in row-major
+    order (rows static, row0 may be traced), the splat takes the dense
+    row-tile path (film.splat_rows) instead of scatter-adds."""
     w, h = cam["resolution"]
     px = pixel_idx % w
     py = pixel_idx // w
@@ -36,22 +40,27 @@ def _sample_wave(scene, cam, meta, cfg: RenderConfig, film, pixel_idx,
     color = trace(scene, cam, meta, cfg, origin, direction, time,
                   px, py, sample_idx)
     color = jnp.where(jnp.isfinite(color), color, 0.0)   # NaN guard
+    if rows is not None:
+        return filmmod.splat_rows(film, cfg.filter, cam["resolution"],
+                                  row0, rows, p, color)
     # out-of-range pixels (padding) splat out of bounds and are dropped
     p = jnp.where((pixel_idx < w * h)[:, None], p,
                   jnp.full_like(p, -1e6))
     return filmmod.splat(film, cfg.filter, cam["resolution"], p, color)
 
 
-@partial(jax.jit, static_argnames=("meta", "cfg", "n_samples"))
+@partial(jax.jit, static_argnames=("meta", "cfg", "n_samples", "rows"))
 def render_tile(scene, cam, meta, cfg: RenderConfig, film, pixel_idx,
-                n_samples: int, sample_offset=0):
+                n_samples: int, sample_offset=0, rows: int | None = None,
+                row0=None):
     """Scan `n_samples` sample waves for one pixel batch.
-    `sample_offset` is traced, so resuming a render reuses the compile."""
+    `sample_offset` is traced, so resuming a render reuses the compile.
+    rows/row0: see _sample_wave (dense row-tile splat)."""
     offset = jnp.asarray(sample_offset, jnp.uint32)
 
     def body(film, s_idx):
         return _sample_wave(scene, cam, meta, cfg, film, pixel_idx,
-                            s_idx + offset), None
+                            s_idx + offset, rows=rows, row0=row0), None
 
     film, _ = jax.lax.scan(body, film,
                            jnp.arange(n_samples, dtype=jnp.uint32))
@@ -64,15 +73,20 @@ def render(scene, cam, meta, cfg: RenderConfig, film=None, spp=None,
     w, h = cam["resolution"]
     npix = w * h
     spp = cfg.spp if spp is None else spp
-    batch = min(cfg.rays_per_batch, npix)
-    n_tiles = -(-npix // batch)
+    # row-aligned batches take the dense (scatter-free) film splat
+    rows_per = max(1, min(cfg.rays_per_batch, npix) // w)
+    batch = rows_per * w
+    n_tiles = -(-h // rows_per)
     if film is None:
         film = filmmod.new_film(cam["resolution"])
     for t in range(n_tiles):
-        pixel_idx = jnp.arange(t * batch, (t + 1) * batch,
+        row0 = t * rows_per
+        rows = min(rows_per, h - row0)
+        pixel_idx = jnp.arange(row0 * w, (row0 + rows) * w,
                                dtype=jnp.int32)
         film = render_tile(scene, cam, meta, cfg, film, pixel_idx, spp,
-                           sample_offset)
+                           sample_offset, rows=rows,
+                           row0=jnp.asarray(row0, jnp.int32))
         if progress:
             progress(t + 1, n_tiles)
     return film

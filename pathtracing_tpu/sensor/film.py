@@ -9,6 +9,7 @@ renders are bit-reproducible (no atomics).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core.filters import FilterConfig, filter_weight, filter_integral
@@ -40,12 +41,61 @@ def splat(film, cfg: FilterConfig, resolution, p, color):
             fw = filter_weight(cfg, sample_pos) * inv_integral
             px = pixel[..., 0] + dx
             py = pixel[..., 1] + dy
-            inb = (px >= 0) & (px < w) & (py >= 0) & (py < h) & (fw > 0)
+            # bounds only: Mitchell/Lanczos have NEGATIVE lobes that are
+            # part of the reconstruction (FilmTile::Add adds them too)
+            inb = (px >= 0) & (px < w) & (py >= 0) & (py < h)
             idx = jnp.where(inb, py * w + px, h * w)  # h*w = dropped
             fw = jnp.where(inb, fw, 0.0)
             rgb = rgb.at[idx].add(color * fw[..., None], mode="drop")
             wgt = wgt.at[idx].add(fw, mode="drop")
     return dict(rgb=rgb, weight=wgt)
+
+
+def splat_rows(film, cfg: FilterConfig, resolution, row0, rows: int, p,
+               color):
+    """FilmTile::Add + Film::Merge as dense ops (Film.hpp:65-82,125-132).
+
+    When a sample batch covers whole image rows [row0, row0+rows) in
+    row-major order, every (dx, dy) filter tap is a STATIC slice add into
+    a padded row-tile, and the merge is one dynamic_update_slice — no
+    scatter at all (XLA scatters cost ~35ms per 64K-sample wave on v5e;
+    this path measures ~2ms).  row0 may be traced; rows is static.
+    jitter keeps each sample inside its own pixel so the tap offsets are
+    exact."""
+    # static dims from array shapes (resolution entries may be traced
+    # inside jit when cam rides along as an argument pytree)
+    w = p.shape[0] // rows
+    h = film["rgb"].shape[0] // w
+    rx, ry = cfg.pixel_radius
+    inv_integral = 1.0 / filter_integral(cfg)
+    frac = (p - jnp.floor(p)).reshape(rows, w, 2)
+    color = color.reshape(rows, w, 3)
+
+    acc = jnp.zeros((rows + 2 * ry, w + 2 * rx, 4), jnp.float32)
+    for dy in range(-ry, ry + 1):
+        for dx in range(-rx, rx + 1):
+            offset = jnp.asarray([dx, dy], jnp.float32)
+            fw = filter_weight(cfg, offset + 0.5 - frac) * inv_integral
+            contrib = jnp.concatenate([color * fw[..., None],
+                                       fw[..., None]], -1)
+            acc = jax.lax.dynamic_update_slice(
+                acc, jax.lax.dynamic_slice(
+                    acc, (dy + ry, dx + rx, 0), (rows, w, 4)) + contrib,
+                (dy + ry, dx + rx, 0))
+    # crop x-padding (splats past the image border are dropped, matching
+    # the scatter path); merge the y-extended region into a y-padded image
+    # (padding rows absorb border spill, then get cropped)
+    acc = acc[:, rx:rx + w, :]
+    img = jnp.concatenate([film["rgb"], film["weight"][:, None]],
+                          -1).reshape(h, w, 4)
+    ext = rows + 2 * ry
+    img_pad = jnp.pad(img, ((ry, ry), (0, 0), (0, 0)))
+    region = jax.lax.dynamic_slice(img_pad, (row0, 0, 0), (ext, w, 4))
+    img_pad = jax.lax.dynamic_update_slice(img_pad, region + acc,
+                                           (row0, 0, 0))
+    img = img_pad[ry:ry + h]
+    return dict(rgb=img[..., :3].reshape(h * w, 3),
+                weight=img[..., 3].reshape(h * w))
 
 
 def finalize(film):

@@ -132,10 +132,12 @@ def test_scene_builder_accel_end_to_end():
     # traversal backends may break exact-t ties differently (e.g. a ray
     # grazing the sphere/floor contact) — a handful of pixels may diverge
     # deterministically; everything else must match to float tolerance.
+    # Mitchell's 4x4 footprint spreads each tie-divergent sample over 16
+    # pixels, so the matching fraction is looser than the per-sample rate
     for k in ("bvh", "beam"):
         close = np.isclose(imgs[k], imgs["brute"], rtol=1e-4, atol=1e-5)
         frac = close.mean()
-        assert frac > 0.99, f"{k}: only {frac:.4f} of pixels match"
+        assert frac > 0.95, f"{k}: only {frac:.4f} of pixels match"
         assert np.abs(imgs[k] - imgs["brute"]).max() < 0.05
 
 
