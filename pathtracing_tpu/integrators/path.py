@@ -329,9 +329,31 @@ def trace(scene, cam, meta, cfg: RenderConfig, origin, direction, time,
                                             tput * mle, 0.0)
             new_dir_med, _ = hg_sample(d, g_lanes, uv_phase)
 
-        # ---- surface scatter
+        # ---- alpha transparency (Material.hpp:330-353): a failed
+        # stochastic-blend or mask test means the ray passes through the
+        # surface as if it weren't there (handled below like a
+        # material-less boundary)
         boundary = surf & (it["mat_id"] < 0)
         can_scatter = surf & (it["mat_id"] >= 0)
+        if meta.has_alpha:
+            mid_a = jnp.clip(it["mat_id"], 0, scene["mat_type"].shape[0] - 1)
+            mode_a = scene["mat_alpha_mode"][mid_a]
+            cutoff_a = scene["mat_alpha_cutoff"][mid_a]
+            atex = scene["mat_tex"][mid_a, 4]
+            btex = scene["mat_tex"][mid_a, 0]
+            from ..scene.textures import texture_alpha
+            a_val = texture_alpha(scene, jnp.where(atex >= 0, atex, btex),
+                                  it["uv"])
+            a_val = jnp.where(atex >= 0,
+                              texture_eval(scene, atex, it["uv"])[:, 0],
+                              a_val)
+            u_alpha = sample_1d(s, px, py, sample_idx, dim(b, _D_ALPHA))
+            solid = jnp.where(mode_a == 1, u_alpha < a_val,      # BLEND
+                              jnp.where(mode_a == 2,
+                                        a_val > cutoff_a, True))  # MASK
+            see_through = can_scatter & ~solid
+            boundary = boundary | see_through
+            can_scatter = can_scatter & solid
         wi, f, pdf, flags, bvalid, new_origin = bsdf_sample(
             mat, d, it, u_scatter, uv_scatter,
             present=getattr(meta, "mats_present", (1, 1, 1, 1)))
