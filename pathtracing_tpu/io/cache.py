@@ -47,5 +47,11 @@ def load_scene(path):
     cam = {k.split("/", 1)[1]: jnp.asarray(z[k])
            for k in z.files if k.startswith("cam/")}
     cam["resolution"] = tuple(header["resolution"])
-    meta = SceneMeta(**header["meta"])
+    meta_kw = header["meta"]
+    # json round-trips tuples as lists; SceneMeta must stay hashable
+    # (it rides as a jit static argument)
+    for k, v in meta_kw.items():
+        if isinstance(v, list):
+            meta_kw[k] = tuple(v)
+    meta = SceneMeta(**meta_kw)
     return scene, cam, meta

@@ -145,3 +145,14 @@ def test_scene_cache_roundtrip(tmp_path):
     img1 = np.asarray(render_image(scene, cam, meta, cfg))
     img2 = np.asarray(render_image(scene2, cam2, meta2, cfg))
     np.testing.assert_array_equal(img1, img2)
+
+
+def test_scene_cache_meta_hashable(tmp_path):
+    """Loaded SceneMeta must stay hashable (it's a jit static arg) —
+    json round-trips tuples as lists."""
+    from pathtracing_tpu import scenes
+    scene, cam, meta = scenes.furnace(resolution=(8, 8))
+    save_scene(tmp_path / "f.npz", scene, cam, meta)
+    _, _, meta2 = load_scene(tmp_path / "f.npz")
+    assert hash(meta2) == hash(meta)
+    assert meta2 == meta
