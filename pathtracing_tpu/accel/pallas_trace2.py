@@ -152,10 +152,12 @@ def _kernel2(order_ref, sentry_ref, ox_ref, oy_ref, oz_ref,
         dma_boxes(b1).start()
         dma_boxes(b1).wait()
 
-        best = (best_t, best_slot)
+        # per-child slab tests over the tile rays (static indices into the
+        # DMA'd box row -> plain scalar reads); cull vs the tile's current
+        # worst hit so converged tiles fetch nothing
+        worst = jnp.max(best_t)
+        enters = []
         for g in range(G):
-            # per-child slab test over the tile rays (static indices into
-            # the DMA'd box row -> plain scalar reads)
             lox, loy, loz = (box_scratch[0, g], box_scratch[1, g],
                              box_scratch[2, g])
             hix, hiy, hiz = (box_scratch[3, g], box_scratch[4, g],
@@ -171,18 +173,26 @@ def _kernel2(order_ref, sentry_ref, ox_ref, oy_ref, oz_ref,
                 jnp.maximum(jnp.minimum(u0z, u1z), t_min))
             tf = jnp.minimum(
                 jnp.minimum(jnp.maximum(u0x, u1x), jnp.maximum(u0y, u1y)),
-                jnp.minimum(jnp.maximum(u0z, u1z), best[0]))
-            hit_g = jnp.any((tn <= tf).astype(jnp.int32) > 0)
+                jnp.minimum(jnp.maximum(u0z, u1z), best_t))
+            enters.append(jnp.any((tn <= tf).astype(jnp.int32) > 0))
+
+        # start every entered child's DMA up front (one slot each) so all
+        # fetches are in flight while the first block is tested
+        for g in range(G):
+            @pl.when(enters[g])
+            def _(g=g):
+                dma(g, b1 * G + g).start()
+
+        best = (best_t, best_slot)
+        for g in range(G):
             b2 = b1 * G + g
 
             def do(best=best, b2=b2, g=g):
-                slot = g % 2
-                dma(slot, b2).start()
-                dma(slot, b2).wait()
-                return test_l2(best, b2, slot)
+                dma(g, b2).wait()
+                return test_l2(best, b2, g)
 
             # lax.cond so the skip saves real work (pl.when can't return)
-            best = jax.lax.cond(hit_g, do, lambda best=best: best)
+            best = jax.lax.cond(enters[g], do, lambda best=best: best)
         best_t, best_slot = best
 
         j = j + 1
@@ -244,8 +254,8 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
         out_specs=[ray_spec, ray_spec],
         out_shape=[jax.ShapeDtypeStruct((tiles, 1, TILE), jnp.float32),
                    jax.ShapeDtypeStruct((tiles, 1, TILE), jnp.int32)],
-        scratch_shapes=[pltpu.VMEM((2, 16, k2), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,)),
+        scratch_shapes=[pltpu.VMEM((G, 16, k2), jnp.float32),
+                        pltpu.SemaphoreType.DMA((G,)),
                         pltpu.VMEM((8, 128), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
     )(order.reshape(tiles, 1, m1), sentry.reshape(tiles, 1, m1),
