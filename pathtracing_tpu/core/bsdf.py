@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from .math import (INV_PI, SHADOW_EPS, vdot, vdot_k, normalize,
                    safe_normalize, safe_denom, onb_from_normal,
                    onb_from_interaction, to_local, to_world, reflect,
-                   refract, cosine_sample_hemisphere)
+                   refract, cosine_sample_hemisphere, offset_ray)
 
 MAT_DIFFUSE = 0
 MAT_DIELECTRIC = 1
@@ -274,8 +274,8 @@ def _dielectric_sample(mat, ray_dir, it, u, uv2):
     refr_tir = vdot(dir_refr_s, dir_refr_s) == 0.0
     dir_smooth = jnp.where(refl_s[..., None], dir_refl_s, dir_refr_s)
     origin_smooth = jnp.where(refl_s[..., None],
-                              p_raw + SHADOW_EPS * ng_facing,
-                              p_raw - SHADOW_EPS * ng_facing)
+                              offset_ray(p_raw, ng_facing),
+                              offset_ray(p_raw, -ng_facing))
     denom_s = jnp.maximum(jnp.abs(vdot(ns, dir_smooth)), 1e-18)
     fval_smooth = base * (jnp.where(refl_s, r_s, 1.0 - r_s)
                           / denom_s)[..., None]
@@ -322,8 +322,8 @@ def _dielectric_sample(mat, ray_dir, it, u, uv2):
     wi_rough = jnp.where(refl_r[..., None], wi_refl, wi_refr)
     dir_rough = to_world(t, b, n, wi_rough)
     origin_rough = jnp.where(refl_r[..., None],
-                             p_raw + SHADOW_EPS * ng_facing,
-                             p_raw - SHADOW_EPS * ng_facing)
+                             offset_ray(p_raw, ng_facing),
+                             offset_ray(p_raw, -ng_facing))
     fval_rough = jnp.where(refl_r[..., None], f_refl, f_refr)
     pdf_rough = jnp.where(refl_r, pdf_refl, pdf_refr)
     valid_rough = jnp.where(refl_r, valid_refl, valid_refr)
@@ -415,8 +415,8 @@ def _thin_sample(mat, ray_dir, it, u, uv2):
     dir_pass = ray_dir
     wi_world = jnp.where(take_refl[..., None], dir_refl, dir_pass)
     origin = jnp.where(take_refl[..., None],
-                       it["p_raw"] + SHADOW_EPS * ng_facing,
-                       it["p_raw"] - SHADOW_EPS * ng_facing)
+                       offset_ray(it["p_raw"], ng_facing),
+                       offset_ray(it["p_raw"], -ng_facing))
     denom = jnp.maximum(jnp.abs(vdot(ns, wi_world)), 1e-18)
     amount = jnp.where(take_refl, r_adj, t_adj)
     f = mat["base_color"] * (amount / denom)[..., None]

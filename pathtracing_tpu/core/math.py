@@ -7,6 +7,7 @@ Texture.hpp:13-24).  Everything here operates on arrays with a trailing
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 INV_PI = 1.0 / jnp.pi
@@ -73,6 +74,26 @@ def length(v):
 
 def distance(a, b):
     return length(a - b)
+
+
+def offset_ray(p, n):
+    """Robust ray-origin offset along the (geometric) normal.
+
+    The reference offsets hit points by an absolute shadowEpsilon=1e-5
+    (AABB.hpp:6) which falls below the f32 ULP at scene scales of a few
+    hundred units and produces shadow acne (measured: ring-shaped acne on
+    the 555-unit Cornell walls).  This is the integer-ULP offset of Ray
+    Tracing Gems ch.6 ("A Fast and Robust Method for Avoiding
+    Self-Intersection"): scale-invariant, a few ULPs at any magnitude."""
+    int_scale = jnp.float32(256.0)
+    float_scale = jnp.float32(1.0 / 65536.0)
+    origin_bound = jnp.float32(1.0 / 32.0)
+    of_i = (int_scale * n).astype(jnp.int32)
+    p_i = jax.lax.bitcast_convert_type(p, jnp.int32)
+    p_adj = jax.lax.bitcast_convert_type(
+        jnp.where(p < 0.0, p_i - of_i, p_i + of_i), jnp.float32)
+    return jnp.where(jnp.abs(p) < origin_bound,
+                     p + float_scale * n, p_adj)
 
 
 def reflect(i, n):

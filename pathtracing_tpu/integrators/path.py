@@ -19,7 +19,8 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from ..core.math import vdot, vdot_k, safe_normalize, BIG_F32, SHADOW_EPS
+from ..core.math import (vdot, vdot_k, safe_normalize, BIG_F32,
+                         SHADOW_EPS, offset_ray)
 from ..core import rng as rngmod
 from ..core.rng import SamplerConfig, sample_1d, sample_2d
 from ..core.bsdf import (bsdf_sample, bsdf_eval_pdf, material_lanes,
@@ -124,7 +125,12 @@ def transmittance(scene, meta, origin, direction, dist, medium, active,
         # medium switch at the boundary (Interaction.hpp:26-29)
         new_med = jnp.where(vdot(direction, it["n"]) < 0.0, it["med_id"], -1)
         med = jnp.where(go_on, new_med, med)
-        o = jnp.where(go_on[:, None], o + h["t"][:, None] * direction, o)
+        # advance PAST the boundary with a scale-robust offset (an
+        # absolute epsilon is sub-ULP at large scene scales and re-hits
+        # the same boundary forever)
+        n_fwd = jnp.where(vdot_k(direction, it["n"]) > 0, it["n"],
+                          -it["n"])
+        o = jnp.where(go_on[:, None], offset_ray(it["p_raw"], n_fwd), o)
         rem = jnp.where(go_on, rem - h["t"], rem)
         live = go_on & (rem > 0)
         return o, rem, med, tr, blocked, live, i + 1

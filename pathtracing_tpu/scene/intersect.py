@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from ..core.math import (SHADOW_EPS, BIG_F32, vdot, vdot_k, safe_normalize,
                          sphere_uv, onb_from_normal, onb_from_interaction,
-                         to_world)
+                         to_world, offset_ray)
 from .types import SHAPE_TRI, SHAPE_SPH, SHAPE_QUAD, ALPHA_OPAQUE, \
     ALPHA_BLEND, ALPHA_MASK
 from .textures import texture_eval, texture_alpha
@@ -354,7 +354,7 @@ def make_interaction(scene, meta, origin, direction, hit, time=None):
     # fallback tangent: reference uses normalize(cross(up, ns))
     # (Shape.cpp:239-240) == onb axis[1]
     off_sign = jnp.where(vdot_k(direction, ng_t) > 0, -1.0, 1.0)
-    p_t = p_raw + SHADOW_EPS * ng_t * off_sign
+    p_t = offset_ray(p_raw, ng_t * off_sign)
 
     # --- sphere
     si = jnp.clip(idx, 0, scene["sph_c"].shape[0] - 1)
@@ -363,7 +363,7 @@ def make_interaction(scene, meta, origin, direction, hit, time=None):
         sc = sc + scene["sph_vel"][si] * time[:, None]
     sprop = scene["sph_prop"][si]
     ns_s = safe_normalize(p_raw - sc)
-    p_s = p_raw + SHADOW_EPS * ns_s
+    p_s = offset_ray(p_raw, ns_s)
     uv_s = sphere_uv(ns_s)
     tan_s = safe_normalize(jnp.cross(
         jnp.where((jnp.abs(ns_s[..., 0:1]) > 0.9999),
@@ -387,7 +387,7 @@ def make_interaction(scene, meta, origin, direction, hit, time=None):
         jnp.where((jnp.abs(ns_q[..., 0:1]) > 0.9999),
                   jnp.asarray([0.0, 1.0, 0.0]),
                   jnp.asarray([1.0, 0.0, 0.0])), ns_q))
-    p_q = p_raw + SHADOW_EPS * ns_q
+    p_q = offset_ray(p_raw, ns_q)
 
     is_t = (kind == SHAPE_TRI)[:, None]
     is_s = (kind == SHAPE_SPH)[:, None]
@@ -513,9 +513,12 @@ def occluded(scene, meta, origin, direction, t_max, rand_key=None,
         done_clear = ~h["valid"]
         occ = jnp.where(live & newly_occ, True, occ)
         live_next = live & h["valid"] & ~solid
-        adv = h["t"] + SHADOW_EPS
-        o = jnp.where(live_next[:, None], o + adv[:, None] * direction, o)
-        t_rem = jnp.where(live_next, t_rem - adv, t_rem)
+        # scale-robust advance past the transparent surface
+        n_fwd = jnp.where(vdot_k(direction, inter["n"]) > 0, inter["n"],
+                          -inter["n"])
+        o = jnp.where(live_next[:, None],
+                      offset_ray(inter["p_raw"], n_fwd), o)
+        t_rem = jnp.where(live_next, t_rem - h["t"], t_rem)
         del done_clear
         return o, t_rem, occ, live_next, it_ + 1
 
