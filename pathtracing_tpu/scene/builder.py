@@ -248,19 +248,73 @@ class SceneBuilder:
                                  em_tex=em_tex))
         return len(self._models) - 1
 
-    def add_model_instance(self, model_id: int, transform=None):
+    def add_model_instance(self, model_id: int, transform=None,
+                           runtime: bool = False):
         """TransformedPrimitive instancing (Primitive.hpp:34-48).
 
-        Geometry is re-emitted in world space per instance (object-space
-        traversal with shared BLASes is a planned optimisation; the
-        capability — many placed copies of a cached model — matches)."""
-        m = self._models[model_id]
-        return self.add_mesh(m["vertices"], m["indices"],
-                             normals=m["normals"], uvs=m["uvs"],
-                             tangents=m["tangents"],
-                             material=m["material"], medium=m["medium"],
-                             emission=m["emission"], em_tex=m["em_tex"],
-                             transform=transform)
+        runtime=False (default): geometry is re-emitted in world space —
+        cheap to trace (any accel backend), memory O(instances x tris).
+
+        runtime=True: the model's object-space geometry is stored ONCE and
+        rays are inverse-transformed per instance at trace time (the
+        reference's mechanism, Primitive.cpp:41-66) — memory O(tris), but
+        pins the dense accel backend and emissive surfaces are ignored
+        (per-instance area-light tables are future work)."""
+        if not runtime:
+            m = self._models[model_id]
+            return self.add_mesh(m["vertices"], m["indices"],
+                                 normals=m["normals"], uvs=m["uvs"],
+                                 tangents=m["tangents"],
+                                 material=m["material"], medium=m["medium"],
+                                 emission=m["emission"], em_tex=m["em_tex"],
+                                 transform=transform)
+        if not hasattr(self, "_obj"):
+            self._obj = dict(v=[], n=[], uv=[], tan=[], prop=[],
+                             model_range={})
+            self._inst = []
+        if model_id not in self._obj["model_range"]:
+            # register the object-space geometry once
+            m = self._models[model_id]
+            vertices = np.asarray(m["vertices"], np.float32).reshape(-1, 3)
+            indices = np.asarray(m["indices"], np.int32).reshape(-1, 3)
+            normals = m["normals"]
+            if normals is None:
+                e1 = vertices[indices[:, 1]] - vertices[indices[:, 0]]
+                e2 = vertices[indices[:, 2]] - vertices[indices[:, 0]]
+                fn = np.cross(e1, e2)
+                fn /= np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True),
+                                 1e-20)
+                normals = np.zeros_like(vertices)
+                for k in range(3):
+                    np.add.at(normals, indices[:, k], fn)
+                normals /= np.maximum(
+                    np.linalg.norm(normals, axis=-1, keepdims=True), 1e-20)
+            else:
+                normals = np.asarray(normals, np.float32).reshape(-1, 3)
+            uvs = (np.asarray(m["uvs"], np.float32).reshape(-1, 2)
+                   if m["uvs"] is not None
+                   else np.zeros((len(vertices), 2), np.float32))
+            has_tan = m["tangents"] is not None
+            tans = (np.asarray(m["tangents"], np.float32).reshape(-1, 3)
+                    if has_tan else np.zeros_like(vertices))
+            first = len(self._obj["v"])
+            for (i0, i1, i2) in indices:
+                self._obj["v"].append(vertices[[i0, i1, i2]])
+                self._obj["n"].append(normals[[i0, i1, i2]])
+                self._obj["uv"].append(uvs[[i0, i1, i2]])
+                self._obj["tan"].append(tans[[i0, i1, i2]])
+                self._obj["prop"].append([m["material"], -1, m["medium"],
+                                          1 if has_tan else 0])
+            self._obj["model_range"][model_id] = (first, len(indices))
+        base, count = self._obj["model_range"][model_id]
+        tf = np.eye(4, dtype=np.float32) if transform is None \
+            else np.asarray(transform, np.float32)
+        inv = np.linalg.inv(tf)
+        self._inst.append(dict(
+            fwd=tf[:3, :4], inv=inv[:3, :4],
+            nrm=np.linalg.inv(tf[:3, :3]).T.astype(np.float32),
+            base=base, count=count))
+        return len(self._inst) - 1
 
     def add_env_light_from_file(self, path, scale: float = 1.0):
         """TextureInfiniteLight from an image file: .hdr via the Radiance
@@ -341,6 +395,17 @@ class SceneBuilder:
             u = np.asarray(self._quad["u"])
             v = np.asarray(self._quad["v"])
             pts += [q, q + u, q + v, q + u + v]
+        for inst in getattr(self, "_inst", []):
+            ov = np.asarray(self._obj["v"][inst["base"]:
+                                           inst["base"] + inst["count"]])
+            if len(ov):
+                lo_o = ov.reshape(-1, 3).min(0)
+                hi_o = ov.reshape(-1, 3).max(0)
+                corners = np.array([[x, y, z] for x in (lo_o[0], hi_o[0])
+                                    for y in (lo_o[1], hi_o[1])
+                                    for z in (lo_o[2], hi_o[2])])
+                wc = corners @ inst["fwd"][:, :3].T + inst["fwd"][:, 3]
+                pts += [wc]
         if not pts:
             return np.zeros(3), np.ones(3)
         allp = np.concatenate(pts, 0)
@@ -421,6 +486,8 @@ class SceneBuilder:
         (Scene::BuildTlas analog, Scene.hpp:20-24).
         """
         tex = self.textures.pack()
+        n_inst = len(getattr(self, "_inst", []))
+        n_obj_tri = len(self._obj["v"]) if n_inst else 0
 
         lo, hi = self._scene_bounds()
         center = 0.5 * (lo + hi)
@@ -549,6 +616,26 @@ class SceneBuilder:
             **tex,
         )
         scene["med_sigma_t"] = scene["med_sigma_a"] + scene["med_sigma_s"]
+        if n_inst:
+            scene.update(
+                otri_v=jnp.asarray(np.asarray(self._obj["v"], np.float32)),
+                otri_n=jnp.asarray(np.asarray(self._obj["n"], np.float32)),
+                otri_uv=jnp.asarray(np.asarray(self._obj["uv"],
+                                               np.float32)),
+                otri_tan=jnp.asarray(np.asarray(self._obj["tan"],
+                                                np.float32)),
+                otri_prop=jnp.asarray(np.asarray(self._obj["prop"],
+                                                 np.int32)),
+                inst_fwd=jnp.asarray(np.stack([i["fwd"]
+                                               for i in self._inst])),
+                inst_inv=jnp.asarray(np.stack([i["inv"]
+                                               for i in self._inst])),
+                inst_nrm=jnp.asarray(np.stack([i["nrm"]
+                                               for i in self._inst])),
+                inst_base=jnp.asarray(np.asarray(
+                    [i["base"] for i in self._inst], np.int32)),
+                inst_count=jnp.asarray(np.asarray(
+                    [i["count"] for i in self._inst], np.int32)))
         if env_tables:
             scene.update(env_tables)
         else:
@@ -567,8 +654,8 @@ class SceneBuilder:
             for tbl in (self._tri, self._sph, self._quad)
             for v in tbl["vel"])
         n_prims = nt + ns + nq
-        if has_motion:
-            accel = "brute"   # traversal accels assume static bounds
+        if has_motion or n_inst:
+            accel = "brute"   # traversal accels assume static world prims
         if accel == "auto":
             # dense whole-scene scan beats any traversal below ~4K prims
             # (measured on v5e; the [N, n_prims] test is one fused VPU op);
@@ -619,7 +706,7 @@ class SceneBuilder:
             camera_medium=(self.camera or {}).get("medium", -1),
             has_alpha=has_alpha, light_sampler=self.light_sampler,
             accel=accel, block_k=block_k, has_motion=has_motion,
-            mats_present=mats_present)
+            mats_present=mats_present, n_inst=n_inst, n_obj_tri=n_obj_tri)
 
         cam = self._pack_camera()
         return scene, cam, meta

@@ -15,8 +15,8 @@ import jax.numpy as jnp
 from ..core.math import (SHADOW_EPS, BIG_F32, vdot, vdot_k, safe_normalize,
                          sphere_uv, onb_from_normal, onb_from_interaction,
                          to_world, offset_ray)
-from .types import SHAPE_TRI, SHAPE_SPH, SHAPE_QUAD, ALPHA_OPAQUE, \
-    ALPHA_BLEND, ALPHA_MASK
+from .types import SHAPE_TRI, SHAPE_SPH, SHAPE_QUAD, SHAPE_ITRI, \
+    ALPHA_OPAQUE, ALPHA_BLEND, ALPHA_MASK
 from .textures import texture_eval, texture_alpha
 from ..core.rng import hash_u32, uniform_from_u32
 
@@ -294,6 +294,38 @@ def intersect(scene, meta, origin, direction, t_max, time=None):
                            ).reshape(nch, c, 3),)
         state, _ = jax.lax.scan(body, state, xs)
 
+    if getattr(meta, "n_inst", 0):
+        # runtime instances (TransformedPrimitive, Primitive.cpp:41-66):
+        # inverse-transform the rays per instance, test the shared
+        # object-space triangles with the direction UNNORMALIZED so t is
+        # preserved in world parameterisation
+        for i in range(meta.n_inst):
+            inv = scene["inst_inv"][i]                       # [3,4]
+            o_l = origin @ inv[:, :3].T + inv[:, 3]
+            d_l = direction @ inv[:, :3].T
+            base = scene["inst_base"][i]
+            count = scene["inst_count"][i]
+            c, nch = _chunks(meta.n_obj_tri)
+            pad = c * nch
+            v = jnp.pad(scene["otri_v"],
+                        ((0, pad - scene["otri_v"].shape[0]),
+                         (0, 0), (0, 0)))
+            vr = v.reshape(nch, c, 3, 3)
+            gidx = jnp.arange(pad).reshape(nch, c)
+            in_range = (gidx >= base) & (gidx < base + count) \
+                & (gidx < meta.n_obj_tri)
+
+            def body(st, xs, o_l=o_l, d_l=d_l, i=i):
+                tv, mask, j = xs
+                t, valid = _tri_hits(o_l, d_l, tv[:, 0], tv[:, 1],
+                                     tv[:, 2])
+                valid = valid & mask[None, :]
+                return fold(st, t, valid, SHAPE_ITRI,
+                            i * meta.n_obj_tri + j * c, j), None
+
+            state, _ = jax.lax.scan(body, state,
+                                    (vr, in_range, jnp.arange(nch)))
+
     best_t, best_kind, best_idx = state
     valid = best_kind >= 0
     return dict(t=best_t, kind=best_kind, idx=best_idx, valid=valid)
@@ -324,10 +356,43 @@ def make_interaction(scene, meta, origin, direction, hit, time=None):
     tv = scene["tri_v"][ti]                     # [N,3,3]
     if motion:
         tv = tv + (scene["tri_vel"][ti] * time[:, None])[:, None, :]
-    tn = scene["tri_n"][ti]
-    tuv = scene["tri_uv"][ti]
-    ttan = scene["tri_tan"][ti]
-    tprop = scene["tri_prop"][ti]
+    tn_g = scene["tri_n"]
+    tuv_g = scene["tri_uv"]
+    ttan_g = scene["tri_tan"]
+    tprop_g = scene["tri_prop"]
+    if getattr(meta, "n_inst", 0):
+        # instanced-triangle hits: gather object-space data and transform
+        # to world, then run the standard triangle math (kind folded to
+        # TRI below).  TransformedPrimitive back-transform,
+        # Primitive.cpp:47-66.
+        is_itri = kind == SHAPE_ITRI
+        iid = jnp.clip(idx // meta.n_obj_tri, 0,
+                       scene["inst_fwd"].shape[0] - 1)
+        oid = jnp.clip(idx % meta.n_obj_tri, 0,
+                       scene["otri_v"].shape[0] - 1)
+        fwd = scene["inst_fwd"][iid]            # [N,3,4]
+        nrm = scene["inst_nrm"][iid]            # [N,3,3]
+        ov = scene["otri_v"][oid]               # [N,3,3]
+        ov_w = jnp.einsum("nij,nkj->nki", fwd[:, :, :3], ov) \
+            + fwd[:, None, :, 3]
+        on = scene["otri_n"][oid]
+        on_w = safe_normalize(jnp.einsum("nij,nkj->nki", nrm, on))
+        otan = scene["otri_tan"][oid]
+        otan_w = jnp.einsum("nij,nkj->nki", fwd[:, :, :3], otan)
+        m3 = is_itri[:, None, None]
+        tv = jnp.where(m3, ov_w, tv)
+        tn = jnp.where(m3, on_w, tn_g[ti])
+        tuv = jnp.where(is_itri[:, None, None], scene["otri_uv"][oid],
+                        tuv_g[ti])
+        ttan = jnp.where(m3, otan_w, ttan_g[ti])
+        tprop = jnp.where(is_itri[:, None], scene["otri_prop"][oid],
+                          tprop_g[ti])
+        kind = jnp.where(is_itri, SHAPE_TRI, kind)
+    if not getattr(meta, "n_inst", 0):
+        tn = tn_g[ti]
+        tuv = tuv_g[ti]
+        ttan = ttan_g[ti]
+        tprop = tprop_g[ti]
     e1 = tv[:, 1] - tv[:, 0]
     e2 = tv[:, 2] - tv[:, 0]
     # recompute barycentrics at the hit point (cheaper than storing them)

@@ -40,6 +40,7 @@ LIGHT_AREA = 4
 SHAPE_TRI = 0
 SHAPE_SPH = 1
 SHAPE_QUAD = 2
+SHAPE_ITRI = 3   # instanced triangle (runtime object-space transform)
 
 ALPHA_OPAQUE = 0
 ALPHA_BLEND = 1
@@ -64,4 +65,6 @@ class SceneMeta:
     accel: str = "beam"  # "pallas" | "beam" | "bvh" | "brute"
     block_k: int = 0            # beam/pallas prims-per-block (static)
     has_motion: bool = False    # any primitive with nonzero velocity
+    n_inst: int = 0             # runtime instances (TransformedPrimitive)
+    n_obj_tri: int = 0          # object-space triangle count
     mats_present: tuple = (True, True, True, True)  # diffuse/diel/thin/cond
