@@ -301,8 +301,11 @@ def intersect(scene, meta, origin, direction, t_max, time=None):
         # preserved in world parameterisation
         for i in range(meta.n_inst):
             inv = scene["inst_inv"][i]                       # [3,4]
-            o_l = origin @ inv[:, :3].T + inv[:, 3]
-            d_l = direction @ inv[:, :3].T
+            # precision="highest": TPU matmuls default to bf16, which
+            # quantizes transformed ray origins into visible banding
+            o_l = jnp.matmul(origin, inv[:, :3].T,
+                             precision="highest") + inv[:, 3]
+            d_l = jnp.matmul(direction, inv[:, :3].T, precision="highest")
             base = scene["inst_base"][i]
             count = scene["inst_count"][i]
             c, nch = _chunks(meta.n_obj_tri)
@@ -373,12 +376,14 @@ def make_interaction(scene, meta, origin, direction, hit, time=None):
         fwd = scene["inst_fwd"][iid]            # [N,3,4]
         nrm = scene["inst_nrm"][iid]            # [N,3,3]
         ov = scene["otri_v"][oid]               # [N,3,3]
-        ov_w = jnp.einsum("nij,nkj->nki", fwd[:, :, :3], ov) \
-            + fwd[:, None, :, 3]
+        ov_w = jnp.einsum("nij,nkj->nki", fwd[:, :, :3], ov,
+                          precision="highest") + fwd[:, None, :, 3]
         on = scene["otri_n"][oid]
-        on_w = safe_normalize(jnp.einsum("nij,nkj->nki", nrm, on))
+        on_w = safe_normalize(jnp.einsum("nij,nkj->nki", nrm, on,
+                                         precision="highest"))
         otan = scene["otri_tan"][oid]
-        otan_w = jnp.einsum("nij,nkj->nki", fwd[:, :, :3], otan)
+        otan_w = jnp.einsum("nij,nkj->nki", fwd[:, :, :3], otan,
+                            precision="highest")
         m3 = is_itri[:, None, None]
         tv = jnp.where(m3, ov_w, tv)
         tn = jnp.where(m3, on_w, tn_g[ti])
