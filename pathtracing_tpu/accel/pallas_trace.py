@@ -99,31 +99,195 @@ def build_tri_blocks(tri_v: np.ndarray, block_k: int | None = None):
 
 
 # ---------------------------------------------------------------------------
+# Host-side build: instanced (TLAS/BLAS) block structure
+# ---------------------------------------------------------------------------
+
+def _sah_order(tri_v: np.ndarray) -> np.ndarray:
+    """SAH leaf order for a triangle soup (threaded C++ builder preferred)."""
+    from .build import _sah_build_binary
+    from ..native.loader import native_build_bvh
+
+    lo = tri_v.min(1)
+    hi = tri_v.max(1)
+    native = native_build_bvh(lo, hi, 4)
+    if native is not None:
+        return native[3]
+    return _sah_build_binary(lo, hi, leaf_size=4)[1]
+
+
+def build_tri_blocks_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
+                          inst_count, block_k: int | None = None):
+    """Two-level instanced block tables (TLAS/BLAS analog, BVH.hpp:554-555).
+
+    Object-space triangle columns are stored ONCE per model; the block
+    list the kernel walks is instance-EXPANDED: each entry carries a world
+    AABB (the model block's object AABB pushed through the instance
+    transform), the physical column block to DMA, and the instance id
+    whose inverse transform the kernel applies to the ray tile before
+    testing (TransformedPrimitive semantics, Primitive.cpp:41-66).
+
+    Returns (arrays, block_k):
+      pk_tri      [16, Mp*K] f32  physical v0/e1/e2 columns
+                                  (world tris first, then per-model object
+                                  tris, each SAH-ordered)
+      pk_blk_lo/hi [Me, 3]        EXPANDED world-space block bounds
+      pk_blk_src  [Me] i32        expanded block -> physical column block
+      pk_blk_inst [Me] i32        expanded block -> instance id (-1 world)
+      pk_slot2tri [Mp*K] i32      physical slot -> tri id (world tri id for
+                                  world blocks, otri id for model blocks)
+      pk_inst_inv [ni, 12] f32    row-major inverse [3,4] per instance
+      pk_inst_fwd [ni, 12] f32    forward (unused by kernel; kept for AD
+                                  completeness / debugging)
+    """
+    tri_v = np.asarray(tri_v, np.float32).reshape(-1, 3, 3)
+    otri_v = np.asarray(otri_v, np.float32).reshape(-1, 3, 3)
+    inst_fwd = [np.asarray(f, np.float32) for f in inst_fwd]
+    inst_inv = [np.asarray(f, np.float32) for f in inst_inv]
+    nt = len(tri_v)
+    ni = len(inst_fwd)
+    models = {}                       # (base,count) -> instance indices
+    for i in range(ni):
+        models.setdefault((int(inst_base[i]), int(inst_count[i])),
+                          []).append(i)
+
+    n_eff = nt + sum(int(inst_count[i]) for i in range(ni))
+    from .beam import pick_block_k
+    k = block_k or max(128, -(-pick_block_k(max(n_eff, 1)) // 128) * 128)
+
+    def n_expanded(k):
+        me = -(-nt // k) if nt else 0
+        for (base, count), insts in models.items():
+            me += (-(-count // k)) * len(insts)
+        return me
+
+    while n_expanded(k) > 4096:
+        k += 128
+    if k > 512:
+        k = -(-k // 512) * 512
+
+    ordered = []                      # [*, 3, 3] physical tri chunks
+    slot2tri = []
+    exp_lo, exp_hi, exp_src, exp_inst = [], [], [], []
+    phys_blocks = 0
+
+    def emit_source(v_sub, glob_ids):
+        """SAH-order + block one triangle soup; returns per-block
+        (src ids, object-space lo/hi)."""
+        nonlocal phys_blocks
+        order = _sah_order(v_sub)
+        n = len(order)
+        mb = -(-n // k)
+        pad = mb * k - n
+        ord_pad = np.concatenate([order, np.repeat(order[-1:], pad)])
+        ordered.append(v_sub[ord_pad])
+        s2t = glob_ids[ord_pad].astype(np.int32)
+        if pad:
+            s2t[n:] = -1
+        slot2tri.append(s2t)
+        lo = v_sub[ord_pad].min(1).reshape(mb, k, 3).min(1)
+        hi = v_sub[ord_pad].max(1).reshape(mb, k, 3).max(1)
+        src = np.arange(phys_blocks, phys_blocks + mb, dtype=np.int32)
+        phys_blocks += mb
+        return src, lo, hi
+
+    if nt:
+        src, lo, hi = emit_source(tri_v, np.arange(nt))
+        exp_lo.append(lo)
+        exp_hi.append(hi)
+        exp_src.append(src)
+        exp_inst.append(np.full(len(src), -1, np.int32))
+
+    for (base, count), insts in models.items():
+        src, lo, hi = emit_source(otri_v[base:base + count],
+                                  np.arange(base, base + count))
+        # 8 corners of each object-space block AABB
+        corners = np.stack([np.stack([np.where(m & (1 << a), hi[:, a],
+                                               lo[:, a]) for a in range(3)],
+                                     -1) for m in range(8)], 1)  # [mb,8,3]
+        for i in insts:
+            f = inst_fwd[i]
+            wc = corners @ f[:3, :3].T + f[:3, 3]
+            exp_lo.append(wc.min(1))
+            exp_hi.append(wc.max(1))
+            exp_src.append(src)
+            exp_inst.append(np.full(len(src), i, np.int32))
+
+    v = np.concatenate(ordered, 0)                        # [Mp*K, 3, 3]
+    v0 = v[:, 0]
+    e1 = v[:, 1] - v0
+    e2 = v[:, 2] - v0
+    tri9 = np.concatenate([v0.T, e1.T, e2.T,
+                           np.zeros((7, len(v)), np.float32)],
+                          0).astype(np.float32)
+    return dict(
+        pk_tri=tri9,
+        pk_blk_lo=np.concatenate(exp_lo, 0).astype(np.float32),
+        pk_blk_hi=np.concatenate(exp_hi, 0).astype(np.float32),
+        pk_blk_src=np.concatenate(exp_src, 0),
+        pk_blk_inst=np.concatenate(exp_inst, 0),
+        pk_slot2tri=np.concatenate(slot2tri, 0),
+        pk_inst_inv=np.stack([f[:3, :4].reshape(12) for f in inst_inv]),
+        pk_inst_fwd=np.stack([f[:3, :4].reshape(12) for f in inst_fwd]),
+    ), k
+
+
+# ---------------------------------------------------------------------------
 # Kernel
 # ---------------------------------------------------------------------------
 
 def _kernel(order_ref, sentry_ref, ox_ref, oy_ref, oz_ref,
-            dx_ref, dy_ref, dz_ref, tmax_ref, tri_hbm,
-            out_t_ref, out_slot_ref, scratch, sem, *, block_k: int,
-            n_blocks: int, any_hit: bool):
+            dx_ref, dy_ref, dz_ref, tmax_ref, tri_hbm, *rest,
+            block_k: int, n_blocks: int, any_hit: bool,
+            instanced: bool = False):
     K = block_k
+    if instanced:
+        src_ref, inst_ref, inv_ref, out_t_ref, out_slot_ref, scratch, \
+            sem = rest
+    else:
+        out_t_ref, out_slot_ref, scratch, sem = rest
 
     ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]           # [1,128]
     dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
     t_min = jnp.full_like(ox, SHADOW_EPS)
 
-    def dma(slot, b):
+    def src_of(b):
+        # expanded block -> physical column block (instanced TLAS)
+        return src_ref[0, b] if instanced else b
+
+    def rays_for(b):
+        """Ray tile in the tested block's source space: world blocks use
+        the rays as-is; instance blocks inverse-transform them with the
+        direction left UNNORMALIZED so t stays world-parameterized
+        (Primitive.cpp:47-66)."""
+        if not instanced:
+            return ox, oy, oz, dx, dy, dz
+        inst = inst_ref[0, b]
+        ii = jnp.maximum(inst, 0)
+        m = [inv_ref[ii, c] for c in range(12)]
+        oxl = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
+        oyl = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
+        ozl = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
+        dxl = m[0] * dx + m[1] * dy + m[2] * dz
+        dyl = m[4] * dx + m[5] * dy + m[6] * dz
+        dzl = m[8] * dx + m[9] * dy + m[10] * dz
+        use = inst >= 0
+        return (jnp.where(use, oxl, ox), jnp.where(use, oyl, oy),
+                jnp.where(use, ozl, oz), jnp.where(use, dxl, dx),
+                jnp.where(use, dyl, dy), jnp.where(use, dzl, dz))
+
+    def dma(slot, src):
         return pltpu.make_async_copy(
-            tri_hbm.at[:, pl.ds(b * K, K)],
+            tri_hbm.at[:, pl.ds(src * K, K)],
             scratch.at[slot], sem.at[slot])
 
     b0 = order_ref[0, 0, 0]
-    dma(0, b0).start()
+    dma(0, src_of(b0)).start()
 
     SUB = min(K, 512)
     assert K % SUB == 0
 
     def test_block(best_t, best_slot, b, slot):
+        ox, oy, oz, dx, dy, dz = rays_for(b)
         # sub-chunks bound the [SUB, 128] VPU intermediates to VMEM
         for sub in range(K // SUB):
             tri = scratch[slot, :, sub * SUB:(sub + 1) * SUB]  # [16->9,SUB]
@@ -168,8 +332,8 @@ def _kernel(order_ref, sentry_ref, ox_ref, oy_ref, oz_ref,
         # prefetch next block while testing this one
         @pl.when(j + 1 < n_blocks)
         def _():
-            dma(1 - slot, order_ref[0, 0, j + 1]).start()
-        dma(slot, b).wait()
+            dma(1 - slot, src_of(order_ref[0, 0, j + 1])).start()
+        dma(slot, src_of(b)).wait()
         best_t, best_slot = test_block(best_t, best_slot, b, slot)
         j = j + 1
         jc = jnp.minimum(j, n_blocks - 1)
@@ -183,7 +347,7 @@ def _kernel(order_ref, sentry_ref, ox_ref, oy_ref, oz_ref,
         # drain the prefetched DMA if we exit with one in flight
         @pl.when(~live & (j < n_blocks))
         def _():
-            dma(1 - slot, order_ref[0, 0, jc]).wait()
+            dma(1 - slot, src_of(order_ref[0, 0, jc])).wait()
         return j, best_t, best_slot, live
 
     best_t0 = tmax_ref[0]
@@ -195,7 +359,7 @@ def _kernel(order_ref, sentry_ref, ox_ref, oy_ref, oz_ref,
     # initial DMA is still in flight: wait so the semaphore drains
     @pl.when(j == 0)
     def _():
-        dma(0, b0).wait()
+        dma(0, src_of(b0)).wait()
     out_t_ref[0] = best_t
     out_slot_ref[0] = best_slot
 
@@ -241,7 +405,9 @@ def pallas_tri_intersect(scene, origin, direction, t_max, block_k: int,
                          any_hit: bool = False):
     """Closest-hit over the triangle block tables via the Pallas kernel.
 
-    Returns dict(t [N], tri [N] original-triangle-id, valid [N]).
+    Returns dict(t [N], tri [N] original-triangle-id, inst [N], valid [N]);
+    `inst` is the runtime-instance id (-1 for world triangles), in which
+    case `tri` indexes the object-space table.
     N must be a multiple of TILE (callers pad; padded rays get t_max<=0).
     """
     n = origin.shape[0]
@@ -249,6 +415,7 @@ def pallas_tri_intersect(scene, origin, direction, t_max, block_k: int,
     tiles = n // TILE
     m = scene["pk_blk_lo"].shape[0]
     K = block_k
+    instanced = "pk_blk_src" in scene
 
     ox, oy, oz = origin[:, 0], origin[:, 1], origin[:, 2]
     dx, dy, dz = direction[:, 0], direction[:, 1], direction[:, 2]
@@ -270,30 +437,56 @@ def pallas_tri_intersect(scene, origin, direction, t_max, block_k: int,
                            memory_space=pltpu.SMEM)
 
     kernel = functools.partial(_kernel, block_k=K, n_blocks=m,
-                               any_hit=any_hit)
+                               any_hit=any_hit, instanced=instanced)
+    in_specs = [om_spec, om_spec] + [ray_spec] * 7 + [
+        pl.BlockSpec(memory_space=pltpu.ANY)]
+    operands = [order.reshape(tiles, 1, m), sentry.reshape(tiles, 1, m),
+                ox.reshape(tiles, 1, TILE), oy.reshape(tiles, 1, TILE),
+                oz.reshape(tiles, 1, TILE),
+                dx.reshape(tiles, 1, TILE), dy.reshape(tiles, 1, TILE),
+                dz.reshape(tiles, 1, TILE), t_max.reshape(tiles, 1, TILE),
+                scene["pk_tri"]]
+    if instanced:
+        ninst = scene["pk_inst_inv"].shape[0]
+
+        def shared(shape):
+            # grid-invariant tables: every tile maps to block (0, 0, ...)
+            return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                memory_space=pltpu.SMEM)
+
+        in_specs += [shared((1, m)), shared((1, m)), shared((ninst, 12))]
+        operands += [scene["pk_blk_src"].reshape(1, m),
+                     scene["pk_blk_inst"].reshape(1, m),
+                     scene["pk_inst_inv"]]
     # off-TPU (tests, virtual CPU meshes) the kernel runs interpreted
     interpret = jax.default_backend() != "tpu"
     out_t, out_slot = pl.pallas_call(
         kernel,
         interpret=interpret,
         grid=(tiles,),
-        in_specs=[om_spec, om_spec] + [ray_spec] * 7 + [
-            pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=in_specs,
         out_specs=[ray_spec, ray_spec],
         out_shape=[jax.ShapeDtypeStruct((tiles, 1, TILE), jnp.float32),
                    jax.ShapeDtypeStruct((tiles, 1, TILE), jnp.int32)],
         scratch_shapes=[pltpu.VMEM((2, 16, K), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
-    )(order.reshape(tiles, 1, m), sentry.reshape(tiles, 1, m),
-      ox.reshape(tiles, 1, TILE), oy.reshape(tiles, 1, TILE),
-      oz.reshape(tiles, 1, TILE),
-      dx.reshape(tiles, 1, TILE), dy.reshape(tiles, 1, TILE),
-      dz.reshape(tiles, 1, TILE), t_max.reshape(tiles, 1, TILE),
-      scene["pk_tri"])
+    )(*operands)
 
     t = out_t.reshape(n)
     slot = out_slot.reshape(n)
     valid = slot >= 0
-    tri = jnp.where(valid, scene["pk_slot2tri"][jnp.clip(slot, 0)], -1)
+    if instanced:
+        # slot = expanded_block*K + offset: recover (instance, physical
+        # slot) through the expansion tables
+        e = jnp.clip(slot // K, 0)
+        off = jnp.clip(slot, 0) % K
+        src = scene["pk_blk_src"][e]
+        inst = jnp.where(valid, scene["pk_blk_inst"][e], -1)
+        tri = jnp.where(valid, scene["pk_slot2tri"][src * K + off], -1)
+    else:
+        inst = jnp.full((n,), -1, jnp.int32)
+        tri = jnp.where(valid, scene["pk_slot2tri"][jnp.clip(slot, 0)], -1)
     valid = valid & (tri >= 0)
-    return dict(t=jnp.where(valid, t, BIG_F32), tri=tri, valid=valid)
+    inst = jnp.where(valid, inst, -1)
+    return dict(t=jnp.where(valid, t, BIG_F32), tri=tri, inst=inst,
+                valid=valid)

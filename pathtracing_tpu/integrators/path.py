@@ -154,7 +154,7 @@ def sample_ld(scene, meta, cfg, ray_dir, it, mat, is_medium_vertex,
 
     lidx, pmf, lvalid = L.sample_light_index(scene, meta, u_select)
     ref_p = jnp.where(is_medium_vertex[:, None], it["p_raw"], it["p"])
-    ls = L.light_sample(scene, meta, lidx, ref_p, u_cell, uv_light, None)
+    ls = L.light_sample(scene, meta, lidx, ref_p, u_cell, uv_light, time)
 
     sdir = ls["dir"]
     # shadow length: the reference shortens by an absolute shadowEpsilon

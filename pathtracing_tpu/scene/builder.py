@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from .types import (SceneMeta, MAT_NONE, LIGHT_UNIFORM_INF, LIGHT_ENV_TEX,
                     LIGHT_DISTANT, LIGHT_POINT, LIGHT_AREA, SHAPE_TRI,
-                    SHAPE_SPH, SHAPE_QUAD, ALPHA_OPAQUE)
+                    SHAPE_SPH, SHAPE_QUAD, SHAPE_ITRI, ALPHA_OPAQUE)
 from .textures import TexturePool
 from ..core.bsdf import (MAT_DIFFUSE, MAT_DIELECTRIC, MAT_THIN_DIELECTRIC,
                          MAT_CONDUCTOR)
@@ -257,9 +257,10 @@ class SceneBuilder:
 
         runtime=True: the model's object-space geometry is stored ONCE and
         rays are inverse-transformed per instance at trace time (the
-        reference's mechanism, Primitive.cpp:41-66) — memory O(tris), but
-        pins the dense accel backend and emissive surfaces are ignored
-        (per-instance area-light tables are future work)."""
+        reference's mechanism, Primitive.cpp:41-66) — memory O(tris).
+        Traced by the instanced Pallas kernel (expanded-block TLAS with
+        in-kernel ray transforms) or the dense backend; beam/bvh accels
+        fall back to brute."""
         if not runtime:
             m = self._models[model_id]
             return self.add_mesh(m["vertices"], m["indices"],
@@ -310,11 +311,30 @@ class SceneBuilder:
         tf = np.eye(4, dtype=np.float32) if transform is None \
             else np.asarray(transform, np.float32)
         inv = np.linalg.inv(tf)
+        inst_idx = len(self._inst)
+        # per-instance per-triangle area lights for emissive models
+        # (Model::BuildBlas semantics, Model.hpp:41-81, through the
+        # TransformedLight wrapper, Light.cpp:300-332): lights reference
+        # the shared object-space triangle + this instance's transform
+        m = self._models[model_id]
+        emission, em_tex = m["emission"], m["em_tex"]
+        light_first = -1
+        if (emission is not None and _lum(emission) > 0) or em_tex >= 0:
+            light_first = len(self._lights)
+            color = (np.zeros(3, np.float32) if emission is None
+                     else np.asarray(emission, np.float32))
+            for j in range(count):
+                self._lights.append(dict(
+                    type=LIGHT_AREA, color=color,
+                    vec=np.zeros(3, np.float32),
+                    shape=(SHAPE_ITRI, -1),      # finalized in build()
+                    emtex=em_tex, one_sided=False,
+                    _inst=(inst_idx, base + j)))
         self._inst.append(dict(
             fwd=tf[:3, :4], inv=inv[:3, :4],
             nrm=np.linalg.inv(tf[:3, :3]).T.astype(np.float32),
-            base=base, count=count))
-        return len(self._inst) - 1
+            base=base, count=count, light_first=light_first))
+        return inst_idx
 
     def add_env_light_from_file(self, path, scale: float = 1.0):
         """TextureInfiniteLight from an image file: .hdr via the Radiance
@@ -358,11 +378,14 @@ class SceneBuilder:
                                  shape=(-1, -1), emtex=-1, one_sided=False))
         return len(self._lights) - 1
 
-    def add_point_light(self, position, color):
-        """PointLight (Light.cpp:230-251)."""
+    def add_point_light(self, position, color, velocity=(0.0, 0.0, 0.0)):
+        """PointLight (Light.cpp:230-251).  velocity: linear motion over
+        the shutter (AnimatedLight analog, Light.cpp:336-364) — position
+        at ray time t is position + velocity*t."""
         self._lights.append(dict(type=LIGHT_POINT,
                                  color=np.asarray(color, np.float32),
                                  vec=np.asarray(position, np.float32),
+                                 vel=np.asarray(velocity, np.float32),
                                  shape=(-1, -1), emtex=-1, one_sided=False))
         return len(self._lights) - 1
 
@@ -421,6 +444,15 @@ class SceneBuilder:
         if kind == SHAPE_QUAD:
             return float(np.linalg.norm(np.cross(self._quad["u"][idx],
                                                  self._quad["v"][idx])))
+        if kind == SHAPE_ITRI:
+            # instanced triangle: world area under the instance transform
+            n_obj = max(len(self._obj["v"]), 1)
+            i, otri = divmod(idx, n_obj)
+            v = np.asarray(self._obj["v"][otri], np.float32)
+            f = self._inst[i]["fwd"]
+            w = v @ f[:, :3].T + f[:, 3]
+            return 0.5 * float(np.linalg.norm(
+                np.cross(w[1] - w[0], w[2] - w[0])))
         return 0.0
 
     def _light_power(self, lt, scene_radius, tex_arrays) -> float:
@@ -489,6 +521,13 @@ class SceneBuilder:
         n_inst = len(getattr(self, "_inst", []))
         n_obj_tri = len(self._obj["v"]) if n_inst else 0
 
+        # finalize per-instance area-light shape encodings (deferred from
+        # add_model_instance because n_obj_tri was still growing then)
+        for lt in self._lights:
+            if "_inst" in lt:
+                i, otri = lt["_inst"]
+                lt["shape"] = (SHAPE_ITRI, i * max(n_obj_tri, 1) + otri)
+
         lo, hi = self._scene_bounds()
         center = 0.5 * (lo + hi)
         scene_radius = float(np.linalg.norm(hi - center)) or 1.0
@@ -530,6 +569,19 @@ class SceneBuilder:
         tri_prop = remap_prop(self._tri["prop"], 4)
         sph_prop = remap_prop(self._sph["prop"], 3)
         quad_prop = remap_prop(self._quad["prop"], 3)
+
+        # per-instance emissive lookup: hit on (instance i, object tri o)
+        # resolves light id = ilight_map[inst_slot_base[i] + (o - base_i)]
+        inst_slot_base = np.full(max(n_inst, 1), -1, np.int32)
+        ilight_slots: list = []
+        for i, inst in enumerate(getattr(self, "_inst", [])):
+            lf = inst.get("light_first", -1)
+            if lf >= 0:
+                inst_slot_base[i] = len(ilight_slots)
+                ilight_slots.extend(
+                    int(remap[lf + j]) for j in range(inst["count"]))
+        ilight_map = np.asarray(ilight_slots if ilight_slots else [-1],
+                                np.int32)
 
         total_power = float(powers.sum())
         if self.light_sampler == "power" and total_power > 0:
@@ -594,6 +646,9 @@ class SceneBuilder:
             light_color=jnp.asarray(pad([lt["color"] for lt in lights],
                                         (1, 3))),
             light_vec=jnp.asarray(pad([lt["vec"] for lt in lights], (1, 3))),
+            light_vel=jnp.asarray(pad(
+                [lt.get("vel", np.zeros(3, np.float32)) for lt in lights],
+                (1, 3))),
             light_shape=jnp.asarray(pad([list(lt["shape"]) for lt in lights],
                                         (1, 2), np.int32, -1)),
             light_flags=jnp.asarray(pad([1 if lt["one_sided"] else 0
@@ -635,7 +690,9 @@ class SceneBuilder:
                 inst_base=jnp.asarray(np.asarray(
                     [i["base"] for i in self._inst], np.int32)),
                 inst_count=jnp.asarray(np.asarray(
-                    [i["count"] for i in self._inst], np.int32)))
+                    [i["count"] for i in self._inst], np.int32)),
+                inst_slot_base=jnp.asarray(inst_slot_base),
+                ilight_map=jnp.asarray(ilight_map))
         if env_tables:
             scene.update(env_tables)
         else:
@@ -653,9 +710,15 @@ class SceneBuilder:
             float(np.abs(np.asarray(v)).max()) > 0.0
             for tbl in (self._tri, self._sph, self._quad)
             for v in tbl["vel"])
-        n_prims = nt + ns + nq
-        if has_motion or n_inst:
+        has_light_motion = any(
+            float(np.abs(np.asarray(lt.get("vel", 0.0))).max()) > 0.0
+            for lt in lights)
+        n_inst_tris = sum(i["count"] for i in getattr(self, "_inst", []))
+        n_prims = nt + ns + nq + n_inst_tris
+        if has_motion:
             accel = "brute"   # traversal accels assume static world prims
+        if n_inst and accel in ("beam", "bvh"):
+            accel = "brute"   # only pallas/brute handle runtime instances
         if accel == "auto":
             # dense whole-scene scan beats any traversal below ~4K prims
             # (measured on v5e; the [N, n_prims] test is one fused VPU op);
@@ -663,12 +726,25 @@ class SceneBuilder:
             # kernel (analytic prims merged via the dense path)
             if n_prims < 4096:
                 accel = "brute"
-            elif nt:
+            elif nt or n_inst:
                 accel = "pallas"
             else:
                 accel = "beam"
         block_k = 0
-        if accel == "pallas" and nt:
+        if accel == "pallas" and n_inst:
+            # instanced TLAS/BLAS block tables: object-space geometry
+            # stored once, per-instance expanded block AABBs, in-kernel
+            # per-block ray transforms (Primitive.cpp:41-66)
+            from ..accel.pallas_trace import build_tri_blocks_inst
+            pk_arrays, block_k = build_tri_blocks_inst(
+                np.asarray(self._tri["v"], np.float32).reshape(-1, 3, 3),
+                np.asarray(self._obj["v"], np.float32).reshape(-1, 3, 3),
+                [i["fwd"] for i in self._inst],
+                [i["inv"] for i in self._inst],
+                [i["base"] for i in self._inst],
+                [i["count"] for i in self._inst])
+            scene.update({k: jnp.asarray(v) for k, v in pk_arrays.items()})
+        elif accel == "pallas" and nt:
             if nt > 2_000_000:
                 # two-level kernel: keeps visited-block prim counts small
                 # at San-Miguel scale (single-level K grows with n/4096)
@@ -706,6 +782,7 @@ class SceneBuilder:
             camera_medium=(self.camera or {}).get("medium", -1),
             has_alpha=has_alpha, light_sampler=self.light_sampler,
             accel=accel, block_k=block_k, has_motion=has_motion,
+            has_light_motion=has_light_motion,
             mats_present=mats_present, n_inst=n_inst, n_obj_tri=n_obj_tri)
 
         cam = self._pack_camera()

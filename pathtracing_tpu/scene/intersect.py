@@ -156,14 +156,27 @@ def _pallas_dispatch(scene, meta, origin, direction, t_max,
                                    any_hit=any_hit)
     t = hit["t"][:n]
     idx = hit["tri"][:n]
+    inst = hit.get("inst")
     valid = hit["valid"][:n]
     if perm is not None:
         inv = jnp.argsort(perm)
         t, idx, valid = t[inv], idx[inv], valid[inv]
-    kind = jnp.where(valid, SHAPE_TRI, -1)
+        if inst is not None:
+            inst = inst[:n][inv]
+    elif inst is not None:
+        inst = inst[:n]
+    if inst is not None and getattr(meta, "n_inst", 0):
+        # runtime-instance hits: encode idx as inst * n_obj_tri + otri so
+        # make_interaction's SHAPE_ITRI path recovers both
+        is_i = valid & (inst >= 0)
+        idx = jnp.where(is_i, inst * meta.n_obj_tri + idx, idx)
+        kind = jnp.where(valid, jnp.where(is_i, SHAPE_ITRI, SHAPE_TRI), -1)
+    else:
+        kind = jnp.where(valid, SHAPE_TRI, -1)
 
     if meta.n_sph or meta.n_quad:
-        meta2 = dataclasses.replace(meta, n_tri=0, accel="brute")
+        meta2 = dataclasses.replace(meta, n_tri=0, accel="brute",
+                                    n_inst=0, n_obj_tri=0)
         other = intersect(scene, meta2, origin, direction, t_max)
         better = other["valid"] & (~valid | (other["t"] < t))
         t = jnp.where(better, other["t"], t)
@@ -392,6 +405,15 @@ def make_interaction(scene, meta, origin, direction, hit, time=None):
         ttan = jnp.where(m3, otan_w, ttan_g[ti])
         tprop = jnp.where(is_itri[:, None], scene["otri_prop"][oid],
                           tprop_g[ti])
+        # per-instance area lights: light id = ilight_map[slot_base +
+        # (otri - model base)] (instanced Model::BuildBlas emissives)
+        lbase = scene["inst_slot_base"][iid]
+        lslot = lbase + (oid - scene["inst_base"][iid])
+        ilight = jnp.where(
+            (lbase >= 0) & is_itri,
+            scene["ilight_map"][jnp.clip(
+                lslot, 0, scene["ilight_map"].shape[0] - 1)], -1)
+        tprop = tprop.at[:, 1].set(jnp.where(is_itri, ilight, tprop[:, 1]))
         kind = jnp.where(is_itri, SHAPE_TRI, kind)
     if not getattr(meta, "n_inst", 0):
         tn = tn_g[ti]

@@ -20,7 +20,7 @@ from ..core.math import (vdot, vdot_k, safe_normalize, sphere_uv,
                          uv_to_direction, BIG_F32)
 from .types import (LIGHT_UNIFORM_INF, LIGHT_ENV_TEX, LIGHT_DISTANT,
                     LIGHT_POINT, LIGHT_AREA, SHAPE_TRI, SHAPE_SPH,
-                    SHAPE_QUAD)
+                    SHAPE_QUAD, SHAPE_ITRI)
 from .textures import texture_eval
 
 INV_4PI = 1.0 / (4.0 * jnp.pi)
@@ -53,18 +53,26 @@ def light_pmf(scene, meta, idx):
 # Shape sampling for area lights
 # ---------------------------------------------------------------------------
 
-def _sample_shape(scene, kind, sidx, uv2):
-    """Uniform point sample on tri/sphere/quad.
+def _sample_shape(scene, meta, kind, sidx, uv2, time=None):
+    """Uniform point sample on tri/sphere/quad/instanced-tri.
 
     Triangle uses the standard sqrt warp (uniform over the triangle) — a
     deliberate fix of the reference's non-uniform parallelogram map
     (Shape.cpp:277-297); PDF=1/area matches the uniform map.
     Sphere: Shape.cpp:73-81. Quad: Shape.hpp:139-141.
+    Instanced triangle (SHAPE_ITRI): object-space triangle pushed through
+    the instance transform (TransformedLight::sample, Light.cpp:305-316).
+    Moving shapes are sampled at the ray time (AnimatedLight semantics,
+    Light.cpp:336-351).
     Returns (p, n, uv_for_emission).
     """
+    motion = meta is not None and getattr(meta, "has_motion", False) \
+        and time is not None
     # triangle
     ti = jnp.clip(sidx, 0, scene["tri_v"].shape[0] - 1)
     tv = scene["tri_v"][ti]
+    if motion:
+        tv = tv + (scene["tri_vel"][ti] * time[:, None])[:, None, :]
     tuv = scene["tri_uv"][ti]
     su = jnp.sqrt(jnp.maximum(uv2[..., 0], 0.0))
     b1 = 1.0 - su
@@ -79,6 +87,8 @@ def _sample_shape(scene, kind, sidx, uv2):
     # sphere
     si = jnp.clip(sidx, 0, scene["sph_c"].shape[0] - 1)
     c = scene["sph_c"][si]
+    if motion:
+        c = c + scene["sph_vel"][si] * time[:, None]
     r = scene["sph_r"][si]
     z = 1.0 - 2.0 * uv2[..., 0]
     rr = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
@@ -89,7 +99,10 @@ def _sample_shape(scene, kind, sidx, uv2):
 
     # quad
     qi = jnp.clip(sidx, 0, scene["quad_q"].shape[0] - 1)
-    p_q = (scene["quad_q"][qi] + uv2[..., 0:1] * scene["quad_u"][qi]
+    qq = scene["quad_q"][qi]
+    if motion:
+        qq = qq + scene["quad_vel"][qi] * time[:, None]
+    p_q = (qq + uv2[..., 0:1] * scene["quad_u"][qi]
            + uv2[..., 1:2] * scene["quad_v"][qi])
     n_q = scene["quad_n"][qi]
 
@@ -98,6 +111,28 @@ def _sample_shape(scene, kind, sidx, uv2):
     p = jnp.where(is_t, p_t, jnp.where(is_s, p_s, p_q))
     n = jnp.where(is_t, n_t, jnp.where(is_s, dir_s, n_q))
     uv = jnp.where(is_t, uv_t, jnp.where(is_s, uv_s, uv2))
+
+    if meta is not None and getattr(meta, "n_inst", 0):
+        # instanced triangle: sidx encodes inst * n_obj_tri + otri
+        ii = jnp.clip(sidx // meta.n_obj_tri, 0,
+                      scene["inst_fwd"].shape[0] - 1)
+        oi = jnp.clip(sidx % meta.n_obj_tri, 0,
+                      scene["otri_v"].shape[0] - 1)
+        fwd = scene["inst_fwd"][ii]                       # [N,3,4]
+        ov = scene["otri_v"][oi]                          # [N,3,3]
+        wv = jnp.einsum("nij,nkj->nki", fwd[:, :, :3], ov,
+                        precision="highest") + fwd[:, None, :, 3]
+        p_i = (b0[:, None] * wv[:, 0] + b1[:, None] * wv[:, 1]
+               + b2[:, None] * wv[:, 2])
+        n_i = safe_normalize(jnp.cross(wv[:, 1] - wv[:, 0],
+                                       wv[:, 2] - wv[:, 0]))
+        ouv = scene["otri_uv"][oi]
+        uv_i = (b0[:, None] * ouv[:, 0] + b1[:, None] * ouv[:, 1]
+                + b2[:, None] * ouv[:, 2])
+        is_i = (kind == SHAPE_ITRI)[:, None]
+        p = jnp.where(is_i, p_i, p)
+        n = jnp.where(is_i, n_i, n)
+        uv = jnp.where(is_i, uv_i, uv)
     return p, n, uv
 
 
@@ -218,15 +253,20 @@ def light_sample(scene, meta, idx, ref_p, u_cell, uv2, time):
     # distant: jittered fixed direction (Light.cpp:208-215)
     dist_dir = safe_normalize(lvec + sph_dir * 0.02)
 
-    # area: sample a point on the shape
-    p_a, n_a, uv_a = _sample_shape(scene, shape[..., 0], shape[..., 1], uv2)
+    # area: sample a point on the shape (at the ray time for moving shapes)
+    p_a, n_a, uv_a = _sample_shape(scene, meta, shape[..., 0],
+                                   shape[..., 1], uv2, time)
 
     is_delta = (ltype == LIGHT_DISTANT) | (ltype == LIGHT_POINT)
     to_inf = (ltype == LIGHT_UNIFORM_INF) | (ltype == LIGHT_ENV_TEX) | \
         (ltype == LIGHT_DISTANT)
 
-    # target point for point/area lights
-    target = jnp.where((ltype == LIGHT_POINT)[..., None], lvec, p_a)
+    # target point for point/area lights; moving point lights are sampled
+    # at the ray time (AnimatedLight, Light.cpp:336-351)
+    p_pt = lvec
+    if getattr(meta, "has_light_motion", False) and time is not None:
+        p_pt = p_pt + scene["light_vel"][lid] * time[:, None]
+    target = jnp.where((ltype == LIGHT_POINT)[..., None], p_pt, p_a)
     to_light = target - ref_p
     dist_pt = jnp.sqrt(jnp.maximum(vdot(to_light, to_light), 1e-18))
     dir_pt = to_light / dist_pt[..., None]

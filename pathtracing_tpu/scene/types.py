@@ -65,6 +65,7 @@ class SceneMeta:
     accel: str = "beam"  # "pallas" | "beam" | "bvh" | "brute"
     block_k: int = 0            # beam/pallas prims-per-block (static)
     has_motion: bool = False    # any primitive with nonzero velocity
+    has_light_motion: bool = False  # any light with nonzero velocity
     n_inst: int = 0             # runtime instances (TransformedPrimitive)
     n_obj_tri: int = 0          # object-space triangle count
     mats_present: tuple = (True, True, True, True)  # diffuse/diel/thin/cond
