@@ -280,8 +280,11 @@ def _kernel(order_ref, sentry_ref, ox_ref, oy_ref, oz_ref,
             tri_hbm.at[:, pl.ds(src * K, K)],
             scratch.at[slot], sem.at[slot])
 
-    b0 = order_ref[0, 0, 0]
-    dma(0, src_of(b0)).start()
+    # ring-buffer DMA pipeline: keep up to DEPTH block fetches in flight
+    # so HBM latency hides behind the [SUB,128] tests of earlier blocks
+    D = scratch.shape[0]
+    for i in range(min(D, n_blocks)):
+        dma(i, src_of(order_ref[0, 0, i])).start()
 
     SUB = min(K, 512)
     assert K % SUB == 0
@@ -327,14 +330,15 @@ def _kernel(order_ref, sentry_ref, ox_ref, oy_ref, oz_ref,
 
     def body(carry):
         j, best_t, best_slot, _ = carry
-        slot = jax.lax.rem(j, 2)
+        slot = jax.lax.rem(j, D)
         b = order_ref[0, 0, j]
-        # prefetch next block while testing this one
-        @pl.when(j + 1 < n_blocks)
-        def _():
-            dma(1 - slot, src_of(order_ref[0, 0, j + 1])).start()
         dma(slot, src_of(b)).wait()
         best_t, best_slot = test_block(best_t, best_slot, b, slot)
+        # refill this slot with block j+D (keeps D-1 fetches in flight
+        # under the next block's test)
+        @pl.when(j + D < n_blocks)
+        def _():
+            dma(slot, src_of(order_ref[0, 0, j + D])).start()
         j = j + 1
         jc = jnp.minimum(j, n_blocks - 1)
         nxt = sentry_ref[0, 0, jc]
@@ -344,10 +348,6 @@ def _kernel(order_ref, sentry_ref, ox_ref, oy_ref, oz_ref,
                 & ~jnp.all(best_slot >= 0)
         else:
             live = (j < n_blocks) & (nxt < jnp.max(best_t))
-        # drain the prefetched DMA if we exit with one in flight
-        @pl.when(~live & (j < n_blocks))
-        def _():
-            dma(1 - slot, src_of(order_ref[0, 0, jc])).wait()
         return j, best_t, best_slot, live
 
     best_t0 = tmax_ref[0]
@@ -355,11 +355,14 @@ def _kernel(order_ref, sentry_ref, ox_ref, oy_ref, oz_ref,
     live0 = sentry_ref[0, 0, 0] < BIG_F32 * 0.5
     j, best_t, best_slot, _ = jax.lax.while_loop(
         cond, body, (jnp.asarray(0, jnp.int32), best_t0, best_slot0, live0))
-    # if the first block was never consumed (tile had no candidates), the
-    # initial DMA is still in flight: wait so the semaphore drains
-    @pl.when(j == 0)
-    def _():
-        dma(0, src_of(b0)).wait()
+    # drain in-flight prefetches: blocks [j, min(j+D, n_blocks)) were
+    # started but never consumed (early exit / never entered)
+    for i in range(min(D, n_blocks)):
+        @pl.when(j + i < n_blocks)
+        def _(i=i):
+            idx = j + i
+            dma(jax.lax.rem(idx, D),
+                src_of(order_ref[0, 0, idx])).wait()
     out_t_ref[0] = best_t
     out_slot_ref[0] = best_slot
 
@@ -468,8 +471,8 @@ def pallas_tri_intersect(scene, origin, direction, t_max, block_k: int,
         out_specs=[ray_spec, ray_spec],
         out_shape=[jax.ShapeDtypeStruct((tiles, 1, TILE), jnp.float32),
                    jax.ShapeDtypeStruct((tiles, 1, TILE), jnp.int32)],
-        scratch_shapes=[pltpu.VMEM((2, 16, K), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,))],
+        scratch_shapes=[pltpu.VMEM((min(4, max(m, 2)), 16, K), jnp.float32),
+                        pltpu.SemaphoreType.DMA((min(4, max(m, 2)),))],
     )(*operands)
 
     t = out_t.reshape(n)
