@@ -9,22 +9,35 @@ gives us: an independent control-flow instance per grid step.
 Design (triangles; the few analytic prims of a scene take the dense XLA
 path and results are merged):
 
-  * rays are split into tiles of 128 (one grid step each).  Each tile runs
-    its OWN while loop over candidate blocks — divergence costs are paid
-    per 128 coherent rays, not per 65K;
-  * candidate blocks and their visit order are computed per tile in XLA
-    beforehand (dense [tiles, M] slab test + argsort — cheap, gather-free)
-    and passed in VMEM: `order` [T, M] and the sorted tile-min entry
-    distances `sentry` [T, M];
+  * rays are split into tiles of 128, TPS tiles per grid step.  Each tile
+    runs its OWN while loop over candidate blocks — divergence costs are
+    paid per 128 coherent rays, not per 65K;
+  * block ordering happens IN-KERNEL: a vectorized entry phase computes
+    every block's tile-min slab entry distance ([SUBW,128] = blocks x
+    rays per step), then an argmin selection loop pops blocks
+    front-to-back (an earlier design argsorted a dense [rays, M] entry
+    matrix in XLA; the sort cost scaled with M and its [T,M] tables paid
+    HBM round-trips — the in-kernel argmin is O(visited) and
+    table-free);
   * per visited block, the kernel DMAs the block's 9xK contiguous triangle
-    columns HBM->VMEM and tests K prims x 128 rays as one dense [K, 128]
-    VPU op (prims in sublanes, rays in lanes);
-  * a tile exits when the next block's tile-min entry exceeds the tile's
-    worst best-hit: the entryDist t-max culling of the reference
+    columns HBM->VMEM (next selection prefetched during the current
+    block's test) and tests K prims x 128 rays as dense [SUB, 128]
+    VPU ops (prims in sublanes, rays in lanes);
+  * a tile exits when the closest unvisited block's entry exceeds the
+    tile's worst best-hit: the entryDist t-max culling of the reference
     (BVH.hpp:1129-1135) hoisted to tile granularity.
+
+Runtime instancing (TLAS/BLAS): expanded blocks carry world AABBs + an
+instance id; the kernel inverse-transforms the ray tile per block with
+the direction left unnormalized so t stays world-parameterized.
 
 Outputs (t, slot) where slot indexes the block-ordered prim tables;
 callers map slot -> original triangle id with one gather.
+
+NOTE when benchmarking on the remote-TPU tunnel: every jitted dispatch
+costs ~30-40 ms REGARDLESS of the program (measured with a no-op
+kernel); subtract a calibrated trivial-jit baseline or per-call numbers
+lie (tools/bench_traversal.py does this).
 """
 from __future__ import annotations
 
@@ -38,7 +51,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.math import BIG_F32, SHADOW_EPS
 
-TILE = 128          # rays per grid step
+TILE = 128          # rays per tile (one independent traversal loop each)
+TPS = 8             # tiles per grid step: pallas pays ~70us of pipeline
+                    # overhead per grid step (measured with a no-op
+                    # kernel); folding 8 tiles into one step amortizes it
 
 
 # ---------------------------------------------------------------------------
@@ -235,136 +251,213 @@ def build_tri_blocks_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _kernel(order_ref, sentry_ref, ox_ref, oy_ref, oz_ref,
+def _kernel(box_ref, ox_ref, oy_ref, oz_ref,
             dx_ref, dy_ref, dz_ref, tmax_ref, tri_hbm, *rest,
             block_k: int, n_blocks: int, any_hit: bool,
-            instanced: bool = False):
+            instanced: bool = False, debug_phase: int = 0):
+    """Tile-divergent traversal with IN-KERNEL block ordering.
+
+    An earlier design computed per-tile visit orders in XLA (dense
+    [rays, M] slab test + argsort); at M=389 the argsort alone cost 74%
+    of coherent traversal time.  Here the kernel computes the tile-min
+    entry distance of every block itself (phase 1: 8 blocks in sublanes x
+    the 128 rays in lanes per step — the ray tile never leaves vector
+    registers), then an argmin selection loop visits blocks front-to-back,
+    consuming each selected block by masking its entry to +inf.  Exact
+    same visit order as the argsort, at a per-visited-block cost of one
+    [Mc,128] argmin.
+
+    box_ref: [Mpad, 8] VMEM — one row per block (lox,loy,loz,hix,hiy,
+    hiz,-,-), blocks in sublanes.
+    """
     K = block_k
     if instanced:
         src_ref, inst_ref, inv_ref, out_t_ref, out_slot_ref, scratch, \
-            sem = rest
+            sem, ecol_ref, boxv_ref, box_sem = rest
     else:
-        out_t_ref, out_slot_ref, scratch, sem = rest
+        out_t_ref, out_slot_ref, scratch, sem, ecol_ref, \
+            boxv_ref, box_sem = rest
 
-    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]           # [1,128]
-    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
-    t_min = jnp.full_like(ox, SHADOW_EPS)
+    mpad = boxv_ref.shape[0]
 
-    def src_of(b):
-        # expanded block -> physical column block (instanced TLAS)
-        return src_ref[0, b] if instanced else b
+    if debug_phase == 1:          # timing probe: pure I/O, no compute
+        out_t_ref[0] = tmax_ref[0]
+        out_slot_ref[0] = jnp.full((TPS, TILE), -1, jnp.int32)
+        return
 
-    def rays_for(b):
-        """Ray tile in the tested block's source space: world blocks use
-        the rays as-is; instance blocks inverse-transform them with the
-        direction left UNNORMALIZED so t stays world-parameterized
-        (Primitive.cpp:47-66)."""
-        if not instanced:
-            return ox, oy, oz, dx, dy, dz
-        inst = inst_ref[0, b]
-        ii = jnp.maximum(inst, 0)
-        m = [inv_ref[ii, c] for c in range(12)]
-        oxl = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
-        oyl = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
-        ozl = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
-        dxl = m[0] * dx + m[1] * dy + m[2] * dz
-        dyl = m[4] * dx + m[5] * dy + m[6] * dz
-        dzl = m[8] * dx + m[9] * dy + m[10] * dz
-        use = inst >= 0
-        return (jnp.where(use, oxl, ox), jnp.where(use, oyl, oy),
-                jnp.where(use, ozl, oz), jnp.where(use, dxl, dx),
-                jnp.where(use, dyl, dy), jnp.where(use, dzl, dz))
+    # the block-box table is shared by every tile: fetch it into scratch
+    # ONCE (scratch persists across grid steps) instead of paying a
+    # per-step pipeline copy
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        pltpu.make_async_copy(box_ref, boxv_ref, box_sem).start()
+        pltpu.make_async_copy(box_ref, boxv_ref, box_sem).wait()
 
-    def dma(slot, src):
-        return pltpu.make_async_copy(
-            tri_hbm.at[:, pl.ds(src * K, K)],
-            scratch.at[slot], sem.at[slot])
+    def inv_guard(c):
+        return 1.0 / jnp.where(jnp.abs(c) < 1e-32,
+                               jnp.where(c < 0, -1e-32, 1e-32), c)
 
-    # ring-buffer DMA pipeline: keep up to DEPTH block fetches in flight
-    # so HBM latency hides behind the [SUB,128] tests of earlier blocks
-    D = scratch.shape[0]
-    for i in range(min(D, n_blocks)):
-        dma(i, src_of(order_ref[0, 0, i])).start()
-
+    SUBW = min(64, mpad)            # blocks per entry step
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (SUBW, 1), 0)
     SUB = min(K, 512)
     assert K % SUB == 0
 
-    def test_block(best_t, best_slot, b, slot):
-        ox, oy, oz, dx, dy, dz = rays_for(b)
-        # sub-chunks bound the [SUB, 128] VPU intermediates to VMEM
-        for sub in range(K // SUB):
-            tri = scratch[slot, :, sub * SUB:(sub + 1) * SUB]  # [16->9,SUB]
-            col = lambda i: tri[i, :][:, None]                 # [SUB, 1]
-            # Möller–Trumbore: [SUB, 128] = prim sublanes x ray lanes
-            e1x, e1y, e1z = col(3), col(4), col(5)
-            e2x, e2y, e2z = col(6), col(7), col(8)
-            hx = dy * e2z - dz * e2y
-            hy = dz * e2x - dx * e2z
-            hz = dx * e2y - dy * e2x
-            det = e1x * hx + e1y * hy + e1z * hz
-            near0 = jnp.abs(det) < 1e-9
-            inv_det = 1.0 / jnp.where(near0, 1.0, det)
-            sx = ox - col(0)
-            sy = oy - col(1)
-            sz = oz - col(2)
-            u = (sx * hx + sy * hy + sz * hz) * inv_det
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            v = (dx * qx + dy * qy + dz * qz) * inv_det
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            ok = (~near0 & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
-                  & (t >= t_min) & (t < best_t))
-            t = jnp.where(ok, t, BIG_F32)
-            kbest = jnp.argmin(t, axis=0)                      # [128]
-            tbest = jnp.min(t, axis=0)[None, :]                # [1,128]
-            better = tbest < best_t
-            best_t = jnp.where(better, tbest, best_t)
-            best_slot = jnp.where(
-                better, (b * K + sub * SUB + kbest)[None, :], best_slot)
-        return best_t, best_slot
+    def run_tile(tt, _):
+        ox = ox_ref[0, pl.ds(tt, 1), :]                    # [1,128]
+        oy = oy_ref[0, pl.ds(tt, 1), :]
+        oz = oz_ref[0, pl.ds(tt, 1), :]
+        dx = dx_ref[0, pl.ds(tt, 1), :]
+        dy = dy_ref[0, pl.ds(tt, 1), :]
+        dz = dz_ref[0, pl.ds(tt, 1), :]
+        tmax = tmax_ref[0, pl.ds(tt, 1), :]
+        t_min = jnp.full_like(ox, SHADOW_EPS)
+        ix, iy, iz = inv_guard(dx), inv_guard(dy), inv_guard(dz)
 
-    def cond(carry):
-        j, best_t, best_slot, live = carry
-        return live
+        # ---- phase 1: tile-min entry distance per block ------------------
+        def entry_chunk(c, _):
+            bb = boxv_ref[pl.ds(c * SUBW, SUBW), :]        # [SUBW, 8]
+            u0 = (bb[:, 0:1] - ox) * ix                    # [SUBW,128]
+            u1 = (bb[:, 3:4] - ox) * ix
+            tn = jnp.minimum(u0, u1)
+            tf = jnp.maximum(u0, u1)
+            u0 = (bb[:, 1:2] - oy) * iy
+            u1 = (bb[:, 4:5] - oy) * iy
+            tn = jnp.maximum(tn, jnp.minimum(u0, u1))
+            tf = jnp.minimum(tf, jnp.maximum(u0, u1))
+            u0 = (bb[:, 2:3] - oz) * iz
+            u1 = (bb[:, 5:6] - oz) * iz
+            tn = jnp.maximum(jnp.maximum(tn, jnp.minimum(u0, u1)),
+                             SHADOW_EPS)
+            tf = jnp.minimum(jnp.minimum(tf, jnp.maximum(u0, u1)), tmax)
+            e = jnp.where(tn <= tf, tn, BIG_F32)           # [SUBW,128]
+            e8 = jnp.min(e, axis=1, keepdims=True)         # [SUBW,1]
+            # blocks past the real count must never be selected
+            e8 = jnp.where(c * SUBW + sub_iota < n_blocks, e8, BIG_F32)
+            ecol_ref[pl.ds(c * SUBW, SUBW), :] = e8
+            return 0
 
-    def body(carry):
-        j, best_t, best_slot, _ = carry
-        slot = jax.lax.rem(j, D)
-        b = order_ref[0, 0, j]
-        dma(slot, src_of(b)).wait()
-        best_t, best_slot = test_block(best_t, best_slot, b, slot)
-        # refill this slot with block j+D (keeps D-1 fetches in flight
-        # under the next block's test)
-        @pl.when(j + D < n_blocks)
+        jax.lax.fori_loop(0, mpad // SUBW, entry_chunk, 0)
+
+        def select():
+            """Pop the block with the smallest tile-entry (front-to-back).
+            Entries live in the [Mpad, 1] sublane layout straight from
+            the entry phase — no relayout pass."""
+            e = ecol_ref[...]                              # [Mpad, 1]
+            v = jnp.min(e)
+            i = jnp.argmin(e, axis=0)[0]                   # sublane row
+            ecol_ref[pl.ds(i, 1), :] = jnp.full((1, 1), BIG_F32)
+            return i.astype(jnp.int32), v
+
+        def src_of(b):
+            # expanded block -> physical column block (instanced TLAS)
+            return src_ref[0, b] if instanced else b
+
+        def rays_for(b):
+            """Ray tile in the tested block's source space: world blocks
+            use the rays as-is; instance blocks inverse-transform them
+            with the direction left UNNORMALIZED so t stays
+            world-parameterized (Primitive.cpp:47-66)."""
+            if not instanced:
+                return ox, oy, oz, dx, dy, dz
+            inst = inst_ref[0, b]
+            ii = jnp.maximum(inst, 0)
+            m = [inv_ref[ii, c] for c in range(12)]
+            oxl = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
+            oyl = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
+            ozl = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
+            dxl = m[0] * dx + m[1] * dy + m[2] * dz
+            dyl = m[4] * dx + m[5] * dy + m[6] * dz
+            dzl = m[8] * dx + m[9] * dy + m[10] * dz
+            use = inst >= 0
+            return (jnp.where(use, oxl, ox), jnp.where(use, oyl, oy),
+                    jnp.where(use, ozl, oz), jnp.where(use, dxl, dx),
+                    jnp.where(use, dyl, dy), jnp.where(use, dzl, dz))
+
+        def dma(slot, src):
+            return pltpu.make_async_copy(
+                tri_hbm.at[:, pl.ds(src * K, K)],
+                scratch.at[slot], sem.at[slot])
+
+        def test_block(best_t, best_slot, b, slot):
+            ox, oy, oz, dx, dy, dz = rays_for(b)
+            # sub-chunks bound the [SUB, 128] VPU intermediates to VMEM
+            for sub in range(K // SUB):
+                tri = scratch[slot, :, sub * SUB:(sub + 1) * SUB]
+                col = lambda i: tri[i, :][:, None]             # [SUB, 1]
+                # Möller–Trumbore: [SUB, 128] = prim sublanes x ray lanes
+                e1x, e1y, e1z = col(3), col(4), col(5)
+                e2x, e2y, e2z = col(6), col(7), col(8)
+                hx = dy * e2z - dz * e2y
+                hy = dz * e2x - dx * e2z
+                hz = dx * e2y - dy * e2x
+                det = e1x * hx + e1y * hy + e1z * hz
+                near0 = jnp.abs(det) < 1e-9
+                inv_det = 1.0 / jnp.where(near0, 1.0, det)
+                sx = ox - col(0)
+                sy = oy - col(1)
+                sz = oz - col(2)
+                u = (sx * hx + sy * hy + sz * hz) * inv_det
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv_det
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                ok = (~near0 & (u >= 0) & (u <= 1) & (v >= 0)
+                      & (u + v <= 1) & (t >= t_min) & (t < best_t))
+                t = jnp.where(ok, t, BIG_F32)
+                kbest = jnp.argmin(t, axis=0)                  # [128]
+                tbest = jnp.min(t, axis=0)[None, :]            # [1,128]
+                better = tbest < best_t
+                best_t = jnp.where(better, tbest, best_t)
+                best_slot = jnp.where(
+                    better, (b * K + sub * SUB + kbest)[None, :],
+                    best_slot)
+            return best_t, best_slot
+
+        # ---- phase 2: selection-driven traversal, one-ahead prefetch ----
+        b0, e0 = select()
+        live0 = e0 < BIG_F32 * 0.5
+
+        @pl.when(live0)
         def _():
-            dma(slot, src_of(order_ref[0, 0, j + D])).start()
-        j = j + 1
-        jc = jnp.minimum(j, n_blocks - 1)
-        nxt = sentry_ref[0, 0, jc]
-        if any_hit:
-            # done when every ray found some hit or candidates exhausted
-            live = (j < n_blocks) & (nxt < BIG_F32 * 0.5) \
-                & ~jnp.all(best_slot >= 0)
-        else:
-            live = (j < n_blocks) & (nxt < jnp.max(best_t))
-        return j, best_t, best_slot, live
+            dma(0, src_of(b0)).start()
 
-    best_t0 = tmax_ref[0]
-    best_slot0 = jnp.full(best_t0.shape, -1, jnp.int32)
-    live0 = sentry_ref[0, 0, 0] < BIG_F32 * 0.5
-    j, best_t, best_slot, _ = jax.lax.while_loop(
-        cond, body, (jnp.asarray(0, jnp.int32), best_t0, best_slot0, live0))
-    # drain in-flight prefetches: blocks [j, min(j+D, n_blocks)) were
-    # started but never consumed (early exit / never entered)
-    for i in range(min(D, n_blocks)):
-        @pl.when(j + i < n_blocks)
-        def _(i=i):
-            idx = j + i
-            dma(jax.lax.rem(idx, D),
-                src_of(order_ref[0, 0, idx])).wait()
-    out_t_ref[0] = best_t
-    out_slot_ref[0] = best_slot
+        def cond(carry):
+            return carry[5]
+
+        def body(carry):
+            b, e, slot, best_t, best_slot, _ = carry
+            nb, ne = select()
+            has_next = ne < BIG_F32 * 0.5
+            # prefetch the next selected block while testing this one
+            @pl.when(has_next)
+            def _():
+                dma(1 - slot, src_of(nb)).start()
+            dma(slot, src_of(b)).wait()
+            best_t, best_slot = test_block(best_t, best_slot, b, slot)
+            if any_hit:
+                live = has_next & ~jnp.all(best_slot >= 0)
+            else:
+                # entryDist t-max culling (BVH.hpp:1129-1135) at tile
+                # granularity: stop when the closest unvisited block
+                # starts beyond the tile's worst best hit
+                live = has_next & (ne < jnp.max(best_t))
+            @pl.when(has_next & ~live)
+            def _():
+                dma(1 - slot, src_of(nb)).wait()
+            return nb, ne, 1 - slot, best_t, best_slot, live
+
+        best_t0 = tmax
+        best_slot0 = jnp.full((1, TILE), -1, jnp.int32)
+        _, _, _, best_t, best_slot, _ = jax.lax.while_loop(
+            cond, body,
+            (b0, e0, jnp.asarray(0, jnp.int32), best_t0, best_slot0,
+             live0))
+        out_t_ref[0, pl.ds(tt, 1), :] = best_t
+        out_slot_ref[0, pl.ds(tt, 1), :] = best_slot
+        return 0
+
+    jax.lax.fori_loop(0, TPS, run_tile, 0)
 
 
 def _tile_order(blk_lo, blk_hi, ox, oy, oz, ix, iy, iz, t_min, t_max):
@@ -403,9 +496,10 @@ def _tile_order(blk_lo, blk_hi, ox, oy, oz, ix, iy, iz, t_min, t_max):
     return order, sentry
 
 
-@functools.partial(jax.jit, static_argnames=("block_k", "any_hit"))
+@functools.partial(jax.jit, static_argnames=("block_k", "any_hit",
+                                             "debug_phase"))
 def pallas_tri_intersect(scene, origin, direction, t_max, block_k: int,
-                         any_hit: bool = False):
+                         any_hit: bool = False, debug_phase: int = 0):
     """Closest-hit over the triangle block tables via the Pallas kernel.
 
     Returns dict(t [N], tri [N] original-triangle-id, inst [N], valid [N]);
@@ -415,40 +509,44 @@ def pallas_tri_intersect(scene, origin, direction, t_max, block_k: int,
     """
     n = origin.shape[0]
     assert n % TILE == 0, n
-    tiles = n // TILE
     m = scene["pk_blk_lo"].shape[0]
     K = block_k
     instanced = "pk_blk_src" in scene
 
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    # pad to a whole number of TPS-tile groups; padded rays get t_max=0
+    # (their tiles select no blocks and exit immediately)
+    n2 = -(-n // (TILE * TPS)) * (TILE * TPS)
+    if n2 != n:
+        origin = jnp.pad(origin, ((0, n2 - n), (0, 0)))
+        direction = jnp.pad(direction, ((0, n2 - n), (0, 0)),
+                            constant_values=1.0)
+        t_max = jnp.pad(t_max, (0, n2 - n))
+    groups = n2 // (TILE * TPS)
+
     ox, oy, oz = origin[:, 0], origin[:, 1], origin[:, 2]
     dx, dy, dz = direction[:, 0], direction[:, 1], direction[:, 2]
+    mpad = -(-m // 128) * 128
+    # block boxes with blocks in SUBLANES for the in-kernel entry phase
+    box = jnp.concatenate(
+        [scene["pk_blk_lo"], scene["pk_blk_hi"],
+         jnp.zeros((m, 2), jnp.float32)], 1)               # [M, 8]
+    box = jnp.pad(box, ((0, mpad - m), (0, 0)))
 
-    def inv(c):
-        return 1.0 / jnp.where(jnp.abs(c) < 1e-32,
-                               jnp.where(c < 0, -1e-32, 1e-32), c)
-
-    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    t_min = jnp.full((n,), SHADOW_EPS)
-    order, sentry = _tile_order(scene["pk_blk_lo"], scene["pk_blk_hi"],
-                                ox, oy, oz, inv(dx), inv(dy), inv(dz),
-                                t_min, t_max)
-
-    ray_spec = pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0),
+    ray_spec = pl.BlockSpec((1, TPS, TILE), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    # order/sentry are read as scalars inside the loop -> SMEM blocks
-    om_spec = pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0),
-                           memory_space=pltpu.SMEM)
+    box_spec = pl.BlockSpec(memory_space=pltpu.ANY)   # kernel DMAs once
 
     kernel = functools.partial(_kernel, block_k=K, n_blocks=m,
-                               any_hit=any_hit, instanced=instanced)
-    in_specs = [om_spec, om_spec] + [ray_spec] * 7 + [
+                               any_hit=any_hit, instanced=instanced,
+                               debug_phase=debug_phase)
+    in_specs = [box_spec] + [ray_spec] * 7 + [
         pl.BlockSpec(memory_space=pltpu.ANY)]
-    operands = [order.reshape(tiles, 1, m), sentry.reshape(tiles, 1, m),
-                ox.reshape(tiles, 1, TILE), oy.reshape(tiles, 1, TILE),
-                oz.reshape(tiles, 1, TILE),
-                dx.reshape(tiles, 1, TILE), dy.reshape(tiles, 1, TILE),
-                dz.reshape(tiles, 1, TILE), t_max.reshape(tiles, 1, TILE),
-                scene["pk_tri"]]
+    shp = (groups, TPS, TILE)
+    operands = [box,
+                ox.reshape(shp), oy.reshape(shp), oz.reshape(shp),
+                dx.reshape(shp), dy.reshape(shp), dz.reshape(shp),
+                t_max.reshape(shp), scene["pk_tri"]]
     if instanced:
         ninst = scene["pk_inst_inv"].shape[0]
 
@@ -466,17 +564,20 @@ def pallas_tri_intersect(scene, origin, direction, t_max, block_k: int,
     out_t, out_slot = pl.pallas_call(
         kernel,
         interpret=interpret,
-        grid=(tiles,),
+        grid=(groups,),
         in_specs=in_specs,
         out_specs=[ray_spec, ray_spec],
-        out_shape=[jax.ShapeDtypeStruct((tiles, 1, TILE), jnp.float32),
-                   jax.ShapeDtypeStruct((tiles, 1, TILE), jnp.int32)],
-        scratch_shapes=[pltpu.VMEM((min(4, max(m, 2)), 16, K), jnp.float32),
-                        pltpu.SemaphoreType.DMA((min(4, max(m, 2)),))],
+        out_shape=[jax.ShapeDtypeStruct(shp, jnp.float32),
+                   jax.ShapeDtypeStruct(shp, jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((2, 16, K), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.VMEM((mpad, 1), jnp.float32),
+                        pltpu.VMEM((mpad, 8), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
     )(*operands)
 
-    t = out_t.reshape(n)
-    slot = out_slot.reshape(n)
+    t = out_t.reshape(n2)[:n]
+    slot = out_slot.reshape(n2)[:n]
     valid = slot >= 0
     if instanced:
         # slot = expanded_block*K + offset: recover (instance, physical

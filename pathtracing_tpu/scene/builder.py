@@ -745,9 +745,11 @@ class SceneBuilder:
                 [i["count"] for i in self._inst])
             scene.update({k: jnp.asarray(v) for k, v in pk_arrays.items()})
         elif accel == "pallas" and nt:
-            if nt > 2_000_000:
-                # two-level kernel: keeps visited-block prim counts small
-                # at San-Miguel scale (single-level K grows with n/4096)
+            if nt > 65536:
+                # two-level kernel: visited-block prim counts stay small
+                # (K2=128 vs single-level K that grows with n/4096);
+                # measured 1.3-3x faster than single-level from ~30K tris
+                # up through San-Miguel scale
                 from ..accel.pallas_trace2 import build_tri_blocks2
                 pk_arrays, block_k = build_tri_blocks2(
                     np.asarray(self._tri["v"], np.float32))
