@@ -7,6 +7,13 @@ evaluated with masks and the results selected by type.  This is the
 TPU-idiomatic replacement for C++ virtual dispatch — lanes stay lockstep on
 the VPU and XLA fuses the whole shade stage.
 
+Geometry math runs in SCALARIZED component-triple form (see the note in
+core/math.py): directions/normals/frames are (x, y, z) tuples of [N]
+arrays — full-width VPU vectors — because [N,3] dots/crosses/normalizes
+pay minor-axis relayouts (measured 3.5x).  Colors stay [N,3] (their math
+is plain elementwise).  The public API still takes/returns [N,3]; pack/
+unpack happens once per call at the dispatch boundary.
+
 Material types:
   0 MICROFACET_DIFFUSE   (glTF metallic-roughness, Material.hpp:200-361)
   1 MICROFACET_DIELECTRIC(rough/smooth glass,      Material.hpp:363-598)
@@ -23,10 +30,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .math import (INV_PI, SHADOW_EPS, vdot, vdot_k, normalize,
-                   safe_normalize, safe_denom, onb_from_normal,
-                   onb_from_interaction, to_local, to_world, reflect,
-                   refract, cosine_sample_hemisphere, offset_ray)
+from .math import (INV_PI, safe_sqrt, safe_denom, offset_ray,
+                   unpack3, pack3, sdot, scross, ssafe_normalize,
+                   snormalize, sreflect, srefract, sonb_from_normal,
+                   sto_local, sto_world)
 
 MAT_DIFFUSE = 0
 MAT_DIELECTRIC = 1
@@ -35,6 +42,19 @@ MAT_CONDUCTOR = 3
 
 FLAG_TRANSMISSIVE = 1
 FLAG_SPECULAR = 2
+
+
+def _dot(a, b):
+    return sdot(a[0], a[1], a[2], b[0], b[1], b[2])
+
+
+def _neg(a):
+    return (-a[0], -a[1], -a[2])
+
+
+def _sel(c, a, b):
+    return (jnp.where(c, a[0], b[0]), jnp.where(c, a[1], b[1]),
+            jnp.where(c, a[2], b[2]))
 
 
 # ---------------------------------------------------------------------------
@@ -73,15 +93,15 @@ def roughness_to_alpha(r):
     return r * r
 
 
-def ggx_lambda(w, alpha):
-    cos2 = w[..., 2] * w[..., 2]
+def _ggx_lambda(wz, alpha):
+    cos2 = wz * wz
     sin2 = jnp.maximum(0.0, 1.0 - cos2)
     tan2 = sin2 / jnp.maximum(cos2, 1e-18)
     lam = 0.5 * (jnp.sqrt(1.0 + alpha * alpha * tan2) - 1.0)
     return jnp.where(cos2 == 0.0, 0.0, lam)
 
 
-def ggx_d(wh, alpha):
+def _ggx_d(whz, alpha):
     """GGX NDF; isotropic specialisation of Material.hpp:70-83.
 
     Uses the algebraically equivalent a^2 / (pi * (cos2*(a^2-1)+1)^2)
@@ -92,57 +112,83 @@ def ggx_d(wh, alpha):
     bound (1e-6, Material.hpp:116) below which lanes take the specular
     path anyway."""
     a2 = jnp.maximum(alpha * alpha, 1e-12)
-    cos2 = wh[..., 2] * wh[..., 2]
+    cos2 = whz * whz
     t = cos2 * (a2 - 1.0) + 1.0
     return a2 / jnp.maximum(jnp.pi * t * t, 1e-18)
 
 
-def ggx_g1(w, alpha):
-    return 1.0 / (1.0 + ggx_lambda(w, alpha))
+def _ggx_g1(wz, alpha):
+    return 1.0 / (1.0 + _ggx_lambda(wz, alpha))
 
 
-def ggx_g(wo, wi, alpha):
-    return 1.0 / (1.0 + ggx_lambda(wo, alpha) + ggx_lambda(wi, alpha))
+def _ggx_g(woz, wiz, alpha):
+    return 1.0 / (1.0 + _ggx_lambda(woz, alpha) + _ggx_lambda(wiz, alpha))
 
 
 def ggx_is_smooth(alpha):
     return alpha < 1e-6
 
 
-def ggx_sample_vndf(wo, alpha, u1, u2):
-    """Heitz 2018 VNDF sampling (Material.hpp:119-139), isotropic, with the
-    wo.z<0 flip of sampleWh (Material.hpp:97-102)."""
-    flip = wo[..., 2:3] < 0.0
-    ve = jnp.where(flip, -wo, wo)
-    vh = normalize(jnp.stack([alpha * ve[..., 0], alpha * ve[..., 1],
-                              ve[..., 2]], axis=-1), eps=1e-18)
-    lensq = vh[..., 0] * vh[..., 0] + vh[..., 1] * vh[..., 1]
+# [.,3]-array wrappers (public API / tests)
+def ggx_lambda(w, alpha):
+    return _ggx_lambda(w[..., 2], alpha)
+
+
+def ggx_d(wh, alpha):
+    return _ggx_d(wh[..., 2], alpha)
+
+
+def ggx_g1(w, alpha):
+    return _ggx_g1(w[..., 2], alpha)
+
+
+def ggx_g(wo, wi, alpha):
+    return _ggx_g(wo[..., 2], wi[..., 2], alpha)
+
+
+def _ggx_sample_vndf(wo, alpha, u1, u2):
+    """Heitz 2018 VNDF sampling (Material.hpp:119-139), isotropic, with
+    the wo.z<0 flip of sampleWh (Material.hpp:97-102).  wo is a triple;
+    returns a triple."""
+    flip = wo[2] < 0.0
+    ve = _sel(flip, _neg(wo), wo)
+    vh = snormalize(alpha * ve[0], alpha * ve[1], ve[2], eps=1e-18)
+    lensq = vh[0] * vh[0] + vh[1] * vh[1]
     inv_len = 1.0 / jnp.sqrt(jnp.maximum(lensq, 1e-18))
-    t1 = jnp.where((lensq > 0.0)[..., None],
-                   jnp.stack([-vh[..., 1] * inv_len, vh[..., 0] * inv_len,
-                              jnp.zeros_like(inv_len)], axis=-1),
-                   jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0],
-                                                wo.dtype), vh.shape))
-    t2 = jnp.cross(vh, t1)
+    has_xy = lensq > 0.0
+    t1 = (jnp.where(has_xy, -vh[1] * inv_len, 1.0),
+          jnp.where(has_xy, vh[0] * inv_len, 0.0),
+          jnp.zeros_like(vh[2]))
+    t2 = scross(*vh, *t1)
     r = jnp.sqrt(jnp.maximum(u1, 0.0))
     phi = 2.0 * jnp.pi * u2
     p1 = r * jnp.cos(phi)
     p2 = r * jnp.sin(phi)
-    s = 0.5 * (1.0 + vh[..., 2])
+    s = 0.5 * (1.0 + vh[2])
     p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1)) + s * p2
-    nh = (p1[..., None] * t1 + p2[..., None] * t2
-          + jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1 - p2 * p2))[..., None] * vh)
-    ne = normalize(jnp.stack([alpha * nh[..., 0], alpha * nh[..., 1],
-                              jnp.maximum(0.0, nh[..., 2])], axis=-1),
-                   eps=1e-18)
-    return jnp.where(flip, -ne, ne)
+    p3 = jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1 - p2 * p2))
+    nh = (p1 * t1[0] + p2 * t2[0] + p3 * vh[0],
+          p1 * t1[1] + p2 * t2[1] + p3 * vh[1],
+          p1 * t1[2] + p2 * t2[2] + p3 * vh[2])
+    ne = snormalize(alpha * nh[0], alpha * nh[1],
+                    jnp.maximum(0.0, nh[2]), eps=1e-18)
+    return _sel(flip, _neg(ne), ne)
+
+
+def ggx_sample_vndf(wo, alpha, u1, u2):
+    """[.,3] wrapper of _ggx_sample_vndf."""
+    return pack3(*_ggx_sample_vndf(unpack3(wo), alpha, u1, u2))
+
+
+def _ggx_vndf_pdf(wo, wh, alpha):
+    """PDF of VNDF sampling: D * G1(wo) * |dot(wo,wh)| / |wo.z|
+    (Material.hpp:104-106).  Triple inputs."""
+    return (_ggx_d(wh[2], alpha) * _ggx_g1(wo[2], alpha)
+            * jnp.abs(_dot(wo, wh) / safe_denom(wo[2], 1e-9)))
 
 
 def ggx_vndf_pdf(wo, wh, alpha):
-    """PDF of VNDF sampling: D * G1(wo) * |dot(wo,wh)| / |wo.z|
-    (Material.hpp:104-106)."""
-    return (ggx_d(wh, alpha) * ggx_g1(wo, alpha)
-            * jnp.abs(vdot(wo, wh) / safe_denom(wo[..., 2], 1e-9)))
+    return _ggx_vndf_pdf(unpack3(wo), unpack3(wh), alpha)
 
 
 # ---------------------------------------------------------------------------
@@ -156,18 +202,25 @@ def material_lanes(mat_type, base_color, roughness, metallic, ior):
 
 
 # ---------------------------------------------------------------------------
-# Shared frame computations
+# Shared frame computations (geometry unpacked once per dispatch)
 # ---------------------------------------------------------------------------
 
-def _frames(ray_dir, it):
-    """Returns the two local frames used by the reference materials."""
-    ns, n, tangent = it["ns"], it["n"], it["tangent"]
-    facing = vdot_k(ray_dir, ns) > 0.0
-    ns_flip = jnp.where(facing, -ns, ns)
-    flip_frame = onb_from_normal(ns_flip)                 # diffuse frame
-    tan_frame = onb_from_interaction(ns, tangent)         # dielectric frame
-    ng_facing = jnp.where(vdot_k(ray_dir, n) > 0.0, -n, n)
-    return flip_frame, tan_frame, ns_flip, ng_facing
+def _geom(ray_dir, it):
+    """Unpack the [N,3] boundary arrays into component triples + the two
+    local frames used by the reference materials."""
+    rd = unpack3(ray_dir)
+    ns = unpack3(it["ns"])
+    n = unpack3(it["n"])
+    tan = unpack3(it["tangent"])
+    facing = _dot(rd, ns) > 0.0
+    ns_flip = _sel(facing, _neg(ns), ns)
+    t_f, b_f = sonb_from_normal(*ns_flip)
+    flip_frame = (t_f, b_f, ns_flip)                      # diffuse frame
+    tan_frame = (tan, scross(*ns, *tan), ns)              # dielectric frame
+    ng_facing = _sel(_dot(rd, n) > 0.0, _neg(n), n)
+    return dict(rd=rd, ns=ns, n=n, ns_flip=ns_flip, ng_facing=ng_facing,
+                flip_frame=flip_frame, tan_frame=tan_frame,
+                p=it["p"], p_raw=it["p_raw"])
 
 
 # ---------------------------------------------------------------------------
@@ -179,70 +232,83 @@ def _diffuse_sample_prob(roughness):
 
 
 def _diffuse_f_pdf(base_color, metallic, roughness, wo, wi, wh):
-    """Shared diffuse+specular lobe math (scatter & calc_attenuation)."""
+    """Shared diffuse+specular lobe math (scatter & calc_attenuation).
+    wo/wi/wh are triples; returns (f [N,3], denom [N])."""
     alpha = roughness_to_alpha(roughness)
     f0 = (1.0 - metallic[..., None]) * 0.04 + metallic[..., None] * base_color
-    fr = fresnel_schlick(vdot(wi, wh), f0)
-    num = (ggx_d(wh, alpha) * ggx_g(wo, wi, alpha))[..., None] * fr
-    denom = jnp.abs(4.0 * wo[..., 2] * wi[..., 2])
+    fr = fresnel_schlick(_dot(wi, wh), f0)
+    num = (_ggx_d(wh[2], alpha) * _ggx_g(wo[2], wi[2], alpha))[..., None] * fr
+    denom = jnp.abs(4.0 * wo[2] * wi[2])
     spec = num / jnp.maximum(denom, 1e-18)[..., None]
     spec = jnp.where((denom == 0.0)[..., None], 0.0, spec)
     kd = (1.0 - fr) * (1.0 - metallic[..., None])
     return kd * base_color * INV_PI + spec, denom
 
 
-def _diffuse_sample(mat, ray_dir, it, u, uv2):
-    flip_frame, _, _, _ = _frames(ray_dir, it)
-    t, b, n = flip_frame
+def _cosine_sample_hemisphere(uv2):
+    """Component form of the reference's diffuse-lobe parameterisation
+    (Material.hpp:221-231): z = sqrt(1-u2)."""
+    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - uv2[..., 1]))
+    phi = 2.0 * jnp.pi * uv2[..., 0]
+    s = jnp.sqrt(jnp.maximum(0.0, uv2[..., 1]))
+    return jnp.cos(phi) * s, jnp.sin(phi) * s, z
+
+
+def _diffuse_sample(mat, g, u, uv2):
+    t, b, n = g["flip_frame"]
     roughness = jnp.maximum(mat["roughness"], 1e-4)
     alpha = roughness_to_alpha(roughness)
     prob = _diffuse_sample_prob(roughness)
-    wo = to_local(t, b, n, -ray_dir)
+    wo = sto_local(t, b, n, *_neg(g["rd"]))
     take_spec = u >= prob
 
     # detached sampling: the sampled half-vector is a constant for AD;
     # f and pdf stay differentiable w.r.t. roughness through D/G/PDF
-    wh_s = jax.lax.stop_gradient(
-        ggx_sample_vndf(wo, alpha, uv2[..., 0], uv2[..., 1]))
-    wi_s = reflect(-wo, wh_s)
-    wi_d = cosine_sample_hemisphere(uv2)
-    wh_d = safe_normalize(wo + wi_d)
-    wi = jnp.where(take_spec[..., None], wi_s, wi_d)
-    wh = jnp.where(take_spec[..., None], wh_s, wh_d)
-    valid = wi[..., 2] > 0.0
+    wh_s = jax.tree.map(jax.lax.stop_gradient,
+                        _ggx_sample_vndf(wo, alpha, uv2[..., 0],
+                                         uv2[..., 1]))
+    wi_s = sreflect(*_neg(wo), *wh_s)
+    wi_d = _cosine_sample_hemisphere(uv2)
+    wh_d = ssafe_normalize(wo[0] + wi_d[0], wo[1] + wi_d[1],
+                           wo[2] + wi_d[2])
+    wi = _sel(take_spec, wi_s, wi_d)
+    wh = _sel(take_spec, wh_s, wh_d)
+    valid = wi[2] > 0.0
 
-    diffuse_pdf = prob * wi[..., 2] * INV_PI
-    spec_pdf = ((1.0 - prob) * ggx_vndf_pdf(wo, wh, alpha)
-                / (4.0 * jnp.maximum(jnp.abs(vdot(wo, wh)), 1e-18)))
+    diffuse_pdf = prob * wi[2] * INV_PI
+    spec_pdf = ((1.0 - prob) * _ggx_vndf_pdf(wo, wh, alpha)
+                / (4.0 * jnp.maximum(jnp.abs(_dot(wo, wh)), 1e-18)))
     pdf = diffuse_pdf + spec_pdf
 
     f, denom = _diffuse_f_pdf(mat["base_color"], mat["metallic"], roughness,
                               wo, wi, wh)
     valid = valid & (denom != 0.0)
-    wi_world = to_world(t, b, n, wi)
+    wi_world = sto_world(t, b, n, *wi)
     flags = jnp.zeros_like(u, dtype=jnp.uint32)
-    origin = it["p"]
+    origin = g["p"]
     return wi_world, f, pdf, flags, valid, origin
 
 
-def _diffuse_eval_pdf(mat, ray_dir, it, wi_world):
-    flip_frame, _, _, _ = _frames(ray_dir, it)
-    t, b, n = flip_frame
+def _diffuse_eval_pdf(mat, g, wi_w):
+    t, b, n = g["flip_frame"]
     roughness = jnp.maximum(mat["roughness"], 1e-4)
     alpha = roughness_to_alpha(roughness)
-    wo = to_local(t, b, n, -ray_dir)
-    wi = to_local(t, b, n, wi_world)
-    wh = safe_normalize(wo + wi)
+    rd = g["rd"]
+    wo = sto_local(t, b, n, *_neg(rd))
+    wi = sto_local(t, b, n, *wi_w)
+    wh = ssafe_normalize(wo[0] + wi[0], wo[1] + wi[1], wo[2] + wi[2])
     f, _ = _diffuse_f_pdf(mat["base_color"], mat["metallic"], roughness,
                           wo, wi, wh)
     # PDF() (Material.hpp:281-296): wh from scattered-incoming, NOTE the
     # reference omits the (1-prob) factor on the specular term here; we
     # reproduce that for exact MIS-weight parity.
-    wh_pdf = to_local(t, b, n, safe_normalize(wi_world - ray_dir))
+    whp_w = ssafe_normalize(wi_w[0] - rd[0], wi_w[1] - rd[1],
+                            wi_w[2] - rd[2])
+    wh_pdf = sto_local(t, b, n, *whp_w)
     prob = _diffuse_sample_prob(roughness)
-    diffuse = prob * jnp.abs(vdot(it["ns"], wi_world)) * INV_PI
-    spec = (ggx_vndf_pdf(wo, wh_pdf, alpha)
-            / (4.0 * jnp.maximum(jnp.abs(vdot(wo, wh_pdf)), 1e-18)))
+    diffuse = prob * jnp.abs(_dot(g["ns"], wi_w)) * INV_PI
+    spec = (_ggx_vndf_pdf(wo, wh_pdf, alpha)
+            / (4.0 * jnp.maximum(jnp.abs(_dot(wo, wh_pdf)), 1e-18)))
     return f, diffuse + spec
 
 
@@ -250,33 +316,35 @@ def _diffuse_eval_pdf(mat, ray_dir, it, wi_world):
 # MicrofacetDielectric (Material.hpp:363-598)
 # ---------------------------------------------------------------------------
 
-def _dielectric_sample(mat, ray_dir, it, u, uv2):
-    _, tan_frame, ns_flip, ng_facing = _frames(ray_dir, it)
-    t, b, n = tan_frame
-    ns = it["ns"]
+def _dielectric_sample(mat, g, u, uv2):
+    t, b, n = g["tan_frame"]
+    ns = g["ns"]
+    ns_flip = g["ns_flip"]
+    ng_facing = g["ng_facing"]
+    rd = g["rd"]
     ri = mat["ior"]
     roughness = mat["roughness"]
     alpha = roughness_to_alpha(roughness)
     smooth = (ri == 1.0) | ggx_is_smooth(alpha)
 
-    wo = to_local(t, b, n, -ray_dir)
-    eta = jnp.where(vdot(-ray_dir, ns) > 0.0, 1.0 / ri, ri)
-    p_raw = it["p_raw"]
+    wo = sto_local(t, b, n, *_neg(rd))
+    eta = jnp.where(_dot(_neg(rd), ns) > 0.0, 1.0 / ri, ri)
+    p_raw = g["p_raw"]
     base = mat["base_color"]
 
     # ---- smooth path (Material.hpp:402-435)
-    f_s = fresnel_dielectric(wo[..., 2], ri)
+    f_s = fresnel_dielectric(wo[2], ri)
     r_s = f_s
     refl_s = u < r_s
-    dir_refl_s = to_world(t, b, n, jnp.stack(
-        [-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1))
-    dir_refr_s = refract(ray_dir, ns_flip, eta[..., None])
-    refr_tir = vdot(dir_refr_s, dir_refr_s) == 0.0
-    dir_smooth = jnp.where(refl_s[..., None], dir_refl_s, dir_refr_s)
-    origin_smooth = jnp.where(refl_s[..., None],
-                              offset_ray(p_raw, ng_facing),
-                              offset_ray(p_raw, -ng_facing))
-    denom_s = jnp.maximum(jnp.abs(vdot(ns, dir_smooth)), 1e-18)
+    dir_refl_s = sto_world(t, b, n, -wo[0], -wo[1], wo[2])
+    dir_refr_s = srefract(*rd, *ns_flip, eta)
+    refr_tir = _dot(dir_refr_s, dir_refr_s) == 0.0
+    dir_smooth = _sel(refl_s, dir_refl_s, dir_refr_s)
+    origin_smooth = jnp.where(
+        refl_s[..., None],
+        offset_ray(p_raw, pack3(*ng_facing)),
+        offset_ray(p_raw, -pack3(*ng_facing)))
+    denom_s = jnp.maximum(jnp.abs(_dot(ns, dir_smooth)), 1e-18)
     fval_smooth = base * (jnp.where(refl_s, r_s, 1.0 - r_s)
                           / denom_s)[..., None]
     pdf_smooth = jnp.where(refl_s, r_s, 1.0 - r_s)
@@ -285,45 +353,48 @@ def _dielectric_sample(mat, ray_dir, it, u, uv2):
                                  dtype=jnp.uint32)
 
     # ---- rough path (Material.hpp:436-476); wh detached (see diffuse)
-    wh = jax.lax.stop_gradient(
-        ggx_sample_vndf(wo, alpha, uv2[..., 0], uv2[..., 1]))
-    f_r = fresnel_dielectric(vdot(wo, wh), 1.0 / eta)
+    wh = jax.tree.map(jax.lax.stop_gradient,
+                      _ggx_sample_vndf(wo, alpha, uv2[..., 0],
+                                       uv2[..., 1]))
+    f_r = fresnel_dielectric(_dot(wo, wh), 1.0 / eta)
     r_r = f_r
     t_r = 1.0 - r_r
     refl_r = u < r_r / jnp.maximum(r_r + t_r, 1e-18)
 
-    wi_refl = reflect(-wo, wh)
-    valid_refl = wo[..., 2] * wi_refl[..., 2] >= 0.0
-    pdf_refl = (ggx_vndf_pdf(wo, wh, alpha)
-                / (4.0 * jnp.maximum(jnp.abs(vdot(wo, wh)), 1e-18)) * r_r)
-    f_refl = base * (ggx_d(wh, alpha) * ggx_g(wo, wi_refl, alpha) * r_r
-                     / jnp.maximum(jnp.abs(4.0 * wi_refl[..., 2]
-                                           * wo[..., 2]), 1e-18))[..., None]
+    wi_refl = sreflect(*_neg(wo), *wh)
+    valid_refl = wo[2] * wi_refl[2] >= 0.0
+    pdf_refl = (_ggx_vndf_pdf(wo, wh, alpha)
+                / (4.0 * jnp.maximum(jnp.abs(_dot(wo, wh)), 1e-18)) * r_r)
+    f_refl = base * (_ggx_d(wh[2], alpha)
+                     * _ggx_g(wo[2], wi_refl[2], alpha) * r_r
+                     / jnp.maximum(jnp.abs(4.0 * wi_refl[2]
+                                           * wo[2]), 1e-18))[..., None]
 
-    wi_refr = refract(-wo, wh, eta[..., None])
-    valid_refr = (wo[..., 2] * wi_refr[..., 2] <= 0.0) \
-        & (wi_refr[..., 2] != 0.0) \
-        & (vdot(wi_refr, wi_refr) > 0.0)
-    dwo = vdot(wo, wh)
-    dwi = vdot(wi_refr, wh)
+    wi_refr = srefract(*_neg(wo), *wh, eta)
+    valid_refr = (wo[2] * wi_refr[2] <= 0.0) \
+        & (wi_refr[2] != 0.0) \
+        & (_dot(wi_refr, wi_refr) > 0.0)
+    dwo = _dot(wo, wh)
+    dwi = _dot(wi_refr, wh)
     denom_r = jnp.maximum((dwi + dwo * eta) ** 2, 1e-18)
     dwh_dwi = jnp.abs(dwi) / denom_r
-    pdf_refr = ggx_vndf_pdf(wo, wh, alpha) * dwh_dwi * t_r
+    pdf_refr = _ggx_vndf_pdf(wo, wh, alpha) * dwh_dwi * t_r
     # guard: the divisor denom_r*wi.z*wo.z underflows to 0 on masked lanes
     # (0/0 = NaN would poison the batch); compute it as a single guarded
     # quotient and zero invalid lanes explicitly.
-    div = denom_r * wi_refr[..., 2] * wo[..., 2]
+    div = denom_r * wi_refr[2] * wo[2]
     div_ok = jnp.abs(div) > 1e-16
-    ft = (t_r * ggx_d(wh, alpha) * ggx_g(wo, wi_refr, alpha)
+    ft = (t_r * _ggx_d(wh[2], alpha) * _ggx_g(wo[2], wi_refr[2], alpha)
           * jnp.abs(dwi * dwo / safe_denom(div, 1e-16)))
     ft = jnp.where(valid_refr & div_ok, ft, 0.0)
     f_refr = base * ft[..., None]
 
-    wi_rough = jnp.where(refl_r[..., None], wi_refl, wi_refr)
-    dir_rough = to_world(t, b, n, wi_rough)
-    origin_rough = jnp.where(refl_r[..., None],
-                             offset_ray(p_raw, ng_facing),
-                             offset_ray(p_raw, -ng_facing))
+    wi_rough = _sel(refl_r, wi_refl, wi_refr)
+    dir_rough = sto_world(t, b, n, *wi_rough)
+    origin_rough = jnp.where(
+        refl_r[..., None],
+        offset_ray(p_raw, pack3(*ng_facing)),
+        offset_ray(p_raw, -pack3(*ng_facing)))
     fval_rough = jnp.where(refl_r[..., None], f_refl, f_refr)
     pdf_rough = jnp.where(refl_r, pdf_refl, pdf_refr)
     valid_rough = jnp.where(refl_r, valid_refl, valid_refr)
@@ -331,58 +402,59 @@ def _dielectric_sample(mat, ray_dir, it, u, uv2):
                    | jnp.where(roughness < 0.001, FLAG_SPECULAR,
                                0).astype(jnp.uint32))
 
-    sm = smooth[..., None]
-    wi_world = jnp.where(sm, dir_smooth, dir_rough)
-    f = jnp.where(sm, fval_smooth, fval_rough)
+    wi_world = _sel(smooth, dir_smooth, dir_rough)
+    f = jnp.where(smooth[..., None], fval_smooth, fval_rough)
     pdf = jnp.where(smooth, pdf_smooth, pdf_rough)
     flags = jnp.where(smooth, flags_smooth, flags_rough)
     valid = jnp.where(smooth, valid_smooth, valid_rough)
-    origin = jnp.where(sm, origin_smooth, origin_rough)
+    origin = jnp.where(smooth[..., None], origin_smooth, origin_rough)
     return wi_world, f, pdf, flags, valid, origin
 
 
-def _dielectric_eval_pdf(mat, ray_dir, it, wi_world):
+def _dielectric_eval_pdf(mat, g, wi_w):
     """calc_attenuation + PDF (Material.hpp:484-564)."""
-    _, tan_frame, _, _ = _frames(ray_dir, it)
-    t, b, n = tan_frame
+    t, b, n = g["tan_frame"]
+    rd = g["rd"]
     ri = mat["ior"]
     roughness = mat["roughness"]
     alpha = roughness_to_alpha(roughness)
     smooth = (ri == 1.0) | ggx_is_smooth(alpha)
 
-    wo = to_local(t, b, n, -ray_dir)
-    wi = to_local(t, b, n, wi_world)
-    cos_o = wo[..., 2]
-    cos_i = wi[..., 2]
+    wo = sto_local(t, b, n, *_neg(rd))
+    wi = sto_local(t, b, n, *wi_w)
+    cos_o = wo[2]
+    cos_i = wi[2]
     is_reflect = cos_i * cos_o > 0.0
     etap = jnp.where(is_reflect, 1.0, jnp.where(cos_o > 0.0, ri, 1.0 / ri))
-    wh = wi * etap[..., None] + wo
-    wh_zero = vdot(wh, wh) == 0.0
-    wh = safe_normalize(jnp.where(wh_zero[..., None],
-                                  jnp.ones_like(wh), wh))
-    wh = jnp.where((wh[..., 2] < 0.0)[..., None], -wh, wh)
-    degenerate = (vdot(wh, wi) * cos_i <= 0.0) | (vdot(wh, wo) * cos_o <= 0.0)
+    wh = (wi[0] * etap + wo[0], wi[1] * etap + wo[1], wi[2] * etap + wo[2])
+    wh_zero = _dot(wh, wh) == 0.0
+    wh = _sel(wh_zero, (jnp.ones_like(wh[0]),) * 3, wh)
+    wh = ssafe_normalize(*wh)
+    wh = _sel(wh[2] < 0.0, _neg(wh), wh)
+    degenerate = (_dot(wh, wi) * cos_i <= 0.0) \
+        | (_dot(wh, wo) * cos_o <= 0.0)
 
-    fr = fresnel_dielectric(vdot(wo, wh), ri)
+    fr = fresnel_dielectric(_dot(wo, wh), ri)
     r = fr
     tt = 1.0 - r
 
-    vpdf = ggx_vndf_pdf(wo, wh, alpha)
-    pdf_reflect = vpdf / (4.0 * jnp.maximum(jnp.abs(vdot(wo, wh)), 1e-18)) \
+    vpdf = _ggx_vndf_pdf(wo, wh, alpha)
+    pdf_reflect = vpdf / (4.0 * jnp.maximum(jnp.abs(_dot(wo, wh)), 1e-18)) \
         * r / jnp.maximum(r + tt, 1e-18)
-    denom_pdf = jnp.maximum((vdot(wi, wh) + vdot(wo, wh) / etap) ** 2, 1e-18)
-    dwh_dwi = jnp.abs(vdot(wi, wh)) / denom_pdf
+    denom_pdf = jnp.maximum((_dot(wi, wh) + _dot(wo, wh) / etap) ** 2,
+                            1e-18)
+    dwh_dwi = jnp.abs(_dot(wi, wh)) / denom_pdf
     pdf_refract = vpdf * dwh_dwi * tt / jnp.maximum(r + tt, 1e-18)
     pdf = jnp.where(is_reflect, pdf_reflect, pdf_refract)
 
     base = mat["base_color"]
-    d = ggx_d(wh, alpha)
-    g = ggx_g(wo, wi, alpha)
-    f_reflect = base * (d * g * fr / jnp.maximum(
+    d = _ggx_d(wh[2], alpha)
+    gg = _ggx_g(cos_o, cos_i, alpha)
+    f_reflect = base * (d * gg * fr / jnp.maximum(
         jnp.abs(4.0 * cos_i * cos_o), 1e-18))[..., None]
     denom_f = denom_pdf * cos_i * cos_o
-    ft = d * (1.0 - fr) * g * jnp.abs(
-        vdot(wi, wh) * vdot(wo, wh) / safe_denom(denom_f, 1e-16))
+    ft = d * (1.0 - fr) * gg * jnp.abs(
+        _dot(wi, wh) * _dot(wo, wh) / safe_denom(denom_f, 1e-16))
     f_refract = base * ft[..., None]
     f = jnp.where(is_reflect[..., None], f_reflect, f_refract)
 
@@ -396,12 +468,13 @@ def _dielectric_eval_pdf(mat, ray_dir, it, wi_world):
 # ThinDielectric (Material.hpp:601-657)
 # ---------------------------------------------------------------------------
 
-def _thin_sample(mat, ray_dir, it, u, uv2):
-    _, tan_frame, _, ng_facing = _frames(ray_dir, it)
-    t, b, n = tan_frame
-    ns = it["ns"]
-    wo = to_local(t, b, n, -ray_dir)
-    fr = fresnel_dielectric(wo[..., 2], mat["ior"])
+def _thin_sample(mat, g, u, uv2):
+    t, b, n = g["tan_frame"]
+    ns = g["ns"]
+    ng_facing = g["ng_facing"]
+    rd = g["rd"]
+    wo = sto_local(t, b, n, *_neg(rd))
+    fr = fresnel_dielectric(wo[2], mat["ior"])
     r = fr
     tt = 1.0 - r
     # interreflection series (Material.hpp:614-617)
@@ -410,14 +483,12 @@ def _thin_sample(mat, ray_dir, it, u, uv2):
     t_adj = 1.0 - r_adj
 
     take_refl = u < r_adj
-    dir_refl = to_world(t, b, n, jnp.stack(
-        [-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1))
-    dir_pass = ray_dir
-    wi_world = jnp.where(take_refl[..., None], dir_refl, dir_pass)
+    dir_refl = sto_world(t, b, n, -wo[0], -wo[1], wo[2])
+    wi_world = _sel(take_refl, dir_refl, rd)
     origin = jnp.where(take_refl[..., None],
-                       offset_ray(it["p_raw"], ng_facing),
-                       offset_ray(it["p_raw"], -ng_facing))
-    denom = jnp.maximum(jnp.abs(vdot(ns, wi_world)), 1e-18)
+                       offset_ray(g["p_raw"], pack3(*ng_facing)),
+                       offset_ray(g["p_raw"], -pack3(*ng_facing)))
+    denom = jnp.maximum(jnp.abs(_dot(ns, wi_world)), 1e-18)
     amount = jnp.where(take_refl, r_adj, t_adj)
     f = mat["base_color"] * (amount / denom)[..., None]
     pdf = amount
@@ -431,16 +502,16 @@ def _thin_sample(mat, ray_dir, it, u, uv2):
 # SpecularConductor (Material.hpp:660-673)
 # ---------------------------------------------------------------------------
 
-def _conductor_sample(mat, ray_dir, it, u, uv2):
-    ns = it["ns"]
-    wi_world = reflect(ray_dir, ns)
-    d = vdot(wi_world, ns)
+def _conductor_sample(mat, g, u, uv2):
+    ns = g["ns"]
+    wi_world = sreflect(*g["rd"], *ns)
+    d = _dot(wi_world, ns)
     valid = d > 0.0
-    f = fresnel_schlick(vdot(ns, -ray_dir), mat["base_color"]) \
+    f = fresnel_schlick(_dot(ns, _neg(g["rd"])), mat["base_color"]) \
         / jnp.maximum(d, 1e-18)[..., None]
     pdf = jnp.ones_like(u)
     flags = jnp.full_like(u, FLAG_SPECULAR, dtype=jnp.uint32)
-    return wi_world, f, pdf, flags, valid, it["p"]
+    return wi_world, f, pdf, flags, valid, g["p"]
 
 
 # ---------------------------------------------------------------------------
@@ -466,6 +537,7 @@ def bsdf_sample(mat, ray_dir, it, u, uv2, present=ALL_MATS):
     """
     u = jax.lax.stop_gradient(u)
     uv2 = jax.lax.stop_gradient(uv2)
+    g = _geom(ray_dir, it)
     fns = [_diffuse_sample, _dielectric_sample, _thin_sample,
            _conductor_sample]
     mtype = mat["type"]
@@ -473,19 +545,22 @@ def bsdf_sample(mat, ray_dir, it, u, uv2, present=ALL_MATS):
     for k in range(4):
         if not present[k]:
             continue
-        res = fns[k](mat, ray_dir, it, u, uv2)
+        res = fns[k](mat, g, u, uv2)
         if out is None:
             out = list(res)
             continue
         sel = mtype == k
-        for idx in range(6):
-            v = res[idx]
-            s_ = sel[..., None] if v.ndim > sel.ndim else sel
-            out[idx] = jnp.where(s_, v, out[idx])
+        wi, f, pdf, flags, valid, origin = res
+        out[0] = _sel(sel, wi, out[0])
+        out[1] = jnp.where(sel[..., None], f, out[1])
+        out[2] = jnp.where(sel, pdf, out[2])
+        out[3] = jnp.where(sel, flags, out[3])
+        out[4] = jnp.where(sel, valid, out[4])
+        out[5] = jnp.where(sel[..., None], origin, out[5])
     if out is None:
-        out = list(_diffuse_sample(mat, ray_dir, it, u, uv2))
-    wi, f, pdf, flags, valid, origin = out
-    wi = jax.lax.stop_gradient(wi)
+        out = list(_diffuse_sample(mat, g, u, uv2))
+    wi3, f, pdf, flags, valid, origin = out
+    wi = jax.lax.stop_gradient(pack3(*wi3))
     origin = jax.lax.stop_gradient(origin)
     return wi, f, pdf, flags, valid, origin
 
@@ -494,8 +569,10 @@ def bsdf_eval_pdf(mat, ray_dir, it, wi_world, present=ALL_MATS):
     """calc_attenuation + PDF for NEE / MIS.  Thin dielectric and conductor
     return zeros (specular-only, Material.hpp:646-652,660-673)."""
     mtype = mat["type"]
+    g = _geom(ray_dir, it)
+    wi3 = unpack3(wi_world)
     if present[MAT_DIFFUSE]:
-        f, pdf = _diffuse_eval_pdf(mat, ray_dir, it, wi_world)
+        f, pdf = _diffuse_eval_pdf(mat, g, wi3)
         is_d = mtype == MAT_DIFFUSE
         f = jnp.where(is_d[..., None], f, 0.0)
         pdf = jnp.where(is_d, pdf, 0.0)
@@ -503,7 +580,7 @@ def bsdf_eval_pdf(mat, ray_dir, it, wi_world, present=ALL_MATS):
         f = jnp.zeros(wi_world.shape, wi_world.dtype)
         pdf = jnp.zeros(mtype.shape, jnp.float32)
     if present[MAT_DIELECTRIC]:
-        f_g, p_g = _dielectric_eval_pdf(mat, ray_dir, it, wi_world)
+        f_g, p_g = _dielectric_eval_pdf(mat, g, wi3)
         is_g = mtype == MAT_DIELECTRIC
         f = jnp.where(is_g[..., None], f_g, f)
         pdf = jnp.where(is_g, p_g, pdf)

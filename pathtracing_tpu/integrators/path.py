@@ -164,8 +164,11 @@ def sample_ld(scene, meta, cfg, ray_dir, it, mat, is_medium_vertex,
                          ls["dist"] * (1.0 - 1e-3) - SHADOW_EPS)
 
     # surface: backface rejection (Integrators.cpp:279,460)
-    cos_s = vdot(it["ns"], sdir)
-    surf_reject = cos_s * vdot(ray_dir, it["ns"]) >= 0.0
+    nsx, nsy, nsz = it["ns"][:, 0], it["ns"][:, 1], it["ns"][:, 2]
+    cos_s = nsx * sdir[:, 0] + nsy * sdir[:, 1] + nsz * sdir[:, 2]
+    cos_o = (nsx * ray_dir[:, 0] + nsy * ray_dir[:, 1]
+             + nsz * ray_dir[:, 2])
+    surf_reject = cos_s * cos_o >= 0.0
 
     # f and sampling pdf
     f_surf, pdf_surf = bsdf_eval_pdf(
@@ -386,7 +389,9 @@ def trace(scene, cam, meta, cfg: RenderConfig, origin, direction, time,
             new_prev_pdf = state["prev_pdf"]
 
         # ---- throughput update (Integrators.cpp:247)
-        cos_wi = jnp.abs(vdot(it["ns"], wi))
+        cos_wi = jnp.abs(it["ns"][:, 0] * wi[:, 0]
+                         + it["ns"][:, 1] * wi[:, 1]
+                         + it["ns"][:, 2] * wi[:, 2])
         tput_new = tput * f * (cos_wi / jnp.maximum(pdf, 1e-18))[:, None]
         tput = jnp.where(scattered[:, None], tput_new, tput)
 

@@ -32,28 +32,46 @@ def _chunks(n: int):
 # Per-shape batched intersection tests: rays [N,3] x prims [C,...] -> [N,C]
 # ---------------------------------------------------------------------------
 
-def _ray_origins(o, vel, time):
-    """Per-(ray, prim) effective origins: a prim moving at `vel` hit by a
-    ray at `time` is the static prim hit from origin o - vel*time
-    (AnimatedPrimitive re-wrap, Primitive.cpp:77-96)."""
+def _ray_origin_comps(o, vel, time):
+    """Per-(ray, prim) effective origin components [N,C(|1)]: a prim
+    moving at `vel` hit by a ray at `time` is the static prim hit from
+    origin o - vel*time (AnimatedPrimitive re-wrap, Primitive.cpp:77-96).
+
+    All hit tests below run on COMPONENT arrays ([N,1] ray x [1,C] prim
+    broadcasts -> full-width [N,C] VPU ops); see the scalarized-math note
+    in core/math.py — the [N,C,3] cross/dot forms pay minor-axis
+    relayouts."""
+    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]          # [N,1]
     if vel is None or time is None:
-        return o[:, None, :]
-    return o[:, None, :] - vel[None] * time[:, None, None]
+        return ox, oy, oz
+    tt = time[:, None]
+    return (ox - vel[None, :, 0] * tt, oy - vel[None, :, 1] * tt,
+            oz - vel[None, :, 2] * tt)
 
 
 def _tri_hits(o, d, v0, v1, v2, t_min=SHADOW_EPS, vel=None, time=None):
     """Möller–Trumbore, two-sided (Shape.cpp:246-267). Returns (t, valid)."""
     e1 = v1 - v0          # [C,3]
     e2 = v2 - v0
-    h = jnp.cross(d[:, None, :], e2[None, :, :])          # [N,C,3]
-    det = jnp.sum(e1[None] * h, -1)                       # [N,C]
+    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]          # [N,1]
+    e1x, e1y, e1z = e1[None, :, 0], e1[None, :, 1], e1[None, :, 2]  # [1,C]
+    e2x, e2y, e2z = e2[None, :, 0], e2[None, :, 1], e2[None, :, 2]
+    hx = dy * e2z - dz * e2y                              # [N,C]
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    det = e1x * hx + e1y * hy + e1z * hz
     near_zero = jnp.abs(det) < 1e-9
     inv_det = 1.0 / jnp.where(near_zero, 1.0, det)
-    s = _ray_origins(o, vel, time) - v0[None]             # [N,C,3]
-    u = jnp.sum(s * h, -1) * inv_det
-    q = jnp.cross(s, e1[None])
-    v = jnp.sum(d[:, None, :] * q, -1) * inv_det
-    t = jnp.sum(e2[None] * q, -1) * inv_det
+    ox, oy, oz = _ray_origin_comps(o, vel, time)
+    sx = ox - v0[None, :, 0]
+    sy = oy - v0[None, :, 1]
+    sz = oz - v0[None, :, 2]
+    u = (sx * hx + sy * hy + sz * hz) * inv_det
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
     valid = (~near_zero & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
              & (t >= t_min))
     return jnp.where(valid, t, BIG_F32), valid
@@ -61,10 +79,14 @@ def _tri_hits(o, d, v0, v1, v2, t_min=SHADOW_EPS, vel=None, time=None):
 
 def _sph_hits(o, d, c, r, t_min=SHADOW_EPS, vel=None, time=None):
     """Quadratic sphere test, both roots (Shape.cpp:3-56)."""
-    oc = _ray_origins(o, vel, time) - c[None]             # [N,C,3]
-    a = jnp.sum(d * d, -1)[:, None]
-    b = jnp.sum(oc * d[:, None, :], -1)
-    cc = jnp.sum(oc * oc, -1) - (r * r)[None]
+    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]          # [N,1]
+    ox, oy, oz = _ray_origin_comps(o, vel, time)
+    ocx = ox - c[None, :, 0]                              # [N,C]
+    ocy = oy - c[None, :, 1]
+    ocz = oz - c[None, :, 2]
+    a = dx * dx + dy * dy + dz * dz                       # [N,1]
+    b = ocx * dx + ocy * dy + ocz * dz
+    cc = ocx * ocx + ocy * ocy + ocz * ocz - (r * r)[None]
     disc = b * b - a * cc
     ok = disc > 0
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
@@ -80,17 +102,29 @@ def _quad_hits(o, d, q, n, dd, u, v, w, t_min=SHADOW_EPS, vel=None,
                time=None):
     """Two-sided parallelogram test (Shape.cpp:320-358).
     Returns (t, valid, alpha, beta)."""
-    oe = _ray_origins(o, vel, time)                       # [N,C,3]
-    flip = jnp.sum(d[:, None, :] * n[None], -1) > 0       # [N,C]
-    nn = jnp.where(flip[..., None], -n[None], n[None])    # [N,C,3]
-    dd_s = jnp.where(flip, -dd[None], dd[None])
-    denom = jnp.sum(nn * d[:, None, :], -1)
+    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]          # [N,1]
+    ox, oy, oz = _ray_origin_comps(o, vel, time)
+    nx, ny, nz = n[None, :, 0], n[None, :, 1], n[None, :, 2]  # [1,C]
+    d_dot_n = dx * nx + dy * ny + dz * nz                 # [N,C]
+    flip = d_dot_n > 0
+    sgn = jnp.where(flip, -1.0, 1.0)
+    nnx, nny, nnz = sgn * nx, sgn * ny, sgn * nz
+    dd_s = sgn * dd[None]
+    denom = sgn * d_dot_n
     small = jnp.abs(denom) < 1e-8
-    t = (dd_s - jnp.sum(nn * oe, -1)) / jnp.where(small, 1.0,
-                                                  denom)
-    p = oe + t[..., None] * d[:, None, :] - q[None]
-    alpha = jnp.sum(w[None] * jnp.cross(p, v[None]), -1)
-    beta = jnp.sum(w[None] * jnp.cross(u[None], p), -1)
+    t = (dd_s - (nnx * ox + nny * oy + nnz * oz)) \
+        / jnp.where(small, 1.0, denom)
+    px = ox + t * dx - q[None, :, 0]                      # [N,C]
+    py = oy + t * dy - q[None, :, 1]
+    pz = oz + t * dz - q[None, :, 2]
+    ux, uy, uz = u[None, :, 0], u[None, :, 1], u[None, :, 2]
+    vx, vy, vz = v[None, :, 0], v[None, :, 1], v[None, :, 2]
+    wx, wy, wz = w[None, :, 0], w[None, :, 1], w[None, :, 2]
+    # alpha = w . (p x v);  beta = w . (u x p)
+    alpha = (wx * (py * vz - pz * vy) + wy * (pz * vx - px * vz)
+             + wz * (px * vy - py * vx))
+    beta = (wx * (uy * pz - uz * py) + wy * (uz * px - ux * pz)
+            + wz * (ux * py - uy * px))
     interior = (alpha >= 0) & (alpha <= 1) & (beta >= 0) & (beta <= 1)
     valid = ~small & (t >= t_min) & interior
     return jnp.where(valid, t, BIG_F32), valid, alpha, beta
@@ -420,32 +454,55 @@ def make_interaction(scene, meta, origin, direction, hit, time=None):
         tuv = tuv_g[ti]
         ttan = ttan_g[ti]
         tprop = tprop_g[ti]
-    e1 = tv[:, 1] - tv[:, 0]
-    e2 = tv[:, 2] - tv[:, 0]
+    # scalarized (component) triangle interaction math — see the note in
+    # core/math.py: [N,3] cross/dot/normalize pay minor-axis relayouts
+    from ..core.math import (unpack3, pack3, sdot, scross,
+                             ssafe_normalize, sonb_from_normal)
+    dxr, dyr, dzr = unpack3(direction)
+    e1x, e1y, e1z = (tv[:, 1, 0] - tv[:, 0, 0], tv[:, 1, 1] - tv[:, 0, 1],
+                     tv[:, 1, 2] - tv[:, 0, 2])
+    e2x, e2y, e2z = (tv[:, 2, 0] - tv[:, 0, 0], tv[:, 2, 1] - tv[:, 0, 1],
+                     tv[:, 2, 2] - tv[:, 0, 2])
     # recompute barycentrics at the hit point (cheaper than storing them)
-    h = jnp.cross(direction, e2)
-    det = vdot(e1, h)
+    hx, hy, hz = scross(dxr, dyr, dzr, e2x, e2y, e2z)
+    det = e1x * hx + e1y * hy + e1z * hz
     inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
-    s = origin - tv[:, 0]
-    bu = vdot(s, h) * inv_det
-    q = jnp.cross(s, e1)
-    bv = vdot(direction, q) * inv_det
+    sx = origin[:, 0] - tv[:, 0, 0]
+    sy = origin[:, 1] - tv[:, 0, 1]
+    sz = origin[:, 2] - tv[:, 0, 2]
+    bu = (sx * hx + sy * hy + sz * hz) * inv_det
+    qx, qy, qz = scross(sx, sy, sz, e1x, e1y, e1z)
+    bv = sdot(dxr, dyr, dzr, qx, qy, qz) * inv_det
     bw = 1.0 - bu - bv
     tri_uv = (bu[:, None] * tuv[:, 1] + bv[:, None] * tuv[:, 2]
               + bw[:, None] * tuv[:, 0])
-    ns_t = safe_normalize(bu[:, None] * tn[:, 1] + bv[:, None] * tn[:, 2]
-                          + bw[:, None] * tn[:, 0])
-    ng_t = safe_normalize(jnp.cross(e1, e2))
-    ns_t = jnp.where(vdot_k(ng_t, ns_t) < 0, -ns_t, ns_t)
-    tan_raw = (bu[:, None] * ttan[:, 1] + bv[:, None] * ttan[:, 2]
-               + bw[:, None] * ttan[:, 0])
+    nsx, nsy, nsz = ssafe_normalize(
+        bu * tn[:, 1, 0] + bv * tn[:, 2, 0] + bw * tn[:, 0, 0],
+        bu * tn[:, 1, 1] + bv * tn[:, 2, 1] + bw * tn[:, 0, 1],
+        bu * tn[:, 1, 2] + bv * tn[:, 2, 2] + bw * tn[:, 0, 2])
+    ngx, ngy, ngz = ssafe_normalize(*scross(e1x, e1y, e1z, e2x, e2y, e2z))
+    flip_ns = sdot(ngx, ngy, ngz, nsx, nsy, nsz) < 0
+    nsx = jnp.where(flip_ns, -nsx, nsx)
+    nsy = jnp.where(flip_ns, -nsy, nsy)
+    nsz = jnp.where(flip_ns, -nsz, nsz)
+    trx = bu * ttan[:, 1, 0] + bv * ttan[:, 2, 0] + bw * ttan[:, 0, 0]
+    try_ = bu * ttan[:, 1, 1] + bv * ttan[:, 2, 1] + bw * ttan[:, 0, 1]
+    trz = bu * ttan[:, 1, 2] + bv * ttan[:, 2, 2] + bw * ttan[:, 0, 2]
     has_tan = tprop[:, 3] > 0
-    tan_gs = safe_normalize(tan_raw - ns_t * vdot_k(ns_t, tan_raw))
-    tb, bb, nb = onb_from_normal(ns_t)
-    tan_t = jnp.where(has_tan[:, None], tan_gs, bb)
+    ns_dot_tr = sdot(nsx, nsy, nsz, trx, try_, trz)
+    tgx, tgy, tgz = ssafe_normalize(trx - nsx * ns_dot_tr,
+                                    try_ - nsy * ns_dot_tr,
+                                    trz - nsz * ns_dot_tr)
     # fallback tangent: reference uses normalize(cross(up, ns))
     # (Shape.cpp:239-240) == onb axis[1]
-    off_sign = jnp.where(vdot_k(direction, ng_t) > 0, -1.0, 1.0)
+    _, (fbx, fby, fbz) = sonb_from_normal(nsx, nsy, nsz)
+    tan_t = pack3(jnp.where(has_tan, tgx, fbx),
+                  jnp.where(has_tan, tgy, fby),
+                  jnp.where(has_tan, tgz, fbz))
+    ns_t = pack3(nsx, nsy, nsz)
+    ng_t = pack3(ngx, ngy, ngz)
+    off_sign = jnp.where(sdot(dxr, dyr, dzr, ngx, ngy, ngz) > 0,
+                         -1.0, 1.0)[:, None]
     p_t = offset_ray(p_raw, ng_t * off_sign)
 
     # --- sphere

@@ -80,7 +80,12 @@ def _sample_shape(scene, meta, kind, sidx, uv2, time=None):
     b0 = 1.0 - b1 - b2
     p_t = (b0[:, None] * tv[:, 0] + b1[:, None] * tv[:, 1]
            + b2[:, None] * tv[:, 2])
-    n_t = safe_normalize(jnp.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0]))
+    from ..core.math import pack3, scross, ssafe_normalize
+    n_t = pack3(*ssafe_normalize(*scross(
+        tv[:, 1, 0] - tv[:, 0, 0], tv[:, 1, 1] - tv[:, 0, 1],
+        tv[:, 1, 2] - tv[:, 0, 2],
+        tv[:, 2, 0] - tv[:, 0, 0], tv[:, 2, 1] - tv[:, 0, 1],
+        tv[:, 2, 2] - tv[:, 0, 2])))
     uv_t = (b0[:, None] * tuv[:, 0] + b1[:, None] * tuv[:, 1]
             + b2[:, None] * tuv[:, 2])
 
@@ -139,10 +144,14 @@ def _sample_shape(scene, meta, kind, sidx, uv2, time=None):
 def _shape_solid_angle_pdf(scene, kind, sidx, area, ref_p, sample_p,
                            sample_n):
     """dist^2/(|cos|*area) (Shape.cpp:64-71,308-315, Shape.hpp:151-158)."""
-    to_shape = sample_p - ref_p
-    d2 = vdot(to_shape, to_shape)
-    wdir = safe_normalize(to_shape)
-    cos = jnp.abs(vdot(-wdir, sample_n))
+    from ..core.math import unpack3, sdot, ssafe_normalize
+    tx, ty, tz = (sample_p[..., 0] - ref_p[..., 0],
+                  sample_p[..., 1] - ref_p[..., 1],
+                  sample_p[..., 2] - ref_p[..., 2])
+    d2 = tx * tx + ty * ty + tz * tz
+    wx, wy, wz = ssafe_normalize(tx, ty, tz)
+    nx, ny, nz = unpack3(sample_n)
+    cos = jnp.abs(sdot(wx, wy, wz, nx, ny, nz))
     denom = cos * area
     return jnp.where(denom > 0, d2 / jnp.maximum(denom, 1e-18), 0.0)
 
@@ -267,9 +276,14 @@ def light_sample(scene, meta, idx, ref_p, u_cell, uv2, time):
     if getattr(meta, "has_light_motion", False) and time is not None:
         p_pt = p_pt + scene["light_vel"][lid] * time[:, None]
     target = jnp.where((ltype == LIGHT_POINT)[..., None], p_pt, p_a)
-    to_light = target - ref_p
-    dist_pt = jnp.sqrt(jnp.maximum(vdot(to_light, to_light), 1e-18))
-    dir_pt = to_light / dist_pt[..., None]
+    tlx = target[..., 0] - ref_p[..., 0]
+    tly = target[..., 1] - ref_p[..., 1]
+    tlz = target[..., 2] - ref_p[..., 2]
+    dist_pt = jnp.sqrt(jnp.maximum(tlx * tlx + tly * tly + tlz * tlz,
+                                   1e-18))
+    inv_d = 1.0 / dist_pt
+    from ..core.math import pack3 as _pack3
+    dir_pt = _pack3(tlx * inv_d, tly * inv_d, tlz * inv_d)
 
     dirn = jnp.where(to_inf[..., None],
                      jnp.where((ltype == LIGHT_DISTANT)[..., None],
