@@ -24,7 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.math import BIG_F32, SHADOW_EPS
-from .pallas_trace import TILE, _tile_order
+from .pallas_trace import TILE
 
 G = 16              # L2 blocks per L1 superblock
 
@@ -91,19 +91,65 @@ def build_tri_blocks2(tri_v: np.ndarray, k2: int | None = None):
                 pk_slot2tri=slot2tri), k2
 
 
-def _kernel2(order_ref, sentry_ref, ox_ref, oy_ref, oz_ref,
+def _kernel2(l1box_hbm, ox_ref, oy_ref, oz_ref,
              dx_ref, dy_ref, dz_ref, tmax_ref, l2box_hbm, tri_hbm,
              out_t_ref, out_slot_ref, scratch, sem, box_scratch, box_sem,
+             ecol_ref, l1v_ref, l1v_sem,
              *, k2: int, n_l1: int, any_hit: bool):
+    """Two-level traversal with IN-KERNEL L1 ordering (same design as the
+    single-level kernel: vectorized entry phase + argmin selection; the
+    previous XLA [rays, M1] slab + argsort scaled with the superblock
+    count).  l1box_hbm: [M1pad, 8] rows (lox..hiz,-,-), fetched into
+    scratch once at grid step 0."""
     K2 = k2
     ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]           # [1,128]
     dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    tmax = tmax_ref[0]
     t_min = jnp.full_like(ox, SHADOW_EPS)
+    m1pad = l1v_ref.shape[0]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        pltpu.make_async_copy(l1box_hbm, l1v_ref, l1v_sem).start()
+        pltpu.make_async_copy(l1box_hbm, l1v_ref, l1v_sem).wait()
 
     def inv(c):
         return 1.0 / jnp.where(jnp.abs(c) < 1e-32,
                                jnp.where(c < 0, -1e-32, 1e-32), c)
     ix, iy, iz = inv(dx), inv(dy), inv(dz)
+
+    # ---- L1 entry phase + selection (see pallas_trace._kernel) ---------
+    SUBW = min(64, m1pad)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (SUBW, 1), 0)
+
+    def entry_chunk(c, _):
+        bb = l1v_ref[pl.ds(c * SUBW, SUBW), :]             # [SUBW, 8]
+        u0 = (bb[:, 0:1] - ox) * ix
+        u1 = (bb[:, 3:4] - ox) * ix
+        tn = jnp.minimum(u0, u1)
+        tf = jnp.maximum(u0, u1)
+        u0 = (bb[:, 1:2] - oy) * iy
+        u1 = (bb[:, 4:5] - oy) * iy
+        tn = jnp.maximum(tn, jnp.minimum(u0, u1))
+        tf = jnp.minimum(tf, jnp.maximum(u0, u1))
+        u0 = (bb[:, 2:3] - oz) * iz
+        u1 = (bb[:, 5:6] - oz) * iz
+        tn = jnp.maximum(jnp.maximum(tn, jnp.minimum(u0, u1)), SHADOW_EPS)
+        tf = jnp.minimum(jnp.minimum(tf, jnp.maximum(u0, u1)), tmax)
+        e = jnp.where(tn <= tf, tn, BIG_F32)
+        e8 = jnp.min(e, axis=1, keepdims=True)             # [SUBW,1]
+        e8 = jnp.where(c * SUBW + sub_iota < n_l1, e8, BIG_F32)
+        ecol_ref[pl.ds(c * SUBW, SUBW), :] = e8
+        return 0
+
+    jax.lax.fori_loop(0, m1pad // SUBW, entry_chunk, 0)
+
+    def select():
+        e = ecol_ref[...]                                  # [M1pad, 1]
+        v = jnp.min(e)
+        i = jnp.argmin(e, axis=0)[0]
+        ecol_ref[pl.ds(i, 1), :] = jnp.full((1, 1), BIG_F32)
+        return i.astype(jnp.int32), v
 
     def dma(slot, b2):
         return pltpu.make_async_copy(
@@ -147,8 +193,7 @@ def _kernel2(order_ref, sentry_ref, ox_ref, oy_ref, oz_ref,
                                      box_sem)
 
     def body(carry):
-        j, best_t, best_slot, _ = carry
-        b1 = order_ref[0, 0, j]
+        b1, e1, best_t, best_slot, _ = carry
         dma_boxes(b1).start()
         dma_boxes(b1).wait()
 
@@ -195,22 +240,20 @@ def _kernel2(order_ref, sentry_ref, ox_ref, oy_ref, oz_ref,
             best = jax.lax.cond(enters[g], do, lambda best=best: best)
         best_t, best_slot = best
 
-        j = j + 1
-        jc = jnp.minimum(j, n_l1 - 1)
-        nxt = sentry_ref[0, 0, jc]
+        nb, ne = select()
+        has_next = ne < BIG_F32 * 0.5
         if any_hit:
-            live = (j < n_l1) & (nxt < BIG_F32 * 0.5) \
-                & ~jnp.all(best_slot >= 0)
+            live = has_next & ~jnp.all(best_slot >= 0)
         else:
-            live = (j < n_l1) & (nxt < jnp.max(best_t))
-        return j, best_t, best_slot, live
+            live = has_next & (ne < jnp.max(best_t))
+        return nb, ne, best_t, best_slot, live
 
-    best_t0 = tmax_ref[0]
+    best_t0 = tmax
     best_slot0 = jnp.full(best_t0.shape, -1, jnp.int32)
-    live0 = sentry_ref[0, 0, 0] < BIG_F32 * 0.5
-    _, best_t, best_slot, _ = jax.lax.while_loop(
-        lambda c: c[3], body,
-        (jnp.asarray(0, jnp.int32), best_t0, best_slot0, live0))
+    b0, e0 = select()
+    live0 = e0 < BIG_F32 * 0.5
+    _, _, best_t, best_slot, _ = jax.lax.while_loop(
+        lambda c: c[4], body, (b0, e0, best_t0, best_slot0, live0))
     out_t_ref[0] = best_t
     out_slot_ref[0] = best_slot
 
@@ -223,24 +266,20 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
     assert n % TILE == 0, n
     tiles = n // TILE
     m1 = scene["pk_blk_lo"].shape[0]
+    m1pad = -(-m1 // 128) * 128
 
     ox, oy, oz = origin[:, 0], origin[:, 1], origin[:, 2]
     dx, dy, dz = direction[:, 0], direction[:, 1], direction[:, 2]
 
-    def inv(c):
-        return 1.0 / jnp.where(jnp.abs(c) < 1e-32,
-                               jnp.where(c < 0, -1e-32, 1e-32), c)
-
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    t_min = jnp.full((n,), SHADOW_EPS)
-    order, sentry = _tile_order(scene["pk_blk_lo"], scene["pk_blk_hi"],
-                                ox, oy, oz, inv(dx), inv(dy), inv(dz),
-                                t_min, t_max)
+    # L1 superblock boxes, blocks in sublanes, for the in-kernel ordering
+    l1box = jnp.concatenate(
+        [scene["pk_blk_lo"], scene["pk_blk_hi"],
+         jnp.zeros((m1, 2), jnp.float32)], 1)              # [M1, 8]
+    l1box = jnp.pad(l1box, ((0, m1pad - m1), (0, 0)))
 
     ray_spec = pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    om_spec = pl.BlockSpec((1, 1, m1), lambda i: (i, 0, 0),
-                           memory_space=pltpu.SMEM)
 
     kernel = functools.partial(_kernel2, k2=k2, n_l1=m1, any_hit=any_hit)
     interpret = jax.default_backend() != "tpu"
@@ -248,7 +287,7 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
         kernel,
         interpret=interpret,
         grid=(tiles,),
-        in_specs=[om_spec, om_spec] + [ray_spec] * 7 + [
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + [ray_spec] * 7 + [
             pl.BlockSpec(memory_space=pltpu.ANY),    # l2box rows in HBM
             pl.BlockSpec(memory_space=pltpu.ANY)],   # tri table in HBM
         out_specs=[ray_spec, ray_spec],
@@ -257,8 +296,11 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
         scratch_shapes=[pltpu.VMEM((G, 16, k2), jnp.float32),
                         pltpu.SemaphoreType.DMA((G,)),
                         pltpu.VMEM((8, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.VMEM((m1pad, 1), jnp.float32),
+                        pltpu.VMEM((m1pad, 8), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
-    )(order.reshape(tiles, 1, m1), sentry.reshape(tiles, 1, m1),
+    )(l1box,
       ox.reshape(tiles, 1, TILE), oy.reshape(tiles, 1, TILE),
       oz.reshape(tiles, 1, TILE),
       dx.reshape(tiles, 1, TILE), dy.reshape(tiles, 1, TILE),
