@@ -91,9 +91,70 @@ def _make_material(builder, m, base_dir, cache):
                                alpha_mode=mode, alpha_cutoff=0.5)
 
 
+def _load_obj_native(parsed, path: Path, builder, scale, transform):
+    """Build the scene from the C++ parser's arrays (obj_parser.cpp).
+    Produces the same add_mesh sequence (same group order, same
+    normal/uv presence decisions) as the pure-Python path below."""
+    base_dir = path.parent
+    vs = parsed["v"] * np.float32(scale)
+    vns, vts = parsed["vn"], parsed["vt"]
+    mtl = {}
+    for name in parsed["mtllib"]:
+        mtl.update(_parse_mtl(base_dir / name))
+
+    names = parsed["usemtl"]
+    tri = parsed["tri"]           # [F,3,3] (vi,ti,ni), -1 = absent
+    tmat = parsed["tri_mat"]      # [F] usemtl index, -1 = none
+    gname = np.asarray([None] + names, object)[tmat + 1]
+
+    # group by material NAME in first-appearance order (dict semantics of
+    # the Python path)
+    order, seen = [], set()
+    for nm in gname:
+        if nm not in seen:
+            seen.add(nm)
+            order.append(nm)
+
+    cache = {}
+    n_tris = 0
+    for mat_name, in [(nm,) for nm in order]:
+        mask = gname == mat_name
+        tris = tri[mask]
+        m = mtl.get(mat_name)
+        mat_id = _make_material(builder, m, base_dir, cache) if m else -1
+        emission = None
+        if m and max(m["ke"]) > 0:
+            emission = m["ke"]
+        vi = np.clip(tris[..., 0], 0, max(len(vs) - 1, 0))
+        pos = vs[vi].reshape(-1, 3)
+        idx = np.arange(len(pos), dtype=np.int32).reshape(-1, 3)
+        ni = tris[..., 2]
+        has_n = len(vns) and (ni >= 0).all() and (ni < len(vns)).all() \
+            and ni.max() > 0
+        normals = vns[ni].reshape(-1, 3) if has_n else None
+        ti = tris[..., 1]
+        has_t = len(vts) and (ti >= 0).all() and (ti < len(vts)).all() \
+            and ti.max() > 0
+        uvs = vts[ti].reshape(-1, 2) if has_t else None
+        builder.add_mesh(pos, idx, normals=normals, uvs=uvs,
+                         material=mat_id, emission=emission,
+                         transform=transform)
+        n_tris += len(tris)
+    return dict(n_tris=n_tris, n_materials=len(mtl))
+
+
 def load_obj(path, builder, scale: float = 1.0, transform=None):
-    """Load an OBJ file (with MTL) into `builder`.  Returns stats dict."""
+    """Load an OBJ file (with MTL) into `builder`.  Returns stats dict.
+
+    Geometry parsing goes through the native C++ parser when the
+    toolchain is available (native/obj_parser.cpp — the Python line loop
+    below is minutes-slow at San-Miguel scale); materials/MTL always
+    parse in Python."""
     path = Path(path)
+    from ..native.loader import native_parse_obj
+    parsed = native_parse_obj(path)
+    if parsed is not None:
+        return _load_obj_native(parsed, path, builder, scale, transform)
     base_dir = path.parent
     vs, vns, vts = [], [], []
     groups = {}       # material name -> list of (vi, ti, ni) triples

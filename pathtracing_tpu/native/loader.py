@@ -97,3 +97,88 @@ def native_build_bvh(lo: np.ndarray, hi: np.ndarray, leaf_max: int):
     nn = int(counts[0])
     return (wlo[:nn].copy(), whi[:nn].copy(), wchild[:nn].copy(),
             order, int(counts[1]))
+
+
+# ---------------------------------------------------------------------------
+# Native OBJ geometry parser (obj_parser.cpp)
+# ---------------------------------------------------------------------------
+
+_OBJ_SRC = _HERE / "obj_parser.cpp"
+_obj_lib = None
+_obj_tried = False
+
+
+def _get_obj_lib():
+    global _obj_lib, _obj_tried
+    with _lock:
+        if _obj_tried:
+            return _obj_lib
+        _obj_tried = True
+        src = _OBJ_SRC.read_bytes()
+        tag = hashlib.sha256(src).hexdigest()[:16]
+        out = _HERE / f"_obj_parser_{tag}.so"
+        if not out.exists():
+            cmd = ["g++", "-O3", "-march=native", "-std=c++20", "-shared",
+                   "-fPIC", str(_OBJ_SRC), "-o", str(out)]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True,
+                               timeout=300)
+            except (subprocess.SubprocessError, FileNotFoundError, OSError):
+                return None
+        lib = ctypes.CDLL(str(out))
+        lib.obj_open.restype = ctypes.c_void_p
+        lib.obj_open.argtypes = [ctypes.c_char_p]
+        lib.obj_counts.restype = None
+        lib.obj_counts.argtypes = [ctypes.c_void_p] + \
+            [ctypes.POINTER(ctypes.c_int64)] * 8
+        lib.obj_fill.restype = None
+        lib.obj_fill.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p,
+            ctypes.c_char_p]
+        lib.obj_free.restype = None
+        lib.obj_free.argtypes = [ctypes.c_void_p]
+        _obj_lib = lib
+        return _obj_lib
+
+
+def native_parse_obj(path):
+    """Parse OBJ geometry with the C++ parser.  Returns dict(v [V,3] f32,
+    vn [N,3] f32, vt [T,2] f32, tri [F,3,3] i64 (vi,ti,ni; -1 absent),
+    tri_mat [F] i32 (usemtl index, -1 none), usemtl [list[str]],
+    mtllib [list[str]]) or None when the toolchain is unavailable."""
+    lib = _get_obj_lib()
+    if lib is None:
+        return None
+    h = lib.obj_open(str(path).encode())
+    if not h:
+        return None
+    try:
+        c = [ctypes.c_int64(0) for _ in range(8)]
+        lib.obj_counts(h, *[ctypes.byref(x) for x in c])
+        nv, nvn, nvt, ntri, n_use, use_b, n_lib, lib_b = \
+            [int(x.value) for x in c]
+        v = np.empty((nv, 3), np.float32)
+        vn = np.empty((nvn, 3), np.float32)
+        vt = np.empty((nvt, 2), np.float32)
+        tri = np.empty((ntri, 3, 3), np.int64)
+        tri_mat = np.empty((ntri,), np.int32)
+        use_blob = ctypes.create_string_buffer(max(use_b, 1))
+        lib_blob = ctypes.create_string_buffer(max(lib_b, 1))
+
+        def p(a, t):
+            return a.ctypes.data_as(ctypes.POINTER(t))
+
+        lib.obj_fill(h, p(v, ctypes.c_float), p(vn, ctypes.c_float),
+                     p(vt, ctypes.c_float), p(tri, ctypes.c_int64),
+                     p(tri_mat, ctypes.c_int32), use_blob, lib_blob)
+        usemtl = (use_blob.raw[:use_b].decode(errors="replace")
+                  .split("\0")[:-1] if use_b else [])
+        mtllib = (lib_blob.raw[:lib_b].decode(errors="replace")
+                  .split("\0")[:-1] if lib_b else [])
+        return dict(v=v, vn=vn, vt=vt, tri=tri, tri_mat=tri_mat,
+                    usemtl=usemtl, mtllib=mtllib)
+    finally:
+        lib.obj_free(h)

@@ -191,24 +191,40 @@ class SceneBuilder:
 
         first = len(self._tri["v"])
         em_lum = 0.0 if emission is None else _lum(emission)
-        for t, (i0, i1, i2) in enumerate(indices):
-            tri_idx = first + t
-            lid = -1
-            if (emission is not None and em_lum > 0) or em_tex >= 0:
-                v0, v1, v2 = vertices[i0], vertices[i1], vertices[i2]
-                area = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0))
-                power = 2.0 * area * max(em_lum, 1e-6 if em_tex >= 0 else 0)
-                if power > emissive_power_cull or em_tex >= 0:
-                    lid = self._maybe_area_light(SHAPE_TRI, tri_idx,
+        f = len(indices)
+        lids = np.full(f, -1, np.int64)
+        if (emission is not None and em_lum > 0) or em_tex >= 0:
+            v0 = vertices[indices[:, 0]]
+            e1 = vertices[indices[:, 1]] - v0
+            e2 = vertices[indices[:, 2]] - v0
+            areas = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+            powers = 2.0 * areas * max(em_lum,
+                                       1e-6 if em_tex >= 0 else 0)
+            # per-triangle AreaLights, power-culled (Model.hpp:41-81)
+            for t in np.nonzero((powers > emissive_power_cull)
+                                | (em_tex >= 0))[0]:
+                lids[t] = self._maybe_area_light(SHAPE_TRI, first + int(t),
                                                  emission, em_tex, False)
-            self._tri["v"].append(vertices[[i0, i1, i2]])
-            self._tri["n"].append(normals[[i0, i1, i2]])
-            self._tri["uv"].append(uvs[[i0, i1, i2]])
-            self._tri["tan"].append(tangents[[i0, i1, i2]])
-            self._tri["prop"].append([material, lid, medium,
-                                      1 if has_tan else 0])
-            self._tri["vel"].append(np.asarray(velocity, np.float32))
-        return first, len(indices)
+        # bulk row appends (the per-triangle Python loop was the wall for
+        # San-Miguel-scale imports; iterating an ndarray yields row views
+        # that build() np.asarray()s identically)
+        self._tri["v"].extend(np.ascontiguousarray(
+            vertices[indices], np.float32))
+        self._tri["n"].extend(np.ascontiguousarray(
+            normals[indices], np.float32))
+        self._tri["uv"].extend(np.ascontiguousarray(
+            uvs[indices], np.float32))
+        self._tri["tan"].extend(np.ascontiguousarray(
+            tangents[indices], np.float32))
+        props = np.empty((f, 4), np.int64)
+        props[:, 0] = material
+        props[:, 1] = lids
+        props[:, 2] = medium
+        props[:, 3] = 1 if has_tan else 0
+        self._tri["prop"].extend(props)
+        self._tri["vel"].extend(np.broadcast_to(
+            np.asarray(velocity, np.float32), (f, 3)))
+        return first, f
 
     # -- non-area lights ------------------------------------------------------
 
@@ -299,14 +315,22 @@ class SceneBuilder:
             tans = (np.asarray(m["tangents"], np.float32).reshape(-1, 3)
                     if has_tan else np.zeros_like(vertices))
             first = len(self._obj["v"])
-            for (i0, i1, i2) in indices:
-                self._obj["v"].append(vertices[[i0, i1, i2]])
-                self._obj["n"].append(normals[[i0, i1, i2]])
-                self._obj["uv"].append(uvs[[i0, i1, i2]])
-                self._obj["tan"].append(tans[[i0, i1, i2]])
-                self._obj["prop"].append([m["material"], -1, m["medium"],
-                                          1 if has_tan else 0])
-            self._obj["model_range"][model_id] = (first, len(indices))
+            f = len(indices)
+            self._obj["v"].extend(np.ascontiguousarray(
+                vertices[indices], np.float32))
+            self._obj["n"].extend(np.ascontiguousarray(
+                normals[indices], np.float32))
+            self._obj["uv"].extend(np.ascontiguousarray(
+                uvs[indices], np.float32))
+            self._obj["tan"].extend(np.ascontiguousarray(
+                tans[indices], np.float32))
+            props = np.empty((f, 4), np.int64)
+            props[:, 0] = m["material"]
+            props[:, 1] = -1
+            props[:, 2] = m["medium"]
+            props[:, 3] = 1 if has_tan else 0
+            self._obj["prop"].extend(props)
+            self._obj["model_range"][model_id] = (first, f)
         base, count = self._obj["model_range"][model_id]
         tf = np.eye(4, dtype=np.float32) if transform is None \
             else np.asarray(transform, np.float32)

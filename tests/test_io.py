@@ -156,3 +156,55 @@ def test_scene_cache_meta_hashable(tmp_path):
     _, _, meta2 = load_scene(tmp_path / "f.npz")
     assert hash(meta2) == hash(meta)
     assert meta2 == meta
+
+
+def test_native_obj_parser_matches_python(tmp_path):
+    """The C++ OBJ parser (native/obj_parser.cpp) must produce the exact
+    same scene as the pure-Python path: same triangles, same group order,
+    same materials/lights — including polygon fans, negative indices,
+    mixed corner formats, and emissive MTL materials."""
+    import pathtracing_tpu.io.obj as objmod
+    import pathtracing_tpu.native.loader as nl
+    from pathtracing_tpu.scene.builder import SceneBuilder
+
+    if nl.native_parse_obj(__file__) is None and \
+            nl._get_obj_lib() is None:        # no toolchain: nothing to test
+        import pytest
+        pytest.skip("native toolchain unavailable")
+
+    (tmp_path / "m.mtl").write_text(
+        "newmtl red\nKd 0.8 0.1 0.1\nNs 50\n"
+        "newmtl glow\nKd 0.1 0.1 0.1\nKe 3.0 2.0 1.0\n")
+    (tmp_path / "t.obj").write_text(
+        "mtllib m.mtl\n"
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+        "vt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\n"
+        "vn 0 0 1\n"
+        "usemtl red\n"
+        "f 1/1/1 2/2/1 3/3/1 4/4/1\n"
+        "f -4/-4/-1 -3/-3/-1 -2/-2/-1\n"
+        "usemtl glow\n"
+        "f 1//1 3//1 4//1\n"
+        "f 2 3 4\n")
+
+    def build(force_python):
+        b = SceneBuilder()
+        if force_python:
+            orig = nl.native_parse_obj
+            nl.native_parse_obj = lambda p: None
+            try:
+                stats = objmod.load_obj(tmp_path / "t.obj", b, scale=2.0)
+            finally:
+                nl.native_parse_obj = orig
+        else:
+            stats = objmod.load_obj(tmp_path / "t.obj", b, scale=2.0)
+        return b, stats
+
+    bp, sp = build(True)
+    bn, sn = build(False)
+    assert sp == sn == dict(n_tris=5, n_materials=2)
+    for k in ("v", "n", "uv", "prop"):
+        np.testing.assert_array_equal(np.asarray(bp._tri[k]),
+                                      np.asarray(bn._tri[k]), err_msg=k)
+    assert bp._mat["type"] == bn._mat["type"]
+    assert len(bp._lights) == len(bn._lights)
