@@ -535,13 +535,13 @@ def pallas_tri_intersect(scene, origin, direction, t_max, block_k: int,
 
     ray_spec = pl.BlockSpec((1, TPS, TILE), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    box_spec = pl.BlockSpec(memory_space=pltpu.ANY)   # kernel DMAs once
+    box_spec = pl.BlockSpec(memory_space=pl.ANY)   # kernel DMAs once
 
     kernel = functools.partial(_kernel, block_k=K, n_blocks=m,
                                any_hit=any_hit, instanced=instanced,
                                debug_phase=debug_phase)
     in_specs = [box_spec] + [ray_spec] * 7 + [
-        pl.BlockSpec(memory_space=pltpu.ANY)]
+        pl.BlockSpec(memory_space=pl.ANY)]
     shp = (groups, TPS, TILE)
     operands = [box,
                 ox.reshape(shp), oy.reshape(shp), oz.reshape(shp),

@@ -5,13 +5,13 @@ SMEM-sized by capping the block count at 4096, which forces K=2688-prim
 blocks at 10M tris — every visited block tests 2688 prims.  This kernel
 adds a middle level:
 
-  L1 superblocks (<=4096, ordered per tile in XLA exactly like the
-  single-level kernel) each own G=16 L2 blocks of K2 prims.  All L2
-  AABBs stay resident in VMEM ([8, M2] component rows, ~2MB at M2=64K);
-  per visited L1 the kernel slab-tests its G L2 boxes in one [G, 128]
-  op and DMAs + tests only the L2 blocks SOME ray in the tile enters
-  (`pl.when` tile-level skip).  Per-ray work drops from K1=G*K2 to
-  ~hit_blocks*K2.
+  L1 superblocks (<=4096, ordered front-to-back IN-KERNEL by the same
+  entry-phase + argmin-selection design as the single-level kernel)
+  each own G=16 L2 blocks of K2 prims.  Per visited L1 the kernel DMAs
+  the L1's child-box row, slab-tests its G L2 boxes, and DMAs + tests
+  only the L2 blocks SOME ray in the tile enters (all entered-child
+  DMAs launched up front so fetches overlap the first block's test).
+  Per-ray work drops from K1=G*K2 to ~hit_blocks*K2.
 """
 from __future__ import annotations
 
@@ -287,9 +287,9 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
         kernel,
         interpret=interpret,
         grid=(tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + [ray_spec] * 7 + [
-            pl.BlockSpec(memory_space=pltpu.ANY),    # l2box rows in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY)],   # tri table in HBM
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [ray_spec] * 7 + [
+            pl.BlockSpec(memory_space=pl.ANY),    # l2box rows in HBM
+            pl.BlockSpec(memory_space=pl.ANY)],   # tri table in HBM
         out_specs=[ray_spec, ray_spec],
         out_shape=[jax.ShapeDtypeStruct((tiles, 1, TILE), jnp.float32),
                    jax.ShapeDtypeStruct((tiles, 1, TILE), jnp.int32)],
