@@ -52,8 +52,8 @@ def _build_scene(args):
                      focus_distance=args.focus_distance)
         t0 = time.perf_counter()
         out = b.build(accel=args.accel)
-        print(f"[scene] build (SAH BVH): {time.perf_counter()-t0:.1f}s",
-              file=sys.stderr)
+        print(f"[scene] build (SAH BVH): {time.perf_counter()-t0:.1f}s "
+              f"accel={out[2].accel}", file=sys.stderr)
     else:
         if args.scene not in builtin.SCENES:
             raise SystemExit(f"unknown scene {args.scene}; "
@@ -204,7 +204,10 @@ def main(argv=None):
     r.add_argument("--sampler", default="stratified",
                    choices=["stratified", "uniform"])
     r.add_argument("--seed", type=int, default=0)
-    r.add_argument("--accel", default="bvh", choices=["bvh", "brute"])
+    r.add_argument("--accel", default="auto",
+                   choices=["auto", "pallas", "beam", "bvh", "brute"],
+                   help="auto picks by scene size (pallas kernel for "
+                        ">4K-tri scenes)")
     r.add_argument("--rays-per-batch", type=int, default=1 << 16)
     r.add_argument("--tonemap", default="reinhard_jodie")
     r.add_argument("--out", default="out.png")

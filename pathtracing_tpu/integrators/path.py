@@ -6,7 +6,9 @@ Integrators.cpp:131-479) as a masked SoA bounce loop over ray batches:
 every lane carries (origin, dir, throughput, L, prevPDF, spec, medium,
 alive) and a `lax.scan` over bounce index advances all lanes in lockstep —
 the TPU-idiomatic replacement for thread-per-ray recursion.  Dead lanes are
-masked; Russian roulette and regeneration keep the batch useful.
+masked: Russian roulette kills low-throughput lanes, dead lanes trace with
+t_max=0 (the Morton sort clusters them so kernel tiles exit immediately),
+and the while_loop form stops as soon as every lane is dead.
 
 Random numbers are counter-based on (pixel, sample, dimension) so the
 backward pass replays identical sampling decisions (path replay /
