@@ -1,58 +1,209 @@
-"""Benchmark: camera-samples/sec on the Cornell-style scene (1 chip).
+"""Benchmark: the reference workload class, forward AND forward+backward.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "secondary"}.
 
-Baseline: the reference CPU tracer's best logged figure is San Miguel
-1920x1080 @100SPP in 349 s on an unspecified all-core AVX x86 box
-(reference main.cpp:332) = 0.594 M camera samples/s.  Until San Miguel
-itself is loaded, we benchmark the analytic Cornell scene (BASELINE
-config 1 geometry class) at PathIntegrator settings and compare sample
-throughput; `vs_baseline` > 1 means faster than the reference's best.
+Baseline: the reference CPU tracer's only logged numbers are San Miguel
+(~10M tris) 1920x1080 @100SPP PathIntegrator maxDepth 64; best 349 s on
+an unspecified all-core AVX x86 box (reference main.cpp:332) = 0.594 M
+camera samples/s.  The San Miguel asset is not redistributable (and this
+image has no egress), so the primary metric renders the same workload
+CLASS: scenes.sanmiguel_analog — a 10.5M-triangle synthetic courtyard at
+1920x1080, path integrator, max_depth 32 — and `vs_baseline` divides by
+the reference San Miguel figure.  Secondary numbers: rays/s on the same
+scene, a fwd+bwd (differentiable render) rate, and the round-1 Cornell
+metric for continuity.
+
+Timing protocol (remote-TPU tunnel): sync through jax.device_get (the
+tunnel reports block_until_ready early); per-row-batch timing skips each
+batch shape's first call (compile); stats/gradient runs use one 64K-ray
+batch.
 """
 from __future__ import annotations
 
 import json
+import os
 import time
 
+import numpy as np
 import jax
 import jax.numpy as jnp
-
-from pathtracing_tpu.scenes import cornell_box
-from pathtracing_tpu.integrators.path import RenderConfig
-from pathtracing_tpu.integrators.render import render
 
 BASELINE_SAMPLES_PER_S = 1920 * 1080 * 100 / 349.0  # reference main.cpp:332
 
 
-def main():
+def bench_mesh_forward(scene, cam, meta, res, spp, depth):
+    """Full-frame forward render; returns (samples/s, film)."""
+    from pathtracing_tpu.integrators.path import RenderConfig
+    import pathtracing_tpu.integrators.render as R
+    from pathtracing_tpu.sensor import film as filmmod
+
+    cfg = RenderConfig(spp=spp, max_depth=depth, integrator="path",
+                       rays_per_batch=1 << 16)
+    w, h = res
+    rows_per = max(1, min(cfg.rays_per_batch, w * h) // w)
+    n_tiles = -(-h // rows_per)
+    film = filmmod.new_film(res)
+    seen_shapes = set()
+    timed = warm = 0.0
+    timed_samples = warm_samples = 0
+    for t in range(n_tiles):
+        row0 = t * rows_per
+        rows = min(rows_per, h - row0)
+        pixel_idx = jnp.arange(row0 * w, (row0 + rows) * w, dtype=jnp.int32)
+        t0 = time.perf_counter()
+        film = R.render_tile(scene, cam, meta, cfg, film, pixel_idx, spp,
+                             0, rows=rows, row0=jnp.asarray(row0, jnp.int32))
+        jax.device_get(film["weight"][row0 * w])        # hard sync
+        dt = time.perf_counter() - t0
+        if rows in seen_shapes:
+            timed += dt
+            timed_samples += rows * w * spp
+        else:
+            seen_shapes.add(rows)
+            warm += dt
+            warm_samples += rows * w * spp
+    if timed_samples == 0:          # single-tile frame: re-run once warm
+        t0 = time.perf_counter()
+        film = R.render_tile(scene, cam, meta, cfg, film,
+                             pixel_idx, spp, spp, rows=rows,
+                             row0=jnp.asarray(row0, jnp.int32))
+        jax.device_get(film["weight"][row0 * w])
+        timed = time.perf_counter() - t0
+        timed_samples = rows * w * spp
+    print(f"[bench] fwd: warm(compile) {warm:.1f}s, "
+          f"timed {timed:.1f}s / {timed_samples} samples", flush=True)
+    return timed_samples / timed, film
+
+
+def bench_mesh_rays(scene, cam, meta, depth):
+    """Average rays per camera sample + raw trace rate on one 64K batch."""
+    from pathtracing_tpu.integrators.path import RenderConfig, trace
+    from pathtracing_tpu.core.rng import sample_1d, sample_2d
+    from pathtracing_tpu.sensor.camera import generate_ray
+    from functools import partial
+
+    cfg = RenderConfig(spp=1, max_depth=depth, integrator="path",
+                       rays_per_batch=1 << 16)
+    w, h = cam["resolution"]
+    pixel_idx = jnp.arange(1 << 16, dtype=jnp.int32)
+
+    @partial(jax.jit, static_argnames=())
+    def run(scene, cam, sample_idx):
+        px = pixel_idx % w
+        py = pixel_idx // w
+        s = cfg.sampler
+        pj = sample_2d(s, px, py, sample_idx, 0)
+        tu = sample_1d(s, px, py, sample_idx, 2)
+        lu = sample_2d(s, px, py, sample_idx, 3)
+        p = jnp.stack([px.astype(jnp.float32), py.astype(jnp.float32)],
+                      -1) + pj
+        o, d, tm = generate_ray(cam, p, tu, lu)
+        color, stats = trace(scene, cam, meta, cfg, o, d, tm, px, py,
+                             sample_idx, with_stats=True)
+        return jnp.sum(color), stats["n_rays"]
+
+    zero = jnp.asarray(0, jnp.uint32)
+    _, n_rays = run(scene, cam, zero)
+    n_rays = float(jax.device_get(n_rays))
+    t0 = time.perf_counter()
+    _, n2 = run(scene, cam, jnp.asarray(1, jnp.uint32))
+    jax.device_get(n2)
+    dt = time.perf_counter() - t0
+    rays_per_sample = n_rays / (1 << 16)
+    return rays_per_sample, n_rays / dt
+
+
+def bench_mesh_fwd_bwd(scene, cam, meta, res=(512, 512), depth=8):
+    """fwd+bwd: gradient of a differentiable render w.r.t. material base
+    colors, one 64K-pixel batch.  Returns camera-samples/s."""
+    from pathtracing_tpu.integrators.path import RenderConfig
+    from pathtracing_tpu.integrators.render import render_tile
+    from pathtracing_tpu.sensor import film as filmmod
+
+    cfg = RenderConfig(spp=1, max_depth=depth, integrator="path",
+                       differentiable=True, rays_per_batch=1 << 16)
+    w, h = res
+    # repack the camera for the bwd resolution (square aspect)
+    cam2 = dict(cam, resolution=res)
+    half_w = float(np.asarray(cam["half_wh"])[0])
+    cam2["half_wh"] = jnp.asarray([half_w, half_w * h / w], jnp.float32)
+    rows = (1 << 16) // w
+    pixel_idx = jnp.arange(rows * w, dtype=jnp.int32)
+    film0 = filmmod.new_film((w, rows))
+
+    def loss(base, scene):
+        sc = dict(scene, mat_base=base)
+        f = render_tile(sc, cam2, meta, cfg, film0, pixel_idx, 1, 0,
+                        rows=rows, row0=jnp.asarray(0, jnp.int32))
+        return jnp.sum(f["rgb"])
+
+    gfn = jax.jit(jax.grad(loss))
+    g = gfn(scene["mat_base"], scene)
+    g0 = jax.device_get(g)
+    assert np.isfinite(g0).all(), "non-finite gradient"
+    t0 = time.perf_counter()
+    g = gfn(scene["mat_base"], scene)
+    jax.device_get(g)
+    dt = time.perf_counter() - t0
+    return rows * w / dt
+
+
+def bench_cornell():
+    """Round-1 continuity metric: Cornell 512^2, path, depth 8, 32 spp."""
+    from pathtracing_tpu.scenes import cornell_box
+    from pathtracing_tpu.integrators.path import RenderConfig
+    from pathtracing_tpu.integrators.render import render
+
     res = (512, 512)
     spp = 32
     cfg = RenderConfig(spp=spp, max_depth=8, integrator="path",
                        rays_per_batch=1 << 16)
     scene, cam, meta = cornell_box(resolution=res)
-
-    # warmup / compile with the SAME wave count (n_samples is a static
-    # arg: a different count would recompile inside the timed region)
     film = render(scene, cam, meta, cfg, spp=spp)
-    jax.block_until_ready(film)
-
-    # NOTE: on the remote-TPU tunnel block_until_ready can report ready
-    # before the device work drains; only a device->host read truly
-    # syncs, so time through jax.device_get
     jax.device_get(film["rgb"])
     t0 = time.perf_counter()
     film = render(scene, cam, meta, cfg, spp=spp, sample_offset=spp)
     jax.device_get(film["rgb"])
     dt = time.perf_counter() - t0
+    return res[0] * res[1] * spp / dt
 
-    n_samples = res[0] * res[1] * spp
-    rate = n_samples / dt
+
+def main():
+    fast = bool(os.environ.get("BENCH_FAST"))
+    res = (512, 512) if fast else (1920, 1080)
+    n_tris = 200_000 if fast else 10_500_000
+    depth = 8 if fast else 32
+    spp = 1
+
+    from pathtracing_tpu.scenes import sanmiguel_analog
+    t0 = time.perf_counter()
+    scene, cam, meta = sanmiguel_analog(resolution=res, n_tris=n_tris)
+    print(f"[bench] scene: {meta.n_tri:,} tris, accel={meta.accel}, "
+          f"build {time.perf_counter()-t0:.0f}s", flush=True)
+
+    fwd_rate, _ = bench_mesh_forward(scene, cam, meta, res, spp, depth)
+    rays_per_sample, rays_rate = bench_mesh_rays(scene, cam, meta, depth)
+    fb_rate = bench_mesh_fwd_bwd(scene, cam, meta,
+                                 res=(256, 256) if fast else (512, 512),
+                                 depth=8)
+    cornell_rate = bench_cornell()
+
     print(json.dumps({
-        "metric": "camera_samples_per_sec_cornell_512_path_d8",
-        "value": round(rate, 1),
+        "metric": "camera_samples_per_sec_mesh10M_1080p_path_d32",
+        "value": round(fwd_rate, 1),
         "unit": "samples/s",
-        "vs_baseline": round(rate / BASELINE_SAMPLES_PER_S, 3),
-    }))
+        "vs_baseline": round(fwd_rate / BASELINE_SAMPLES_PER_S, 4),
+        "secondary": {
+            "rays_per_sec_mesh10M": round(fwd_rate * rays_per_sample, 1),
+            "rays_per_camera_sample": round(rays_per_sample, 2),
+            "trace_rays_per_sec_64k_batch": round(rays_rate, 1),
+            "fwd_bwd_samples_per_sec_mesh10M_512_d8": round(fb_rate, 1),
+            "camera_samples_per_sec_cornell_512_path_d8":
+                round(cornell_rate, 1),
+            "vs_baseline_cornell":
+                round(cornell_rate / BASELINE_SAMPLES_PER_S, 3),
+        },
+    }), flush=True)
 
 
 if __name__ == "__main__":

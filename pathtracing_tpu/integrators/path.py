@@ -60,6 +60,11 @@ class RenderConfig:
     rr_start: int = 3               # RR after this many scatters
     rays_per_batch: int = 1 << 16   # ray-batch tile size
     differentiable: bool = False    # scan (diff) vs while_loop (fast fwd)
+    remat: bool = True              # jax.checkpoint each bounce in the
+                                    # differentiable scan: backward memory
+                                    # drops from every per-bounce
+                                    # intermediate to just the carried ray
+                                    # state (recomputes the bounce in bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -103,7 +108,11 @@ def transmittance(scene, meta, origin, direction, dist, medium, active,
     """March through material-less medium boundaries accumulating Tr.
     Returns (Tr [N,3], blocked [N])."""
     n = origin.shape[0]
-    max_marches = 8
+    # data-dependent trip count (exits when no lane is marching); the
+    # reference marches unbounded (Scene.cpp:8-29) — 64 is a degenerate-
+    # geometry safety net, not a budget (round 1's cap of 8 returned
+    # wrong visibility through >8 medium boundaries)
+    max_marches = 64
 
     def med_tr(med, t):
         mi = jnp.clip(med, 0, scene["med_sigma_t"].shape[0] - 1)
@@ -216,8 +225,11 @@ def sample_ld(scene, meta, cfg, ray_dir, it, mat, is_medium_vertex,
 # ---------------------------------------------------------------------------
 
 def trace(scene, cam, meta, cfg: RenderConfig, origin, direction, time,
-          px, py, sample_idx):
-    """Estimate Li for a batch of camera rays. Returns radiance [N,3]."""
+          px, py, sample_idx, with_stats: bool = False):
+    """Estimate Li for a batch of camera rays. Returns radiance [N,3];
+    with_stats=True additionally returns {"n_rays": scalar} counting the
+    rays actually traced (closest-hit rays per live bounce + NEE shadow
+    rays) — the rays/sec numerator of the BASELINE metric."""
     n = origin.shape[0]
     simple = cfg.integrator == "simple"
     volumetric = cfg.integrator == "volpath"
@@ -232,6 +244,7 @@ def trace(scene, cam, meta, cfg: RenderConfig, origin, direction, time,
         alive=jnp.ones((n,), bool),
         medium=jnp.full((n,), meta.camera_medium, jnp.int32),
         rr_depth=jnp.zeros((n,), jnp.int32),
+        n_rays=jnp.zeros((), jnp.float32),
     )
 
     def dim(b, off):
@@ -242,6 +255,7 @@ def trace(scene, cam, meta, cfg: RenderConfig, origin, direction, time,
         o, d = state["o"], state["d"]
         tput = state["tput"]
         radiance = state["radiance"]
+        n_rays = state["n_rays"] + jnp.sum(alive.astype(jnp.float32))
 
         # dead lanes get t_max=0: they miss immediately, and after the
         # Morton sort clusters them the pallas kernel's whole-tile early
@@ -335,6 +349,7 @@ def trace(scene, cam, meta, cfg: RenderConfig, origin, direction, time,
                                 time=time)
             radiance = radiance + jnp.where(med_scatter[:, None],
                                             tput * nee_med, 0.0)
+            n_rays = n_rays + jnp.sum(med_scatter.astype(jnp.float32))
             mle = scene["med_le"][mi]
             radiance = radiance + jnp.where(med_scatter[:, None],
                                             tput * mle, 0.0)
@@ -382,6 +397,7 @@ def trace(scene, cam, meta, cfg: RenderConfig, origin, direction, time,
                             nee_active, volumetric, time=time)
             radiance = radiance + jnp.where(nee_active[:, None],
                                             tput * nee, 0.0)
+            n_rays = n_rays + jnp.sum(nee_active.astype(jnp.float32))
             _, pdf_mis = bsdf_eval_pdf(
                 mat, d, it, wi,
                 present=getattr(meta, "mats_present", (1, 1, 1, 1)))
@@ -442,11 +458,18 @@ def trace(scene, cam, meta, cfg: RenderConfig, origin, direction, time,
         # so dead lanes carry their state forward unchanged
         return dict(o=o_next, d=d_next, tput=tput, radiance=radiance,
                     prev_pdf=new_prev_pdf, spec=spec, alive=alive,
-                    medium=medium, rr_depth=rr_depth)
+                    medium=medium, rr_depth=rr_depth, n_rays=n_rays)
 
     if cfg.differentiable:
+        # per-bounce rematerialisation: the backward pass recomputes each
+        # bounce from its carried ray state instead of saving every
+        # intermediate of the bounce body (traversal candidates, NEE
+        # temporaries, BSDF terms) — the memory that made deep
+        # differentiable renders spill
+        bounce_fn = jax.checkpoint(bounce) if cfg.remat else bounce
+
         def scan_body(st, b):
-            return bounce(st, b), None
+            return bounce_fn(st, b), None
         state, _ = jax.lax.scan(scan_body, state,
                                 jnp.arange(cfg.max_depth))
     else:
@@ -459,6 +482,8 @@ def trace(scene, cam, meta, cfg: RenderConfig, origin, direction, time,
             return bounce(st, b), b + 1
 
         state, _ = jax.lax.while_loop(cond, body, (state, jnp.asarray(0)))
+    if with_stats:
+        return state["radiance"], dict(n_rays=state["n_rays"])
     return state["radiance"]
 
 

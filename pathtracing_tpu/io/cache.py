@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..scene.types import SceneMeta
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2   # v2: per-env-light tables (light_env_slot)
 
 
 def save_scene(path, scene, cam, meta: SceneMeta):

@@ -23,6 +23,74 @@ def _lum(c):
                         [0.2126, 0.7152, 0.0722]))
 
 
+class _ChunkedRows:
+    """Row table that stores bulk appends as whole chunks.
+
+    Python lists of 10M row views made San-Miguel-scale builds spend
+    minutes inside np.asarray / genexpr scans; this keeps add_mesh's
+    chunk arrays intact and concatenates lazily (cached).  Supports the
+    small surface the builder uses: append/extend, len/bool, int and
+    slice indexing, iteration, and np.asarray via __array__."""
+
+    def __init__(self):
+        self._chunks = []
+        self._n = 0
+
+    def append(self, row):
+        self._chunks.append(np.asarray(row)[None])
+        self._n += 1
+
+    def extend(self, rows):
+        rows = np.asarray(rows)
+        if len(rows):
+            self._chunks.append(rows)
+            self._n += len(rows)
+
+    def __len__(self):
+        return self._n
+
+    def __bool__(self):
+        return self._n > 0
+
+    def _cat(self):
+        if not self._chunks:
+            return np.zeros((0,), np.float32)
+        if len(self._chunks) > 1:
+            self._chunks = [np.concatenate(self._chunks, 0)]
+        return self._chunks[0]
+
+    def __array__(self, dtype=None, copy=None):
+        a = self._cat()
+        if dtype is not None and a.dtype != dtype:
+            return a.astype(dtype)
+        return a
+
+    def __getitem__(self, i):
+        return self._cat()[i]
+
+    def __iter__(self):
+        return iter(self._cat())
+
+
+def _accumulate_vertex_normals(vertices, indices):
+    """Area-weighted vertex normals via bincount (np.add.at is orders of
+    magnitude slower at 10M faces)."""
+    e1 = vertices[indices[:, 1]] - vertices[indices[:, 0]]
+    e2 = vertices[indices[:, 2]] - vertices[indices[:, 0]]
+    fn = np.cross(e1, e2)
+    fn /= np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True), 1e-20)
+    normals = np.zeros_like(vertices)
+    nv = len(vertices)
+    for k in range(3):
+        for c in range(3):
+            normals[:, c] += np.bincount(indices[:, k],
+                                         weights=fn[:, c],
+                                         minlength=nv)[:nv]
+    normals /= np.maximum(np.linalg.norm(normals, axis=-1, keepdims=True),
+                          1e-20)
+    return normals.astype(np.float32)
+
+
 class SceneBuilder:
     def __init__(self):
         self.textures = TexturePool()
@@ -31,9 +99,12 @@ class SceneBuilder:
                          tex=[], alpha_mode=[], alpha_cutoff=[])
         # geometry (vel = linear velocity for motion blur,
         # AnimatedPrimitive analog, Primitive.hpp:52-66)
-        self._tri = dict(v=[], n=[], uv=[], tan=[], prop=[], vel=[])
-        self._sph = dict(c=[], r=[], prop=[], vel=[])
-        self._quad = dict(q=[], u=[], v=[], prop=[], vel=[])
+        def table(*keys):
+            return {k: _ChunkedRows() for k in keys}
+        self._tri = table("v", "n", "uv", "tan", "prop", "vel")
+        self._sph = table("c", "r", "prop", "vel")
+        self._quad = table("q", "u", "v", "prop", "vel")
+        self._has_motion = False
         # lights (entries are dicts; packed at build)
         self._lights = []
         # media
@@ -131,6 +202,7 @@ class SceneBuilder:
         self._sph["r"].append(float(radius))
         self._sph["prop"].append([material, lid, medium])
         self._sph["vel"].append(np.asarray(velocity, np.float32))
+        self._has_motion |= bool(np.abs(np.asarray(velocity)).max() > 0)
         return idx
 
     def add_quad(self, q, u, v, material=-1, medium=-1, emission=None,
@@ -144,6 +216,7 @@ class SceneBuilder:
         self._quad["v"].append(np.asarray(v, np.float32))
         self._quad["prop"].append([material, lid, medium])
         self._quad["vel"].append(np.asarray(velocity, np.float32))
+        self._has_motion |= bool(np.abs(np.asarray(velocity)).max() > 0)
         return idx
 
     def add_mesh(self, vertices, indices, normals=None, uvs=None,
@@ -164,16 +237,7 @@ class SceneBuilder:
             vertices = vertices @ tf[:3, :3].T + tf[:3, 3]
             nrm_mat = np.linalg.inv(tf[:3, :3]).T
         if normals is None:
-            e1 = vertices[indices[:, 1]] - vertices[indices[:, 0]]
-            e2 = vertices[indices[:, 2]] - vertices[indices[:, 0]]
-            fn = np.cross(e1, e2)
-            fn /= np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True),
-                             1e-20)
-            normals = np.zeros_like(vertices)
-            for k in range(3):
-                np.add.at(normals, indices[:, k], fn)
-            normals /= np.maximum(np.linalg.norm(normals, axis=-1,
-                                                 keepdims=True), 1e-20)
+            normals = _accumulate_vertex_normals(vertices, indices)
         else:
             normals = np.asarray(normals, np.float32).reshape(-1, 3)
             if transform is not None:
@@ -224,6 +288,7 @@ class SceneBuilder:
         self._tri["prop"].extend(props)
         self._tri["vel"].extend(np.broadcast_to(
             np.asarray(velocity, np.float32), (f, 3)))
+        self._has_motion |= bool(np.abs(np.asarray(velocity)).max() > 0)
         return first, f
 
     # -- non-area lights ------------------------------------------------------
@@ -286,8 +351,9 @@ class SceneBuilder:
                                  emission=m["emission"], em_tex=m["em_tex"],
                                  transform=transform)
         if not hasattr(self, "_obj"):
-            self._obj = dict(v=[], n=[], uv=[], tan=[], prop=[],
-                             model_range={})
+            self._obj = dict(v=_ChunkedRows(), n=_ChunkedRows(),
+                             uv=_ChunkedRows(), tan=_ChunkedRows(),
+                             prop=_ChunkedRows(), model_range={})
             self._inst = []
         if model_id not in self._obj["model_range"]:
             # register the object-space geometry once
@@ -296,16 +362,7 @@ class SceneBuilder:
             indices = np.asarray(m["indices"], np.int32).reshape(-1, 3)
             normals = m["normals"]
             if normals is None:
-                e1 = vertices[indices[:, 1]] - vertices[indices[:, 0]]
-                e2 = vertices[indices[:, 2]] - vertices[indices[:, 0]]
-                fn = np.cross(e1, e2)
-                fn /= np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True),
-                                 1e-20)
-                normals = np.zeros_like(vertices)
-                for k in range(3):
-                    np.add.at(normals, indices[:, k], fn)
-                normals /= np.maximum(
-                    np.linalg.norm(normals, axis=-1, keepdims=True), 1e-20)
+                normals = _accumulate_vertex_normals(vertices, indices)
             else:
                 normals = np.asarray(normals, np.float32).reshape(-1, 3)
             uvs = (np.asarray(m["uvs"], np.float32).reshape(-1, 2)
@@ -501,15 +558,18 @@ class SceneBuilder:
             return (1.0 if lt["one_sided"] else 2.0) * area * em
         return 0.0
 
-    def _build_env_tables(self, tex_pool_arrays, nx=256, ny=128):
-        """Luminance importance table over the (u,v) sphere parameterisation
-        (TextureInfiniteLight::PreProcess, Light.cpp:154-200).  Deterministic
-        cell-center quadrature instead of the reference's 64-spp MC."""
+    def _build_env_tables(self, tex_pool_arrays, nx=1024, ny=512):
+        """Luminance importance tables over the (z, azimuth) equal-solid-
+        angle grid, ONE PER env light (the reference builds a
+        1920x1080-cell table per TextureInfiniteLight,
+        Light.cpp:154-200; round 1 built a single coarse 256x128 table
+        for the first env light only, which blurred sharp HDRI suns and
+        corrupted pdfs with >1 env light).  Deterministic cell-center
+        quadrature instead of the reference's 64-spp MC."""
         from .textures import texture_eval
         env = [l for l in self._lights if l["type"] == LIGHT_ENV_TEX]
         if not env:
             return None, 0, 0
-        light = env[0]
         us, vs = np.meshgrid((np.arange(nx) + 0.5) / nx,
                              (np.arange(ny) + 0.5) / ny, indexing="ij")
         uv = np.stack([us, vs], -1).reshape(-1, 2).astype(np.float32)
@@ -518,18 +578,24 @@ class SceneBuilder:
         r = np.sqrt(np.maximum(0.0, 1.0 - z * z))
         dirs = np.stack([r * np.cos(theta), r * np.sin(theta), z], -1)
         from ..core.math import sphere_uv
-        suv = np.asarray(sphere_uv(jnp.asarray(dirs)))
-        rgb = np.asarray(texture_eval(
-            tex_pool_arrays,
-            jnp.full((len(uv),), light["emtex"], jnp.int32),
-            jnp.asarray(suv))) * float(light["color"][0])
-        lum = rgb @ np.asarray([0.2126, 0.7152, 0.0722], np.float32)
-        light["_mean_lum"] = float(lum.mean())
-        cdf = np.cumsum(lum.astype(np.float64))
-        total = float(cdf[-1]) if cdf[-1] > 0 else 1.0
-        return dict(env_weights=jnp.asarray(lum.astype(np.float32)),
-                    env_cdf=jnp.asarray((cdf / total).astype(np.float32)),
-                    env_total=jnp.asarray([total], jnp.float32)), nx, ny
+        suv = jnp.asarray(np.asarray(sphere_uv(jnp.asarray(dirs))))
+        weights, cdfs, totals = [], [], []
+        for slot, light in enumerate(env):
+            rgb = np.asarray(texture_eval(
+                tex_pool_arrays,
+                jnp.full((len(uv),), light["emtex"], jnp.int32),
+                suv)) * float(light["color"][0])
+            lum = rgb @ np.asarray([0.2126, 0.7152, 0.0722], np.float32)
+            light["_mean_lum"] = float(lum.mean())
+            light["_env_slot"] = slot
+            cdf = np.cumsum(lum.astype(np.float64))
+            total = float(cdf[-1]) if cdf[-1] > 0 else 1.0
+            weights.append(lum.astype(np.float32))
+            cdfs.append((cdf / total).astype(np.float32))
+            totals.append(total)
+        return dict(env_weights=jnp.asarray(np.stack(weights)),
+                    env_cdf=jnp.asarray(np.stack(cdfs)),
+                    env_total=jnp.asarray(totals, jnp.float32)), nx, ny
 
     def build(self, power_cull: float = 0.01, accel: str = "auto"):
         """Pack everything into (scene_arrays, camera_arrays, SceneMeta).
@@ -679,6 +745,9 @@ class SceneBuilder:
                                          for lt in lights], (1,), np.int32)),
             light_emtex=jnp.asarray(pad([lt["emtex"] for lt in lights],
                                         (1,), np.int32, -1)),
+            light_env_slot=jnp.asarray(pad(
+                [lt.get("_env_slot", -1) for lt in lights], (1,),
+                np.int32, -1)),
             light_area=jnp.asarray(pad(
                 [self._shape_area(*lt["shape"]) if lt["type"] == LIGHT_AREA
                  else 0.0 for lt in lights], (1,))),
@@ -719,10 +788,12 @@ class SceneBuilder:
                 ilight_map=jnp.asarray(ilight_map))
         if env_tables:
             scene.update(env_tables)
+            n_env = env_tables["env_total"].shape[0]
         else:
-            scene.update(env_weights=jnp.ones((1,), jnp.float32),
-                         env_cdf=jnp.ones((1,), jnp.float32),
+            scene.update(env_weights=jnp.ones((1, 1), jnp.float32),
+                         env_cdf=jnp.ones((1, 1), jnp.float32),
                          env_total=jnp.ones((1,), jnp.float32))
+            n_env = 0
 
         has_alpha = any(int(m) != ALPHA_OPAQUE
                         for m in self._mat["alpha_mode"])
@@ -730,10 +801,7 @@ class SceneBuilder:
         mats_present = tuple(bool(k in types_in_scene) or not types_in_scene
                              for k in range(4))
 
-        has_motion = any(
-            float(np.abs(np.asarray(v)).max()) > 0.0
-            for tbl in (self._tri, self._sph, self._quad)
-            for v in tbl["vel"])
+        has_motion = self._has_motion
         has_light_motion = any(
             float(np.abs(np.asarray(lt.get("vel", 0.0))).max()) > 0.0
             for lt in lights)
@@ -758,15 +826,23 @@ class SceneBuilder:
         if accel == "pallas" and n_inst:
             # instanced TLAS/BLAS block tables: object-space geometry
             # stored once, per-instance expanded block AABBs, in-kernel
-            # per-block ray transforms (Primitive.cpp:41-66)
-            from ..accel.pallas_trace import build_tri_blocks_inst
-            pk_arrays, block_k = build_tri_blocks_inst(
+            # per-block ray transforms (Primitive.cpp:41-66).  Large
+            # instanced scenes use the two-level kernel (instance-
+            # expanded L1 superblocks) so TLAS instancing works at every
+            # scale like the reference's (BVH.hpp:554-555).
+            args = (
                 np.asarray(self._tri["v"], np.float32).reshape(-1, 3, 3),
                 np.asarray(self._obj["v"], np.float32).reshape(-1, 3, 3),
                 [i["fwd"] for i in self._inst],
                 [i["inv"] for i in self._inst],
                 [i["base"] for i in self._inst],
                 [i["count"] for i in self._inst])
+            if nt + n_inst_tris > 65536:
+                from ..accel.pallas_trace2 import build_tri_blocks2_inst
+                pk_arrays, block_k = build_tri_blocks2_inst(*args)
+            else:
+                from ..accel.pallas_trace import build_tri_blocks_inst
+                pk_arrays, block_k = build_tri_blocks_inst(*args)
             scene.update({k: jnp.asarray(v) for k, v in pk_arrays.items()})
         elif accel == "pallas" and nt:
             if nt > 65536:
@@ -804,6 +880,7 @@ class SceneBuilder:
         meta = SceneMeta(
             n_tri=nt, n_sph=ns, n_quad=nq, n_mat=nm, n_lights=nl,
             n_inf=len(inf_idx), n_media=nd, env_nx=env_nx, env_ny=env_ny,
+            n_env=n_env,
             scene_medium=self.scene_medium,
             camera_medium=(self.camera or {}).get("medium", -1),
             has_alpha=has_alpha, light_sampler=self.light_sampler,

@@ -167,7 +167,13 @@ def _pallas_dispatch(scene, meta, origin, direction, t_max,
     n = origin.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     if sort and "scene_lo" in scene:
-        perm = jnp.argsort(_morton_key(scene, origin, direction))
+        key = _morton_key(scene, origin, direction)
+        # dead lanes (t_max<=0) sort LAST: live rays compact into fewer
+        # tiles and the all-dead tiles exit before selecting any block —
+        # the wavefront-compaction analog of the reference's per-pixel
+        # loop keeping every thread busy (Integrators.cpp:55-90)
+        key = jnp.where(t_max <= 0.0, jnp.uint32(0xFFFFFFFF), key)
+        perm = jnp.argsort(key)
         origin_s = origin[perm]
         direction_s = direction[perm]
         tmax_s = t_max[perm]
@@ -631,7 +637,12 @@ def occluded(scene, meta, origin, direction, t_max, rand_key=None,
         return intersect(scene, meta, origin, direction,
                          t_max - SHADOW_EPS, time=time)["valid"]
 
-    max_restarts = 8
+    # trip count is data-dependent (the while_loop exits as soon as no
+    # lane is marching); the reference loops unbounded (Scene.cpp:8-29,
+    # Primitive.cpp:6-14) — 64 is a safety net against degenerate
+    # geometry, not a budget (round 1 capped at 8, which silently
+    # mis-rendered >8 stacked transparent surfaces)
+    max_restarts = 64
 
     def cond(st):
         _, _, _, live, it_ = st

@@ -169,25 +169,39 @@ def _env_cell_of(meta, d):
     return ix * meta.env_ny + iy
 
 
-def env_pdf(scene, meta, d):
-    """Solid-angle pdf of the env importance sampler at direction d."""
+def env_pdf(scene, meta, lid, d):
+    """Solid-angle pdf of light `lid`'s env importance sampler at
+    direction d.  Each env light has its OWN table (the reference builds
+    one per TextureInfiniteLight, Light.cpp:144-148); lid -> table row
+    via light_env_slot."""
     if meta.env_nx == 0:
         return jnp.full(d.shape[:-1], INV_4PI, jnp.float32)
     cell = _env_cell_of(meta, d)
+    slot = jnp.clip(scene["light_env_slot"][
+        jnp.clip(lid, 0, scene["light_env_slot"].shape[0] - 1)], 0,
+        max(meta.n_env - 1, 0))
     ncell = meta.env_nx * meta.env_ny
     cell_omega = 4.0 * jnp.pi / ncell
-    return scene["env_weights"][cell] / jnp.maximum(
-        scene["env_total"][0], 1e-18) / cell_omega
+    return scene["env_weights"][slot, cell] / jnp.maximum(
+        scene["env_total"][slot], 1e-18) / cell_omega
 
 
-def env_sample_dir(scene, meta, u_cell, uv2):
-    """Importance-sample a direction from the env table
-    (TextureInfiniteLight::sample, Light.cpp:118-142)."""
+def env_sample_dir(scene, meta, lid, u_cell, uv2):
+    """Importance-sample a direction from light `lid`'s env table
+    (TextureInfiniteLight::sample, Light.cpp:118-142).  The CDF binary
+    search runs once per env table (meta.n_env is static and small) and
+    lanes select their light's result."""
     if meta.env_nx == 0:
         return uv_to_direction(uv2)
-    idx = jnp.searchsorted(scene["env_cdf"], u_cell,
-                           side="left").astype(jnp.int32)
-    idx = jnp.minimum(idx, meta.env_nx * meta.env_ny - 1)
+    slot = scene["light_env_slot"][
+        jnp.clip(lid, 0, scene["light_env_slot"].shape[0] - 1)]
+    ncell = meta.env_nx * meta.env_ny
+    idx = jnp.zeros(u_cell.shape, jnp.int32)
+    for e in range(meta.n_env):
+        idx_e = jnp.searchsorted(scene["env_cdf"][e], u_cell,
+                                 side="left").astype(jnp.int32)
+        idx = jnp.where(slot == e, idx_e, idx)
+    idx = jnp.minimum(idx, ncell - 1)
     ix = (idx // meta.env_ny).astype(jnp.float32)
     iy = (idx % meta.env_ny).astype(jnp.float32)
     cell_uv = jnp.stack([(ix + uv2[..., 0]) / meta.env_nx,
@@ -256,7 +270,7 @@ def light_sample(scene, meta, idx, ref_p, u_cell, uv2, time):
     sph_dir = uv_to_direction(uv2)
 
     # uniform / env infinite: direction sample
-    env_dir = env_sample_dir(scene, meta, u_cell, uv2)
+    env_dir = env_sample_dir(scene, meta, lid, u_cell, uv2)
     inf_dir = jnp.where((ltype == LIGHT_ENV_TEX)[..., None], env_dir,
                         sph_dir)
     # distant: jittered fixed direction (Light.cpp:208-215)
@@ -321,7 +335,7 @@ def light_sample_pdf(scene, meta, idx, sample, ref_p, shadow_dir):
     one_sided = (scene["light_flags"][lid] & 1) > 0
     front = vdot(-shadow_dir, sample["n"]) > 0
     pdf_area = jnp.where(one_sided & ~front, 0.0, pdf_area)
-    pdf_env = env_pdf(scene, meta, shadow_dir)
+    pdf_env = env_pdf(scene, meta, lid, shadow_dir)
     pdf = jnp.where(ltype == LIGHT_AREA, pdf_area,
                     jnp.where(ltype == LIGHT_ENV_TEX, pdf_env,
                               jnp.where(ltype == LIGHT_UNIFORM_INF,
@@ -333,6 +347,7 @@ def infinite_light_mis_pdf(scene, meta, idx, ray_dir):
     """pmf(light) * light->PDF({}, ray) for escaped rays
     (Integrators.cpp:200-205)."""
     ltype = scene["light_type"][idx]
-    pdf = jnp.where(ltype == LIGHT_ENV_TEX, env_pdf(scene, meta, ray_dir),
+    pdf = jnp.where(ltype == LIGHT_ENV_TEX,
+                    env_pdf(scene, meta, idx, ray_dir),
                     jnp.where(ltype == LIGHT_UNIFORM_INF, INV_4PI, 0.0))
     return pdf

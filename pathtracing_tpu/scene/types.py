@@ -18,7 +18,7 @@ Array schema (all float32 / int32):
   light_type[L], light_color[L,3], light_vec[L,3], light_shape[L,2],
   light_flags[L], light_emtex[L], light_area[L], light_power[L],
   light_cdf[L], inf_idx[LI]
-  env_weights/env_cdf [NC], env_total [1]
+  env_weights/env_cdf [NE,NC], env_total [NE], light_env_slot [L]
   med_sigma_a/s/t [D,3], med_g [D], med_le [D,3]
   tex_* (see textures.py)
 
@@ -58,6 +58,7 @@ class SceneMeta:
     n_media: int = 0
     env_nx: int = 0
     env_ny: int = 0
+    n_env: int = 0              # env (TextureInfinite) lights with tables
     scene_medium: int = -1      # global medium id (Scene.hpp sceneMedium)
     camera_medium: int = -1
     has_alpha: bool = False     # any non-opaque material in scene

@@ -116,5 +116,60 @@ def textured_quad(resolution=(128, 128), checker=True):
     return b.build()
 
 
+def sanmiguel_analog(resolution=(1920, 1080), n_tris=10_500_000,
+                     accel="auto"):
+    """San-Miguel-class synthetic workload (BASELINE config 5 class).
+
+    The reference's headline benchmark is San Miguel: ~10M triangles,
+    1920x1080, PathIntegrator, maxDepth 64, sun + procedural sky
+    (main.cpp:279-354).  The asset itself is not redistributable (and
+    this image has no egress), so the benchmark scene is a synthetic
+    mesh of the same scale and character: a walled courtyard whose
+    floor is a ~n_tris-triangle displaced grid with plateau "buildings"
+    (lots of local occlusion, mixed normals), lit by a DistantLight sun
+    and a uniform sky, viewed from inside so most pixels hit geometry.
+    """
+    b = SceneBuilder()
+    plaster = b.add_diffuse((0.62, 0.55, 0.45), roughness=0.8)
+    wall_m = b.add_diffuse((0.55, 0.42, 0.32), roughness=0.9)
+
+    side = max(2, int(math.isqrt(n_tris // 2)) + 1)
+    xs = np.linspace(0.0, 100.0, side, dtype=np.float32)
+    zs = np.linspace(0.0, 100.0, side, dtype=np.float32)
+    x, z = np.meshgrid(xs, zs, indexing="ij")
+    # terrain: smooth undulation + fine detail (deterministic)
+    y = (2.5 * np.sin(x * 0.11) * np.cos(z * 0.09)
+         + 0.8 * np.sin(x * 0.9 + 1.3) * np.sin(z * 1.1)
+         + 0.15 * np.sin(x * 7.1) * np.cos(z * 6.3)).astype(np.float32)
+    # plateau "buildings": a court of raised blocks (occlusion / deep paths)
+    for (bx, bz, hw, hh) in ((22, 22, 9, 14), (70, 25, 11, 18),
+                             (28, 72, 10, 16), (72, 70, 8, 12),
+                             (50, 50, 6, 8)):
+        mask = (np.abs(x - bx) < hw) & (np.abs(z - bz) < hw)
+        y = np.where(mask, y + hh, y)
+    v = np.stack([x, y, z], -1).reshape(-1, 3)
+    i, j = np.meshgrid(np.arange(side - 1), np.arange(side - 1),
+                       indexing="ij")
+    a = (i * side + j).ravel()
+    f = np.concatenate([np.stack([a, a + 1, a + side], -1),
+                        np.stack([a + 1, a + side + 1, a + side], -1)],
+                       0).astype(np.int32)
+    b.add_mesh(v, f, material=plaster)
+    # enclosing walls (quads) keep bounce paths alive (courtyard effect)
+    h = 30.0
+    b.add_quad([0, -5, 0], [100, 0, 0], [0, h, 0], material=wall_m)
+    b.add_quad([0, -5, 100], [100, 0, 0], [0, h, 0], material=wall_m)
+    b.add_quad([0, -5, 0], [0, 0, 100], [0, h, 0], material=wall_m)
+    b.add_quad([100, -5, 0], [0, 0, 100], [0, h, 0], material=wall_m)
+
+    b.add_distant_light(direction=(-0.35, -1.0, -0.25),
+                        color=(6.0, 5.7, 5.2))              # sun
+    b.add_uniform_inf_light((0.35, 0.45, 0.65))             # sky
+    b.set_camera(look_from=[8.0, 14.0, 8.0], look_at=[60.0, 4.0, 60.0],
+                 fov=math.radians(65.0), resolution=resolution)
+    return b.build(accel=accel)
+
+
 SCENES = dict(cornell=cornell_box, furnace=furnace, mat_test=mat_test,
-              medium=spheres_medium, textured=textured_quad)
+              medium=spheres_medium, textured=textured_quad,
+              sanmiguel_analog=sanmiguel_analog)

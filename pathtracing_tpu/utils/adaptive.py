@@ -47,13 +47,30 @@ def relative_variance(st):
     return rel.sum(-1)
 
 
+def _bucket(n: int, npix: int, floor: int) -> int:
+    """Smallest pow2-stepped capacity >= n.  Pow2 steps bound the number
+    of distinct render_tile shapes (compiles) to log2(npix/floor) while
+    keeping padding waste under 2x; the floor stops tiny trailing batches
+    from each compiling their own shape."""
+    c = min(floor, npix)
+    while c < n:
+        c = min(c * 2, npix)
+    return c
+
+
 def render_adaptive(scene, cam, meta, cfg, base_spp: int | None = None,
                     target: float = 1.5, max_factor: int = 128,
-                    progress=None):
+                    progress=None, bucket_floor: int = 4096):
     """Adaptive render: repeat base_spp-sample waves per pixel until the
     relative variance target is met or max_factor * base_spp samples.
 
-    Returns (film, stats dict with spp_map [H*W]).
+    Unlike a masked-splat formulation (round 1), each wave traces ONLY
+    the still-active pixels: they are gathered into a dense batch padded
+    to a pow4 bucket capacity, so converged pixels stop costing compute —
+    the reference's per-pixel early-out (Integrators.cpp:59-87) as a
+    wavefront gather.
+
+    Returns (film, stats dict with spp_map [H*W], traced_samples).
     """
     from ..integrators.render import render_tile
     from ..sensor.film import new_film
@@ -63,29 +80,42 @@ def render_adaptive(scene, cam, meta, cfg, base_spp: int | None = None,
     base_spp = base_spp or cfg.spp
     film = new_film(cam["resolution"])
     est = welford_init(npix)
-    active = jnp.ones((npix,), bool)
-    pixel_idx = jnp.arange(npix, dtype=jnp.int32)
+    active = np.ones((npix,), bool)
     done_spp = np.zeros(npix, np.int32)
+    traced = 0
 
     for wave in range(max_factor):
-        # render one batch only into a scratch film, then merge where active
-        scratch = new_film(cam["resolution"])
-        scratch = render_tile(scene, cam, meta, cfg, scratch, pixel_idx,
-                              base_spp, sample_offset=wave * base_spp)
-        val = scratch["rgb"] / jnp.maximum(scratch["weight"], 1e-12)[:, None]
-        est = welford_add(est, val, active)
-        film = dict(
-            rgb=film["rgb"] + jnp.where(active[:, None], scratch["rgb"],
-                                        0.0),
-            weight=film["weight"] + jnp.where(active, scratch["weight"],
-                                              0.0))
-        done_spp += np.asarray(active, np.int32) * base_spp
-        rel = relative_variance(est)
-        active = active & (rel > target)
-        n_active = int(jnp.sum(active))
-        if progress:
-            progress(wave + 1, n_active, npix)
+        idx_active = np.nonzero(active)[0].astype(np.int32)
+        n_active = len(idx_active)
         if n_active == 0:
             break
+        cap = _bucket(n_active, npix, bucket_floor)
+        # padding slots point past the image: render_tile drops their
+        # splat, and their trace cost is bounded by the pow4 bucket
+        pixel_idx = np.full(cap, npix, np.int32)
+        pixel_idx[:n_active] = idx_active
+        traced += cap * base_spp
+        scratch = new_film(cam["resolution"])
+        scratch = render_tile(scene, cam, meta, cfg, scratch,
+                              jnp.asarray(pixel_idx), base_spp,
+                              sample_offset=wave * base_spp)
+        amask = jnp.asarray(active)
+        val = scratch["rgb"] / jnp.maximum(scratch["weight"], 1e-12)[:, None]
+        est = welford_add(est, val, amask)
+        film = dict(
+            rgb=film["rgb"] + jnp.where(amask[:, None], scratch["rgb"],
+                                        0.0),
+            weight=film["weight"] + jnp.where(amask, scratch["weight"],
+                                              0.0))
+        done_spp[active] += base_spp
+        rel = relative_variance(est)
+        # a pixel may stop only once the estimator has >=2 wave
+        # observations — with one observation m2 is identically 0 and the
+        # stop rule would (wrongly) converge the whole frame at wave 1
+        can_stop = np.asarray(est["count"]) >= 2
+        active = active & ~(np.asarray(rel <= target) & can_stop)
+        if progress:
+            progress(wave + 1, int(active.sum()), npix)
     return film, dict(spp_map=done_spp,
-                      mean_spp=float(done_spp.mean()))
+                      mean_spp=float(done_spp.mean()),
+                      traced_samples=traced)

@@ -277,6 +277,59 @@ def test_pallas_scene_end_to_end():
     assert close.mean() > 0.99
 
 
+def test_pallas_two_level_instanced_matches_brute():
+    """Instance-expanded two-level kernel (TLAS at San-Miguel scale,
+    BVH.hpp:554-555) vs a brute oracle over the duplicated world soup:
+    closest t, instance id, and object-triangle id must all agree."""
+    from pathtracing_tpu.accel.pallas_trace2 import (
+        build_tri_blocks2_inst, pallas_tri_intersect2)
+    rng = np.random.default_rng(21)
+    nt, no = 1500, 800
+    v0 = rng.uniform(-6, 6, (nt, 3)).astype(np.float32)
+    tri_v = np.stack(
+        [v0, v0 + rng.normal(0, .4, (nt, 3)).astype(np.float32),
+         v0 + rng.normal(0, .4, (nt, 3)).astype(np.float32)], 1)
+    ov0 = rng.uniform(-1, 1, (no, 3)).astype(np.float32)
+    otri = np.stack(
+        [ov0, ov0 + rng.normal(0, .2, (no, 3)).astype(np.float32),
+         ov0 + rng.normal(0, .2, (no, 3)).astype(np.float32)], 1)
+
+    def tf(tx, ty, tz, s, ry):
+        import math
+        c, si = math.cos(ry), math.sin(ry)
+        return np.asarray([[c * s, 0, si * s, tx], [0, s, 0, ty],
+                           [-si * s, 0, c * s, tz], [0, 0, 0, 1]],
+                          np.float32)
+
+    fwd = [tf(-3, 0, 0, 1.0, 0.3), tf(3, 1, 1, 1.6, 1.1),
+           tf(0, -1, -3, 0.8, 2.4)]
+    inv = [np.linalg.inv(f).astype(np.float32) for f in fwd]
+    arrays, K2 = build_tri_blocks2_inst(tri_v, otri, fwd, inv,
+                                        [0, 0, 0], [no, no, no])
+    scene = {k: jnp.asarray(v) for k, v in arrays.items()}
+    o, d = _rays(np.random.default_rng(22), n=512, spread=6.0)
+    t_max = jnp.full((512,), BIG_F32)
+    got = pallas_tri_intersect2(scene, o, d, t_max, K2)
+
+    merged = np.concatenate(
+        [tri_v] + [otri @ f[:3, :3].T + f[:3, 3] for f in fwd], 0)
+    ref = isect.intersect(dict(tri_v=jnp.asarray(merged)),
+                          _BruteMeta(len(merged), 0, 0), o, d, t_max)
+    v = np.asarray(ref["valid"])
+    np.testing.assert_array_equal(np.asarray(got["valid"]), v)
+    np.testing.assert_allclose(np.asarray(got["t"])[v],
+                               np.asarray(ref["t"])[v],
+                               rtol=1e-4, atol=1e-5)
+    ridx = np.asarray(ref["idx"])
+    exp_inst = np.where(ridx < nt, -1, (ridx - nt) // no)
+    exp_tri = np.where(ridx < nt, ridx, (ridx - nt) % no)
+    np.testing.assert_array_equal(np.asarray(got["inst"])[v], exp_inst[v])
+    np.testing.assert_array_equal(np.asarray(got["tri"])[v], exp_tri[v])
+    # any-hit consistency through the instanced path
+    ah = pallas_tri_intersect2(scene, o, d, t_max, K2, any_hit=True)
+    np.testing.assert_array_equal(np.asarray(ah["valid"]), v)
+
+
 def test_pallas_two_level_matches_brute():
     """Two-level (San-Miguel-scale) kernel vs brute, interpret mode."""
     from pathtracing_tpu.accel.pallas_trace2 import (build_tri_blocks2,

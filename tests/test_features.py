@@ -190,6 +190,41 @@ def test_runtime_instancing_pallas_kernel():
     assert (ob == op).all()
 
 
+def test_stacked_transparent_quads_shadow():
+    """10 stacked fully-transparent (MASK alpha=0) quads must not darken
+    the floor: the shadow predicate has to march through all of them
+    (round 1 capped alpha restarts at 8, silently occluding)."""
+    import jax.numpy as jnp
+    from pathtracing_tpu.scene.intersect import occluded
+
+    b = SceneBuilder()
+    # alpha texture that is fully transparent everywhere
+    tex = np.zeros((8, 8, 4), np.float32)
+    tex[..., :3] = 1.0
+    tex[..., 3] = 0.0
+    tid = b.textures.add_image(tex)
+    clear = b.add_diffuse((1, 1, 1), base_tex=tid, alpha_mode=2,
+                          alpha_cutoff=0.5)
+    for i in range(10):
+        b.add_quad([-2, 0.5 + 0.1 * i, -2], [4, 0, 0], [0, 0, 4],
+                   material=clear)
+    b.add_quad([-4, 0, -4], [8, 0, 0], [0, 0, 8],
+               material=b.add_diffuse((0.7, 0.7, 0.7)))
+    b.add_point_light([0, 5, 0], (50, 50, 50))
+    b.set_camera([0, 3, -6], [0, 0, 0], math.radians(40), (8, 8))
+    scene, cam, meta = b.build()
+    assert meta.has_alpha
+    # shadow rays from the floor straight up through all 10 quads
+    n = 16
+    o = jnp.asarray(np.stack([np.linspace(-1.5, 1.5, n),
+                              np.full(n, 0.01), np.zeros(n)], -1),
+                    jnp.float32)
+    d = jnp.asarray(np.tile([0.0, 1.0, 0.0], (n, 1)), jnp.float32)
+    occ = np.asarray(occluded(scene, meta, o, d,
+                              jnp.full((n,), 4.5, jnp.float32)))
+    assert not occ.any(), occ
+
+
 def test_instanced_emissive_area_lights():
     """runtime=True instances of an emissive model get per-instance
     per-triangle area lights (Model::BuildBlas + TransformedLight

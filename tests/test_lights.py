@@ -47,6 +47,25 @@ def test_env_texture_light_consistency():
     _consistency(b)
 
 
+def test_two_env_lights_consistency():
+    """Two env lights with different importance tables: each light's
+    sample/pdf must consult ITS OWN table (round-1 verdict: a single
+    global table corrupted MIS weights whenever >1 env light existed)."""
+    b = _base()
+    rng = np.random.default_rng(1)
+    sky1 = (0.1 + rng.uniform(0, 1, (16, 32, 3)) ** 2).astype(np.float32)
+    sky1[2:5, 4:8] *= 30.0          # hot patch A
+    sky2 = (0.1 + rng.uniform(0, 1, (16, 32, 3)) ** 2).astype(np.float32)
+    sky2[10:13, 20:26] *= 25.0      # hot patch B elsewhere
+    b.add_env_light(b.textures.add_image(sky1))
+    b.add_env_light(b.textures.add_image(sky2))
+    scene, cam, meta = b.build()
+    assert meta.n_env == 2
+    slots = np.asarray(scene["light_env_slot"])[:meta.n_lights]
+    assert sorted(slots[slots >= 0].tolist()) == [0, 1]
+    _consistency(b)
+
+
 def test_function_light_consistency():
     b = _base()
     b.add_function_inf_light(

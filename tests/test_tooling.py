@@ -58,6 +58,25 @@ def test_adaptive_render_converges():
     assert np.isfinite(img).all()
 
 
+def test_adaptive_saves_compute():
+    """Converged pixels must stop being traced (the reference's per-pixel
+    early-out, Integrators.cpp:59-87): total traced samples come in under
+    the uniform-spp equivalent once most of the frame converges."""
+    scene, cam, meta = scenes.cornell_box(resolution=(24, 24))
+    cfg = RenderConfig(spp=4, max_depth=3)
+    film, stats = render_adaptive(scene, cam, meta, cfg, base_spp=4,
+                                  target=1.5, max_factor=8,
+                                  bucket_floor=16)
+    npix = 24 * 24
+    uniform_equiv = npix * int(stats["spp_map"].max())
+    assert stats["traced_samples"] < uniform_equiv, \
+        (stats["traced_samples"], uniform_equiv)
+    # and the estimator is still unbiased-looking: furnace == albedo-ish
+    img = np.asarray(film["rgb"] / np.maximum(
+        np.asarray(film["weight"])[:, None], 1e-12))
+    assert np.isfinite(img).all()
+
+
 def test_cli_model_import_uses_pallas_kernel(tmp_path):
     """--accel defaults to auto, so a >4K-tri imported model must reach
     the production Pallas kernel (round-1 verdict: the CLI topped out at
