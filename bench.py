@@ -34,7 +34,7 @@ BASELINE_SAMPLES_PER_S = 1920 * 1080 * 100 / 349.0  # reference main.cpp:332
 def bench_mesh_forward(scene, cam, meta, res, spp, depth):
     """Full-frame forward render; returns (samples/s, film)."""
     from pathtracing_tpu.integrators.path import RenderConfig
-    import pathtracing_tpu.integrators.render as R
+    from pathtracing_tpu.integrators.render import render_tile
     from pathtracing_tpu.sensor import film as filmmod
 
     cfg = RenderConfig(spp=spp, max_depth=depth, integrator="path",
@@ -51,7 +51,7 @@ def bench_mesh_forward(scene, cam, meta, res, spp, depth):
         rows = min(rows_per, h - row0)
         pixel_idx = jnp.arange(row0 * w, (row0 + rows) * w, dtype=jnp.int32)
         t0 = time.perf_counter()
-        film = R.render_tile(scene, cam, meta, cfg, film, pixel_idx, spp,
+        film = render_tile(scene, cam, meta, cfg, film, pixel_idx, spp,
                              0, rows=rows, row0=jnp.asarray(row0, jnp.int32))
         jax.device_get(film["weight"][row0 * w])        # hard sync
         dt = time.perf_counter() - t0
@@ -64,7 +64,7 @@ def bench_mesh_forward(scene, cam, meta, res, spp, depth):
             warm_samples += rows * w * spp
     if timed_samples == 0:          # single-tile frame: re-run once warm
         t0 = time.perf_counter()
-        film = R.render_tile(scene, cam, meta, cfg, film,
+        film = render_tile(scene, cam, meta, cfg, film,
                              pixel_idx, spp, spp, rows=rows,
                              row0=jnp.asarray(row0, jnp.int32))
         jax.device_get(film["weight"][row0 * w])

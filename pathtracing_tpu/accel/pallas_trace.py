@@ -61,12 +61,20 @@ TPS = 8             # tiles per grid step: pallas pays ~70us of pipeline
 # Host-side build: triangle-only block structure
 # ---------------------------------------------------------------------------
 
-def build_tri_blocks(tri_v: np.ndarray, block_k: int | None = None):
+def build_tri_blocks(tri_v: np.ndarray, block_k: int | None = None,
+                     tri_vel: np.ndarray | None = None,
+                     shutter: tuple = (0.0, 0.0)):
     """SAH-order triangles, cut into K-sized blocks, emit kernel tables.
+
+    tri_vel/shutter: linear per-triangle motion (AnimatedPrimitive,
+    Primitive.cpp:77-96) — velocity components ride in pk_tri rows
+    9..11 and block AABBs are expanded by the union over the shutter
+    interval, so moving scenes keep the Pallas kernel (round 1 forced
+    them onto the brute backend).
 
     Returns (arrays, block_k):
       pk_tri     [16, M*K] f32 block-contiguous v0/e1/e2 components
-                               (rows 9..15 are alignment padding)
+                               (+ vel in rows 9..11 when motion)
       pk_blk_lo  [M, 3], pk_blk_hi [M, 3]
       pk_slot2tri[M*K] i32     slot -> original triangle id (-1 = padding)
     """
@@ -77,6 +85,12 @@ def build_tri_blocks(tri_v: np.ndarray, block_k: int | None = None):
     tri_v = np.asarray(tri_v, np.float32)
     lo = tri_v.min(1)
     hi = tri_v.max(1)
+    if tri_vel is not None:
+        tri_vel = np.asarray(tri_vel, np.float32)
+        d0 = tri_vel * float(shutter[0])
+        d1 = tri_vel * float(shutter[1])
+        lo = lo + np.minimum(d0, d1)
+        hi = hi + np.maximum(d0, d1)
     # only the SAH leaf ORDER is needed; prefer the threaded C++ builder
     native = native_build_bvh(lo, hi, 4)
     if native is not None:
@@ -100,9 +114,12 @@ def build_tri_blocks(tri_v: np.ndarray, block_k: int | None = None):
     v0 = v[:, 0]
     e1 = v[:, 1] - v0
     e2 = v[:, 2] - v0
-    # 16 rows (9 used): DMA slices must be 8-sublane aligned on dim 0
-    tri9 = np.concatenate([v0.T, e1.T, e2.T,
-                           np.zeros((7, len(v)), np.float32)],
+    # 16 rows (9 used; 9..11 = velocity under motion): DMA slices must
+    # be 8-sublane aligned on dim 0
+    vel_rows = (tri_vel[ord_pad].T if tri_vel is not None
+                else np.zeros((3, len(v)), np.float32))
+    tri9 = np.concatenate([v0.T, e1.T, e2.T, vel_rows,
+                           np.zeros((4, len(v)), np.float32)],
                           0).astype(np.float32)
     plo = lo[ord_pad].reshape(m, k, 3).min(1)
     phi = hi[ord_pad].reshape(m, k, 3).max(1)
@@ -254,7 +271,8 @@ def build_tri_blocks_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
 def _kernel(box_ref, ox_ref, oy_ref, oz_ref,
             dx_ref, dy_ref, dz_ref, tmax_ref, tri_hbm, *rest,
             block_k: int, n_blocks: int, any_hit: bool,
-            instanced: bool = False, debug_phase: int = 0):
+            instanced: bool = False, motion: bool = False,
+            debug_phase: int = 0):
     """Tile-divergent traversal with IN-KERNEL block ordering.
 
     An earlier design computed per-tile visit orders in XLA (dense
@@ -271,12 +289,17 @@ def _kernel(box_ref, ox_ref, oy_ref, oz_ref,
     hiz,-,-), blocks in sublanes.
     """
     K = block_k
+    assert not (instanced and motion), "instanced+motion falls back"
+    rest = list(rest)
+    src_ref = inst_ref = inv_ref = time_ref = None
     if instanced:
-        src_ref, inst_ref, inv_ref, out_t_ref, out_slot_ref, scratch, \
-            sem, ecol_ref, boxv_ref, box_sem = rest
-    else:
-        out_t_ref, out_slot_ref, scratch, sem, ecol_ref, \
-            boxv_ref, box_sem = rest
+        src_ref, inst_ref, inv_ref = rest[:3]
+        rest = rest[3:]
+    if motion:
+        time_ref = rest[0]
+        rest = rest[1:]
+    out_t_ref, out_slot_ref, scratch, sem, ecol_ref, \
+        boxv_ref, box_sem = rest
 
     mpad = boxv_ref.shape[0]
 
@@ -310,6 +333,7 @@ def _kernel(box_ref, ox_ref, oy_ref, oz_ref,
         dy = dy_ref[0, pl.ds(tt, 1), :]
         dz = dz_ref[0, pl.ds(tt, 1), :]
         tmax = tmax_ref[0, pl.ds(tt, 1), :]
+        rtime = time_ref[0, pl.ds(tt, 1), :] if motion else None
         t_min = jnp.full_like(ox, SHADOW_EPS)
         ix, iy, iz = inv_guard(dx), inv_guard(dy), inv_guard(dz)
 
@@ -393,9 +417,11 @@ def _kernel(box_ref, ox_ref, oy_ref, oz_ref,
                 det = e1x * hx + e1y * hy + e1z * hz
                 near0 = jnp.abs(det) < 1e-9
                 inv_det = 1.0 / jnp.where(near0, 1.0, det)
-                sx = ox - col(0)
-                sy = oy - col(1)
-                sz = oz - col(2)
+                # moving prim at ray time == static prim hit from
+                # o - vel*time (AnimatedPrimitive, Primitive.cpp:77-96)
+                sx = ox - col(0) - (col(9) * rtime if motion else 0.0)
+                sy = oy - col(1) - (col(10) * rtime if motion else 0.0)
+                sz = oz - col(2) - (col(11) * rtime if motion else 0.0)
                 u = (sx * hx + sy * hy + sz * hz) * inv_det
                 qx = sy * e1z - sz * e1y
                 qy = sz * e1x - sx * e1z
@@ -499,12 +525,15 @@ def _tile_order(blk_lo, blk_hi, ox, oy, oz, ix, iy, iz, t_min, t_max):
 @functools.partial(jax.jit, static_argnames=("block_k", "any_hit",
                                              "debug_phase"))
 def pallas_tri_intersect(scene, origin, direction, t_max, block_k: int,
-                         any_hit: bool = False, debug_phase: int = 0):
+                         any_hit: bool = False, debug_phase: int = 0,
+                         time=None):
     """Closest-hit over the triangle block tables via the Pallas kernel.
 
     Returns dict(t [N], tri [N] original-triangle-id, inst [N], valid [N]);
     `inst` is the runtime-instance id (-1 for world triangles), in which
     case `tri` indexes the object-space table.
+    `time` [N]: per-ray shutter time for motion-blurred scenes (tables
+    built with tri_vel).
     N must be a multiple of TILE (callers pad; padded rays get t_max<=0).
     """
     n = origin.shape[0]
@@ -512,6 +541,7 @@ def pallas_tri_intersect(scene, origin, direction, t_max, block_k: int,
     m = scene["pk_blk_lo"].shape[0]
     K = block_k
     instanced = "pk_blk_src" in scene
+    motion = time is not None
 
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     # pad to a whole number of TPS-tile groups; padded rays get t_max=0
@@ -522,6 +552,8 @@ def pallas_tri_intersect(scene, origin, direction, t_max, block_k: int,
         direction = jnp.pad(direction, ((0, n2 - n), (0, 0)),
                             constant_values=1.0)
         t_max = jnp.pad(t_max, (0, n2 - n))
+        if motion:
+            time = jnp.pad(time, (0, n2 - n))
     groups = n2 // (TILE * TPS)
 
     ox, oy, oz = origin[:, 0], origin[:, 1], origin[:, 2]
@@ -539,7 +571,7 @@ def pallas_tri_intersect(scene, origin, direction, t_max, block_k: int,
 
     kernel = functools.partial(_kernel, block_k=K, n_blocks=m,
                                any_hit=any_hit, instanced=instanced,
-                               debug_phase=debug_phase)
+                               motion=motion, debug_phase=debug_phase)
     in_specs = [box_spec] + [ray_spec] * 7 + [
         pl.BlockSpec(memory_space=pl.ANY)]
     shp = (groups, TPS, TILE)
@@ -559,6 +591,9 @@ def pallas_tri_intersect(scene, origin, direction, t_max, block_k: int,
         operands += [scene["pk_blk_src"].reshape(1, m),
                      scene["pk_blk_inst"].reshape(1, m),
                      scene["pk_inst_inv"]]
+    if motion:
+        in_specs += [ray_spec]
+        operands += [jnp.asarray(time, jnp.float32).reshape(shp)]
     # off-TPU (tests, virtual CPU meshes) the kernel runs interpreted
     interpret = jax.default_backend() != "tpu"
     out_t, out_slot = pl.pallas_call(

@@ -40,13 +40,18 @@ from .pallas_trace import TILE, TPS
 G = 16              # L2 blocks per L1 superblock
 
 
-def build_tri_blocks2(tri_v: np.ndarray, k2: int | None = None):
+def build_tri_blocks2(tri_v: np.ndarray, k2: int | None = None,
+                      tri_vel: np.ndarray | None = None,
+                      shutter: tuple = (0.0, 0.0)):
     """Two-level block tables.  Returns (arrays, k2):
       pk_tri      [16, M2*K2]   block-contiguous triangle components
+                                (+ velocity in rows 9..11 under motion)
       pk_l2box    [M1, 8, 128]  per-L1 row of child AABBs (components in
                                 sublanes, children in lanes)
       pk_blk_lo/hi[M1, 3]       L1 bounds
       pk_slot2tri [M2*K2]
+    tri_vel/shutter: linear motion — boxes expand by the union over the
+    shutter (AnimatedPrimitive, Primitive.cpp:77-96).
     """
     from .build import _sah_build_binary
     from ..native.loader import native_build_bvh
@@ -54,6 +59,12 @@ def build_tri_blocks2(tri_v: np.ndarray, k2: int | None = None):
     tri_v = np.asarray(tri_v, np.float32)
     lo = tri_v.min(1)
     hi = tri_v.max(1)
+    if tri_vel is not None:
+        tri_vel = np.asarray(tri_vel, np.float32)
+        d0 = tri_vel * float(shutter[0])
+        d1 = tri_vel * float(shutter[1])
+        lo = lo + np.minimum(d0, d1)
+        hi = hi + np.maximum(d0, d1)
     native = native_build_bvh(lo, hi, 4)
     if native is not None:
         order = native[3]
@@ -72,8 +83,10 @@ def build_tri_blocks2(tri_v: np.ndarray, k2: int | None = None):
     v0 = v[:, 0]
     e1 = v[:, 1] - v0
     e2 = v[:, 2] - v0
-    tri9 = np.concatenate([v0.T, e1.T, e2.T,
-                           np.zeros((7, len(v)), np.float32)], 0)
+    vel_rows = (tri_vel[ord_pad].T if tri_vel is not None
+                else np.zeros((3, len(v)), np.float32))
+    tri9 = np.concatenate([v0.T, e1.T, e2.T, vel_rows,
+                           np.zeros((4, len(v)), np.float32)], 0)
     l2lo = lo[ord_pad].reshape(m2, k2, 3).min(1)
     l2hi = hi[ord_pad].reshape(m2, k2, 3).max(1)
     # padding tail blocks (duplicated prim) keep the duplicate's box; give
@@ -250,7 +263,7 @@ def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
 def _kernel2(l1box_hbm, ox_ref, oy_ref, oz_ref,
              dx_ref, dy_ref, dz_ref, tmax_ref, l2box_hbm, tri_hbm,
              *rest, k2: int, n_l1: int, any_hit: bool,
-             instanced: bool = False):
+             instanced: bool = False, motion: bool = False):
     """Two-level traversal with IN-KERNEL L1 ordering (see module
     docstring for the latency structure).  l1box_hbm: [M1pad, 8] rows
     (lox..hiz,-,-), fetched into scratch once at grid step 0.
@@ -261,12 +274,17 @@ def _kernel2(l1box_hbm, ox_ref, oy_ref, oz_ref,
     (Primitive.cpp:47-66), and child boxes / triangle blocks are fetched
     through the expanded->physical map."""
     K2 = k2
+    assert not (instanced and motion), "instanced+motion falls back"
+    rest = list(rest)
+    src_ref = inst_ref = inv_ref = time_ref = None
     if instanced:
-        src_ref, inst_ref, inv_ref, out_t_ref, out_slot_ref, scratch, \
-            sem, box_scratch, box_sem, ecol_ref, l1v_ref, l1v_sem = rest
-    else:
-        out_t_ref, out_slot_ref, scratch, sem, box_scratch, box_sem, \
-            ecol_ref, l1v_ref, l1v_sem = rest
+        src_ref, inst_ref, inv_ref = rest[:3]
+        rest = rest[3:]
+    if motion:
+        time_ref = rest[0]
+        rest = rest[1:]
+    out_t_ref, out_slot_ref, scratch, sem, box_scratch, box_sem, \
+        ecol_ref, l1v_ref, l1v_sem = rest
     m1pad = l1v_ref.shape[0]
 
     @pl.when(pl.program_id(0) == 0)
@@ -289,6 +307,7 @@ def _kernel2(l1box_hbm, ox_ref, oy_ref, oz_ref,
         dy = dy_ref[0, pl.ds(tt, 1), :]
         dz = dz_ref[0, pl.ds(tt, 1), :]
         tmax = tmax_ref[0, pl.ds(tt, 1), :]
+        rtime = time_ref[0, pl.ds(tt, 1), :] if motion else None
         t_min = jnp.full_like(ox, SHADOW_EPS)
         ix, iy, iz = inv(dx), inv(dy), inv(dz)
 
@@ -375,9 +394,11 @@ def _kernel2(l1box_hbm, ox_ref, oy_ref, oz_ref,
             det = e1x * hx + e1y * hy + e1z * hz
             near0 = jnp.abs(det) < 1e-9
             inv_det = 1.0 / jnp.where(near0, 1.0, det)
-            sx = oxs - col(0)
-            sy = oys - col(1)
-            sz = ozs - col(2)
+            # moving prim at ray time == static prim hit from
+            # o - vel*time (AnimatedPrimitive, Primitive.cpp:77-96)
+            sx = oxs - col(0) - (col(9) * rtime if motion else 0.0)
+            sy = oys - col(1) - (col(10) * rtime if motion else 0.0)
+            sz = ozs - col(2) - (col(11) * rtime if motion else 0.0)
             u = (sx * hx + sy * hy + sz * hz) * inv_det
             qx = sy * e1z - sz * e1y
             qy = sz * e1x - sx * e1z
@@ -505,12 +526,13 @@ def _kernel2(l1box_hbm, ox_ref, oy_ref, oz_ref,
 
 @functools.partial(jax.jit, static_argnames=("k2", "any_hit"))
 def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
-                          any_hit: bool = False):
+                          any_hit: bool = False, time=None):
     """Two-level closest/any hit.  Same contract as pallas_tri_intersect."""
     n = origin.shape[0]
     assert n % TILE == 0, n
     m1 = scene["pk_blk_lo"].shape[0]
     m1pad = -(-m1 // 128) * 128
+    motion = time is not None
 
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     # pad to a whole number of TPS-tile groups; padded rays get t_max=0
@@ -520,6 +542,8 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
         direction = jnp.pad(direction, ((0, n2 - n), (0, 0)),
                             constant_values=1.0)
         t_max = jnp.pad(t_max, (0, n2 - n))
+        if motion:
+            time = jnp.pad(time, (0, n2 - n))
     groups = n2 // (TILE * TPS)
 
     ox, oy, oz = origin[:, 0], origin[:, 1], origin[:, 2]
@@ -536,7 +560,7 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
 
     instanced = "pk_blk_src" in scene
     kernel = functools.partial(_kernel2, k2=k2, n_l1=m1, any_hit=any_hit,
-                               instanced=instanced)
+                               instanced=instanced, motion=motion)
     interpret = jax.default_backend() != "tpu"
     shp = (groups, TPS, TILE)
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] + [ray_spec] * 7 + [
@@ -559,6 +583,9 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
         operands += [scene["pk_blk_src"].reshape(1, m1),
                      scene["pk_blk_inst"].reshape(1, m1),
                      scene["pk_inst_inv"]]
+    if motion:
+        in_specs += [ray_spec]
+        operands += [jnp.asarray(time, jnp.float32).reshape(shp)]
     out_t, out_slot = pl.pallas_call(
         kernel,
         interpret=interpret,

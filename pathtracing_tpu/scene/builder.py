@@ -807,10 +807,6 @@ class SceneBuilder:
             for lt in lights)
         n_inst_tris = sum(i["count"] for i in getattr(self, "_inst", []))
         n_prims = nt + ns + nq + n_inst_tris
-        if has_motion:
-            accel = "brute"   # traversal accels assume static world prims
-        if n_inst and accel in ("beam", "bvh"):
-            accel = "brute"   # only pallas/brute handle runtime instances
         if accel == "auto":
             # dense whole-scene scan beats any traversal below ~4K prims
             # (measured on v5e; the [N, n_prims] test is one fused VPU op);
@@ -822,6 +818,12 @@ class SceneBuilder:
                 accel = "pallas"
             else:
                 accel = "beam"
+        if has_motion and accel in ("beam", "bvh"):
+            accel = "brute"   # beam/bvh accels assume static world prims
+        if has_motion and n_inst:
+            accel = "brute"   # instanced kernels carry no velocities
+        if n_inst and accel in ("beam", "bvh"):
+            accel = "brute"   # only pallas/brute handle runtime instances
         block_k = 0
         if accel == "pallas" and n_inst:
             # instanced TLAS/BLAS block tables: object-space geometry
@@ -845,6 +847,15 @@ class SceneBuilder:
                 pk_arrays, block_k = build_tri_blocks_inst(*args)
             scene.update({k: jnp.asarray(v) for k, v in pk_arrays.items()})
         elif accel == "pallas" and nt:
+            # motion-blurred scenes keep the kernel: per-triangle
+            # velocities ride in the tables and block AABBs expand over
+            # the shutter (AnimatedPrimitive under acceleration,
+            # Primitive.cpp:77-96; round 1 forced these onto brute)
+            vel_kw = {}
+            if has_motion:
+                vel_kw = dict(
+                    tri_vel=np.asarray(self._tri["vel"], np.float32),
+                    shutter=(self.camera or {}).get("shutter", (0.0, 0.0)))
             if nt > 65536:
                 # two-level kernel: visited-block prim counts stay small
                 # (K2=128 vs single-level K that grows with n/4096);
@@ -852,11 +863,11 @@ class SceneBuilder:
                 # up through San-Miguel scale
                 from ..accel.pallas_trace2 import build_tri_blocks2
                 pk_arrays, block_k = build_tri_blocks2(
-                    np.asarray(self._tri["v"], np.float32))
+                    np.asarray(self._tri["v"], np.float32), **vel_kw)
             else:
                 from ..accel.pallas_trace import build_tri_blocks
                 pk_arrays, block_k = build_tri_blocks(
-                    np.asarray(self._tri["v"], np.float32))
+                    np.asarray(self._tri["v"], np.float32), **vel_kw)
             scene.update({k: jnp.asarray(v) for k, v in pk_arrays.items()})
         elif accel == "pallas":
             accel = "brute"

@@ -158,7 +158,8 @@ def _morton_key(scene, origin, direction):
 
 
 def _pallas_dispatch(scene, meta, origin, direction, t_max,
-                     any_hit: bool = False, sort: bool = True):
+                     any_hit: bool = False, sort: bool = True,
+                     time=None):
     """Triangles via the Pallas tile-divergent kernel; the (few) analytic
     prims of a mixed scene take the dense brute path; results merged."""
     import dataclasses
@@ -166,6 +167,9 @@ def _pallas_dispatch(scene, meta, origin, direction, t_max,
 
     n = origin.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    motion = meta.has_motion
+    if motion and time is None:
+        time = jnp.zeros((n,), jnp.float32)
     if sort and "scene_lo" in scene:
         key = _morton_key(scene, origin, direction)
         # dead lanes (t_max<=0) sort LAST: live rays compact into fewer
@@ -177,23 +181,27 @@ def _pallas_dispatch(scene, meta, origin, direction, t_max,
         origin_s = origin[perm]
         direction_s = direction[perm]
         tmax_s = t_max[perm]
+        time_s = time[perm] if motion else None
     else:
         perm = None
         origin_s, direction_s, tmax_s = origin, direction, t_max
+        time_s = time if motion else None
     pad = (-n) % TILE
     if pad:
         o = jnp.pad(origin_s, ((0, pad), (0, 0)))
         d = jnp.pad(direction_s, ((0, pad), (0, 0)), constant_values=1.0)
         tm = jnp.pad(tmax_s, (0, pad))         # t_max 0 => padded rays miss
+        tme = jnp.pad(time_s, (0, pad)) if motion else None
     else:
         o, d, tm = origin_s, direction_s, tmax_s
+        tme = time_s
     if "pk_l2box" in scene:
         from ..accel.pallas_trace2 import pallas_tri_intersect2
         hit = pallas_tri_intersect2(scene, o, d, tm, meta.block_k,
-                                    any_hit=any_hit)
+                                    any_hit=any_hit, time=tme)
     else:
         hit = pallas_tri_intersect(scene, o, d, tm, meta.block_k,
-                                   any_hit=any_hit)
+                                   any_hit=any_hit, time=tme)
     t = hit["t"][:n]
     idx = hit["tri"][:n]
     inst = hit.get("inst")
@@ -217,7 +225,8 @@ def _pallas_dispatch(scene, meta, origin, direction, t_max,
     if meta.n_sph or meta.n_quad:
         meta2 = dataclasses.replace(meta, n_tri=0, accel="brute",
                                     n_inst=0, n_obj_tri=0)
-        other = intersect(scene, meta2, origin, direction, t_max)
+        other = intersect(scene, meta2, origin, direction, t_max,
+                          time=time)
         better = other["valid"] & (~valid | (other["t"] < t))
         t = jnp.where(better, other["t"], t)
         kind = jnp.where(better, other["kind"], kind)
@@ -236,7 +245,8 @@ def intersect(scene, meta, origin, direction, t_max, time=None):
     correctness reference every accelerator is tested against).
     """
     if meta.accel == "pallas":
-        return _pallas_dispatch(scene, meta, origin, direction, t_max)
+        return _pallas_dispatch(scene, meta, origin, direction, t_max,
+                                time=time)
     motion = meta.has_motion and time is not None
     if meta.accel == "beam":
         from ..accel.beam import beam_intersect
@@ -622,7 +632,7 @@ def occluded(scene, meta, origin, direction, t_max, rand_key=None,
         if meta.accel == "pallas":
             return _pallas_dispatch(scene, meta, origin, direction,
                                     t_max - SHADOW_EPS,
-                                    any_hit=True)["valid"]
+                                    any_hit=True, time=time)["valid"]
         if meta.accel == "beam":
             from ..accel.beam import beam_intersect
             return beam_intersect(scene, origin, direction,

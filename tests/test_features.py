@@ -190,6 +190,40 @@ def test_runtime_instancing_pallas_kernel():
     assert (ob == op).all()
 
 
+def test_motion_blur_under_pallas_kernel():
+    """A moving mesh >4K tris keeps accel=pallas (velocities ride in the
+    kernel tables, AABBs expand over the shutter) and matches brute
+    (round 1 forced any motion onto the brute backend)."""
+    side = 52                      # (side-1)^2*2 = 5202 tris > 4096
+    x, z = np.meshgrid(np.linspace(-3, 3, side), np.linspace(-3, 3, side))
+    y = 0.4 * np.sin(2 * x) * np.cos(2 * z)
+    V = np.stack([x, y, z], -1).reshape(-1, 3)
+    i, j = np.meshgrid(np.arange(side - 1), np.arange(side - 1),
+                       indexing="ij")
+    a = (i * side + j).ravel()
+    F = np.concatenate([np.stack([a, a + 1, a + side], -1),
+                        np.stack([a + 1, a + side + 1, a + side], -1)])
+
+    def build(accel):
+        b = SceneBuilder()
+        b.add_mesh(V, F, material=b.add_diffuse((0.7, 0.5, 0.3)),
+                   velocity=(1.5, 0.0, 0.0))
+        b.add_uniform_inf_light((1.0, 1.0, 1.0))
+        b.set_camera([0, 4, -7], [0, 0, 0], math.radians(40), (24, 24),
+                     shutter=(0.0, 1.0))
+        return b.build(accel=accel)
+
+    scene_p, cam, meta_p = build("auto")
+    assert meta_p.accel == "pallas" and meta_p.has_motion
+    scene_b, _, meta_b = build("brute")
+    cfg = RenderConfig(spp=4, max_depth=2,
+                       sampler=SamplerConfig(x_samples=2, y_samples=2))
+    img_p = np.asarray(render_image(scene_p, cam, meta_p, cfg))
+    img_b = np.asarray(render_image(scene_b, cam, meta_b, cfg))
+    close = np.isclose(img_p, img_b, rtol=1e-3, atol=1e-4)
+    assert close.mean() > 0.99, close.mean()
+
+
 def test_stacked_transparent_quads_shadow():
     """10 stacked fully-transparent (MASK alpha=0) quads must not darken
     the floor: the shadow predicate has to march through all of them
