@@ -37,12 +37,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.math import BIG_F32, SHADOW_EPS
 from .pallas_trace import TILE, TPS
 
-G = 16              # L2 blocks per L1 superblock
+G_DEFAULT = 16      # L2 blocks per L1 superblock (tunable)
 
 
 def build_tri_blocks2(tri_v: np.ndarray, k2: int | None = None,
                       tri_vel: np.ndarray | None = None,
-                      shutter: tuple = (0.0, 0.0)):
+                      shutter: tuple = (0.0, 0.0),
+                      g: int = G_DEFAULT):
     """Two-level block tables.  Returns (arrays, k2):
       pk_tri      [16, M2*K2]   block-contiguous triangle components
                                 (+ velocity in rows 9..11 under motion)
@@ -71,6 +72,7 @@ def build_tri_blocks2(tri_v: np.ndarray, k2: int | None = None,
     else:
         _, order = _sah_build_binary(lo, hi, leaf_size=4)
     n = len(order)
+    G = g
     if k2 is None:
         k2 = 128
         while -(-n // (k2 * G)) > 4096:
@@ -117,7 +119,8 @@ def build_tri_blocks2(tri_v: np.ndarray, k2: int | None = None,
 
 
 def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
-                           inst_count, k2: int | None = None):
+                           inst_count, k2: int | None = None,
+                           g: int = G_DEFAULT):
     """Two-level INSTANCED block tables (TLAS/BLAS at San-Miguel scale,
     BVH.hpp:554-555 — the reference's TLAS templates work at any scale;
     round 1 only had instancing in the single-level kernel).
@@ -144,6 +147,7 @@ def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
     from .build import _sah_build_binary
     from ..native.loader import native_build_bvh
 
+    G = g
     tri_v = np.asarray(tri_v, np.float32).reshape(-1, 3, 3)
     otri_v = np.asarray(otri_v, np.float32).reshape(-1, 3, 3)
     inst_fwd = [np.asarray(f, np.float32) for f in inst_fwd]
@@ -260,20 +264,40 @@ def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
     ), k2
 
 
-def _kernel2(l1box_hbm, ox_ref, oy_ref, oz_ref,
+def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
              dx_ref, dy_ref, dz_ref, tmax_ref, l2box_hbm, tri_hbm,
-             *rest, k2: int, n_l1: int, any_hit: bool,
-             instanced: bool = False, motion: bool = False):
-    """Two-level traversal with IN-KERNEL L1 ordering (see module
-    docstring for the latency structure).  l1box_hbm: [M1pad, 8] rows
-    (lox..hiz,-,-), fetched into scratch once at grid step 0.
+             *rest, k2: int, n_l1: int, any_hit: bool, g: int = G_DEFAULT,
+             instanced: bool = False, motion: bool = False,
+             counters: bool = False):
+    """Two-level traversal, RAYS-IN-SUBLANES layout.
 
-    instanced: the L1 list is instance-expanded; per visited L1 the ray
-    tile is inverse-transformed into the model's object space with the
-    direction left UNNORMALIZED so t stays world-parameterized
-    (Primitive.cpp:47-66), and child boxes / triangle blocks are fetched
-    through the expanded->physical map."""
+    Everything per-ray lives in [128, 1] columns (sublane = ray), so the
+    three hot loops are dense full-lane VPU work with zero scalar-load
+    chains:
+      * L1 entry phase: ray columns x a lane-major L1 box table
+        ([8, M1pad], blocks in lanes) -> per-chunk [128, 128] slab,
+        sublane-min -> a lane-major entry table ecol [M1pad/128, 128]
+        whose argmin-selection is a full-lane min + iota trick (the old
+        [M1pad, 1] sublane layout made every select a 1/128-occupancy
+        reduction);
+      * child phase: the [8, 128] child-box row (children in lanes) slabs
+        against the ray columns in ONE [128, 128] op block — the old
+        per-child scalar-read loop (6*G scalar VMEM loads per visit) was
+        the bulk of a ~4-5us per-visit overhead;
+      * leaf phase: Moller-Trumbore as [128 rays, K2 prims-in-lanes],
+        reading pk_tri rows directly.
+
+    Ray rows arrive in the usual lane layout and are transposed once per
+    tile through an MXU identity matmul (exact for f32).
+    l1boxT_hbm: [8, M1pad] rows lox,loy,loz,hix,hiy,hiz (blocks in
+    lanes), fetched into scratch once at grid step 0.
+
+    instanced: per visited L1 the ray columns are inverse-transformed
+    into the model's object space, direction UNNORMALIZED so t stays
+    world-parameterized (Primitive.cpp:47-66).
+    """
     K2 = k2
+    G = g
     assert not (instanced and motion), "instanced+motion falls back"
     rest = list(rest)
     src_ref = inst_ref = inv_ref = time_ref = None
@@ -283,73 +307,102 @@ def _kernel2(l1box_hbm, ox_ref, oy_ref, oz_ref,
     if motion:
         time_ref = rest[0]
         rest = rest[1:]
-    out_t_ref, out_slot_ref, scratch, sem, box_scratch, box_sem, \
-        ecol_ref, l1v_ref, l1v_sem = rest
-    m1pad = l1v_ref.shape[0]
+    if counters:
+        out_t_ref, out_slot_ref, out_cnt_ref, scratch, sem, box_scratch, \
+            box_sem, ecol_ref, l1v_ref, l1v_sem = rest
+    else:
+        out_t_ref, out_slot_ref, scratch, sem, box_scratch, box_sem, \
+            ecol_ref, l1v_ref, l1v_sem = rest
+    m1pad = l1v_ref.shape[1]
+    R = m1pad // 128
 
     @pl.when(pl.program_id(0) == 0)
     def _():
-        pltpu.make_async_copy(l1box_hbm, l1v_ref, l1v_sem).start()
-        pltpu.make_async_copy(l1box_hbm, l1v_ref, l1v_sem).wait()
+        pltpu.make_async_copy(l1boxT_hbm, l1v_ref, l1v_sem).start()
+        pltpu.make_async_copy(l1boxT_hbm, l1v_ref, l1v_sem).wait()
 
     def inv(c):
         return 1.0 / jnp.where(jnp.abs(c) < 1e-32,
                                jnp.where(c < 0, -1e-32, 1e-32), c)
 
-    SUBW = min(64, m1pad)
-    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (SUBW, 1), 0)
+    # exact f32 transpose through the MXU: the bf16 3-pass split
+    # reconstructs x*1.0 exactly
+    ident = (jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
+             == jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
+             ).astype(jnp.float32)
+
+    def to_col(row):                                    # [1,128]->[128,1]
+        return jax.lax.dot_general(
+            ident, row, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+
+    def to_row(col):                                    # [128,1]->[1,128]
+        return jax.lax.dot_general(
+            col, ident, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    flat_iota = (jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0) * 128
+                 + jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1))
 
     def run_tile(tt, _):
-        ox = ox_ref[0, pl.ds(tt, 1), :]                    # [1,128]
-        oy = oy_ref[0, pl.ds(tt, 1), :]
-        oz = oz_ref[0, pl.ds(tt, 1), :]
-        dx = dx_ref[0, pl.ds(tt, 1), :]
-        dy = dy_ref[0, pl.ds(tt, 1), :]
-        dz = dz_ref[0, pl.ds(tt, 1), :]
-        tmax = tmax_ref[0, pl.ds(tt, 1), :]
-        rtime = time_ref[0, pl.ds(tt, 1), :] if motion else None
-        t_min = jnp.full_like(ox, SHADOW_EPS)
+        ox = to_col(ox_ref[0, pl.ds(tt, 1), :])            # [128,1]
+        oy = to_col(oy_ref[0, pl.ds(tt, 1), :])
+        oz = to_col(oz_ref[0, pl.ds(tt, 1), :])
+        dx = to_col(dx_ref[0, pl.ds(tt, 1), :])
+        dy = to_col(dy_ref[0, pl.ds(tt, 1), :])
+        dz = to_col(dz_ref[0, pl.ds(tt, 1), :])
+        tmax = to_col(tmax_ref[0, pl.ds(tt, 1), :])
+        rtime = to_col(time_ref[0, pl.ds(tt, 1), :]) if motion else None
         ix, iy, iz = inv(dx), inv(dy), inv(dz)
 
-        # ---- L1 entry phase + selection (see pallas_trace._kernel) -----
+        # ---- L1 entry phase: [128 rays, 128 blocks] per chunk ----------
         def entry_chunk(c, _):
-            bb = l1v_ref[pl.ds(c * SUBW, SUBW), :]         # [SUBW, 8]
-            u0 = (bb[:, 0:1] - ox) * ix
-            u1 = (bb[:, 3:4] - ox) * ix
+            def comp(k):
+                return l1v_ref[pl.ds(k, 1), pl.ds(c * 128, 128)]  # [1,128]
+            u0 = (comp(0) - ox) * ix
+            u1 = (comp(3) - ox) * ix
             tn = jnp.minimum(u0, u1)
             tf = jnp.maximum(u0, u1)
-            u0 = (bb[:, 1:2] - oy) * iy
-            u1 = (bb[:, 4:5] - oy) * iy
+            u0 = (comp(1) - oy) * iy
+            u1 = (comp(4) - oy) * iy
             tn = jnp.maximum(tn, jnp.minimum(u0, u1))
             tf = jnp.minimum(tf, jnp.maximum(u0, u1))
-            u0 = (bb[:, 2:3] - oz) * iz
-            u1 = (bb[:, 5:6] - oz) * iz
+            u0 = (comp(2) - oz) * iz
+            u1 = (comp(5) - oz) * iz
             tn = jnp.maximum(jnp.maximum(tn, jnp.minimum(u0, u1)),
                              SHADOW_EPS)
             tf = jnp.minimum(jnp.minimum(tf, jnp.maximum(u0, u1)), tmax)
-            e = jnp.where(tn <= tf, tn, BIG_F32)
-            e8 = jnp.min(e, axis=1, keepdims=True)         # [SUBW,1]
-            e8 = jnp.where(c * SUBW + sub_iota < n_l1, e8, BIG_F32)
-            ecol_ref[pl.ds(c * SUBW, SUBW), :] = e8
+            e = jnp.where(tn <= tf, tn, BIG_F32)           # [128,128]
+            emin = jnp.min(e, axis=0, keepdims=True)       # [1,128]
+            emin = jnp.where(c * 128 + lane_row < n_l1, emin, BIG_F32)
+            ecol_ref[pl.ds(c, 1), :] = emin
             return 0
 
-        jax.lax.fori_loop(0, m1pad // SUBW, entry_chunk, 0)
+        jax.lax.fori_loop(0, R, entry_chunk, 0)
 
         def select():
-            e = ecol_ref[...]                              # [M1pad, 1]
+            """Pop the nearest unvisited L1 from the lane-major entry
+            table: full-lane min + first-match iota."""
+            e = ecol_ref[...]                              # [R,128]
             v = jnp.min(e)
-            i = jnp.argmin(e, axis=0)[0]
-            ecol_ref[pl.ds(i, 1), :] = jnp.full((1, 1), BIG_F32)
-            return i.astype(jnp.int32), v
+            i = jnp.min(jnp.where(e <= v, flat_iota, jnp.int32(1 << 30)))
+            r = i >> 7
+            lane = i & 127
+            row = ecol_ref[pl.ds(r, 1), :]
+            ecol_ref[pl.ds(r, 1), :] = jnp.where(lane_row == lane,
+                                                 BIG_F32, row)
+            return i, v
 
         def src_of(b1):
             # expanded L1 -> physical L1 row (instanced TLAS)
             return src_ref[0, b1] if instanced else b1
 
         def rays_for(b1):
-            """Ray tile (o, d, inv_d) in the visited L1's source space:
-            world rows use the rays as-is; instance rows inverse-transform
-            them, direction UNNORMALIZED (Primitive.cpp:47-66)."""
+            """Ray columns (o, d, inv_d) in the visited L1's source
+            space (TransformedPrimitive, Primitive.cpp:47-66)."""
             if not instanced:
                 return ox, oy, oz, dx, dy, dz, ix, iy, iz
             inst = inst_ref[0, b1]
@@ -382,13 +435,15 @@ def _kernel2(l1box_hbm, ox_ref, oy_ref, oz_ref,
                                          box_sem.at[slot])
 
         def test_l2(best, enc_base, slot, rays):
+            """Moller-Trumbore, [128 rays(sublanes), K2 prims(lanes)]."""
             best_t, best_slot = best
             oxs, oys, ozs, dxs, dys, dzs = rays
-            tri = scratch[slot]                            # [16->9, K2]
-            col = lambda i: tri[i, :][:, None]
-            e1x, e1y, e1z = col(3), col(4), col(5)
-            e2x, e2y, e2z = col(6), col(7), col(8)
-            hx = dys * e2z - dzs * e2y
+
+            def row(i):
+                return scratch[slot, pl.ds(i, 1), :]       # [1,K2]
+            e1x, e1y, e1z = row(3), row(4), row(5)
+            e2x, e2y, e2z = row(6), row(7), row(8)
+            hx = dys * e2z - dzs * e2y                     # [128,K2]
             hy = dzs * e2x - dxs * e2z
             hz = dxs * e2y - dys * e2x
             det = e1x * hx + e1y * hy + e1z * hz
@@ -396,9 +451,9 @@ def _kernel2(l1box_hbm, ox_ref, oy_ref, oz_ref,
             inv_det = 1.0 / jnp.where(near0, 1.0, det)
             # moving prim at ray time == static prim hit from
             # o - vel*time (AnimatedPrimitive, Primitive.cpp:77-96)
-            sx = oxs - col(0) - (col(9) * rtime if motion else 0.0)
-            sy = oys - col(1) - (col(10) * rtime if motion else 0.0)
-            sz = ozs - col(2) - (col(11) * rtime if motion else 0.0)
+            sx = oxs - row(0) - (row(9) * rtime if motion else 0.0)
+            sy = oys - row(1) - (row(10) * rtime if motion else 0.0)
+            sz = ozs - row(2) - (row(11) * rtime if motion else 0.0)
             u = (sx * hx + sy * hy + sz * hz) * inv_det
             qx = sy * e1z - sz * e1y
             qy = sz * e1x - sx * e1z
@@ -406,18 +461,21 @@ def _kernel2(l1box_hbm, ox_ref, oy_ref, oz_ref,
             v = (dxs * qx + dys * qy + dzs * qz) * inv_det
             t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
             ok = (~near0 & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
-                  & (t >= t_min) & (t < best_t))
+                  & (t >= SHADOW_EPS) & (t < best_t))
             t = jnp.where(ok, t, BIG_F32)
-            kbest = jnp.argmin(t, axis=0)
-            tbest = jnp.min(t, axis=0)[None, :]
+            kbest = jnp.argmin(t, axis=1)[:, None]         # [128,1]
+            tbest = jnp.min(t, axis=1, keepdims=True)      # [128,1]
             better = tbest < best_t
             best_t = jnp.where(better, tbest, best_t)
+            # slot carried as f32 (exact below 2^24; caller asserts)
             best_slot = jnp.where(better,
-                                  (enc_base + kbest)[None, :], best_slot)
+                                  (enc_base + kbest).astype(jnp.float32),
+                                  best_slot)
             return best_t, best_slot
 
         def body(carry):
-            b1, e1, slot, best_t, best_slot, _ = carry
+            b1, e1, slot, best_t, best_slot, _, nl1, nch = carry
+            nl1 = nl1 + 1.0
             # select + prefetch the NEXT L1's child-box row while this
             # L1 is processed (double buffered)
             nb, ne = select()
@@ -431,65 +489,80 @@ def _kernel2(l1box_hbm, ox_ref, oy_ref, oz_ref,
             oxs, oys, ozs, dxs, dys, dzs, ixs, iys, izs = rays_for(b1)
             phys = src_of(b1)
 
-            # child slab tests: [8(sublanes=box comps), G] row against
-            # the 128-ray tile, one child per unrolled step (static
-            # scalar reads from the DMA'd row); cull vs the tile's
-            # current worst hit so converged tiles fetch nothing
+            # ---- child slab: ALL G children at once, [128 rays, 128
+            # child-lanes]; per-ray best_t culls in-layout; per-child
+            # tile-min entries order the drain front-to-back
+            # (BVH.hpp:1142-1203); empty child lanes carry +-inf boxes
+            # and fall out as BIG
+            def brow(k):
+                return box_scratch[slot, pl.ds(k, 1), :]   # [1,128]
+            u0 = (brow(0) - oxs) * ixs
+            u1 = (brow(3) - oxs) * ixs
+            tn = jnp.minimum(u0, u1)
+            tf = jnp.maximum(u0, u1)
+            u0 = (brow(1) - oys) * iys
+            u1 = (brow(4) - oys) * iys
+            tn = jnp.maximum(tn, jnp.minimum(u0, u1))
+            tf = jnp.minimum(tf, jnp.maximum(u0, u1))
+            u0 = (brow(2) - ozs) * izs
+            u1 = (brow(5) - ozs) * izs
+            tn = jnp.maximum(jnp.maximum(tn, jnp.minimum(u0, u1)),
+                             SHADOW_EPS)
+            tf = jnp.minimum(jnp.minimum(tf, jnp.maximum(u0, u1)),
+                             best_t)
+            e_row = jnp.min(jnp.where(tn <= tf, tn, BIG_F32), axis=0,
+                            keepdims=True)                 # [1,128]
+
             enters = jnp.zeros((), jnp.int32)
-            for g in range(G):
-                lox = box_scratch[slot, 0, g]
-                loy = box_scratch[slot, 1, g]
-                loz = box_scratch[slot, 2, g]
-                hix = box_scratch[slot, 3, g]
-                hiy = box_scratch[slot, 4, g]
-                hiz = box_scratch[slot, 5, g]
-                u0x = (lox - oxs) * ixs
-                u1x = (hix - oxs) * ixs
-                u0y = (loy - oys) * iys
-                u1y = (hiy - oys) * iys
-                u0z = (loz - ozs) * izs
-                u1z = (hiz - ozs) * izs
-                tn = jnp.maximum(
-                    jnp.maximum(jnp.minimum(u0x, u1x),
-                                jnp.minimum(u0y, u1y)),
-                    jnp.maximum(jnp.minimum(u0z, u1z), t_min))
-                tf = jnp.minimum(
-                    jnp.minimum(jnp.maximum(u0x, u1x),
-                                jnp.maximum(u0y, u1y)),
-                    jnp.minimum(jnp.maximum(u0z, u1z), best_t))
-                hitg = jnp.any(tn <= tf)
-                enters = enters | (hitg.astype(jnp.int32) << g)
+            child_entry = []
+            for g_ in range(G):
+                e_g = e_row[0, g_]
+                child_entry.append(e_g)
+                enters = enters | ((e_g < BIG_F32 * 0.5)
+                                   .astype(jnp.int32) << g_)
 
-            # start every entered child's DMA up front (one slot each) so
-            # all fetches are in flight while the first block is tested
-            for g in range(G):
-                @pl.when((enters >> g) & 1 == 1)
-                def _(g=g):
-                    dma(g, phys * G + g).start()
+            # start every entered child's DMA up front so all fetches
+            # overlap the first child's test
+            for g_ in range(G):
+                @pl.when((enters >> g_) & 1 == 1)
+                def _(g_=g_):
+                    dma(g_, phys * G + g_).start()
 
-            # drain entered children: popcount-many iterations, lowest
-            # set bit first (branchless scalar ctz for a 16-bit mask —
-            # Mosaic has no scalar bitcast, so no float-exponent trick)
+            # drain entered children NEAREST-FIRST; a child whose entry
+            # exceeds the tile's worst best-hit skips its triangle test
+            # (its DMA is still waited so semaphores stay balanced)
             def child_cond(c):
                 return c[0] != 0
 
             def child_body(c):
-                mask, best_t, best_slot = c
-                low = mask & (-mask)
-                g = (jnp.where((low & 0x5555) == 0, 1, 0)
-                     | jnp.where((low & 0x3333) == 0, 2, 0)
-                     | jnp.where((low & 0x0F0F) == 0, 4, 0)
-                     | jnp.where((low & 0x00FF) == 0, 8, 0))
-                dma(g, phys * G + g).wait()
-                # best_slot encodes the EXPANDED child block so callers
-                # recover (instance, physical slot) via the src tables
-                best_t, best_slot = test_l2(
-                    (best_t, best_slot), (b1 * G + g) * K2, g,
-                    (oxs, oys, ozs, dxs, dys, dzs))
-                return mask & (mask - 1), best_t, best_slot
+                mask, best_t, best_slot, nch = c
+                bestg = jnp.asarray(0, jnp.int32)
+                beste = jnp.asarray(BIG_F32, jnp.float32)
+                for g_ in range(G):
+                    sel = (((mask >> g_) & 1) == 1) & (child_entry[g_]
+                                                       < beste)
+                    bestg = jnp.where(sel, g_, bestg)
+                    beste = jnp.where(sel, child_entry[g_], beste)
+                dma(bestg, phys * G + bestg).wait()
 
-            _, best_t, best_slot = jax.lax.while_loop(
-                child_cond, child_body, (enters, best_t, best_slot))
+                def run(args):
+                    best_t, best_slot = args
+                    # best_slot encodes the EXPANDED child block so
+                    # callers recover (instance, slot) via src tables
+                    return test_l2(
+                        (best_t, best_slot),
+                        jnp.asarray((b1 * G + bestg) * K2, jnp.int32),
+                        bestg, (oxs, oys, ozs, dxs, dys, dzs))
+
+                do_test = beste < jnp.max(best_t)
+                best_t, best_slot = jax.lax.cond(
+                    do_test, run, lambda a: a, (best_t, best_slot))
+                return (mask & ~(jnp.asarray(1, jnp.int32) << bestg),
+                        best_t, best_slot,
+                        nch + do_test.astype(jnp.float32))
+
+            _, best_t, best_slot, nch = jax.lax.while_loop(
+                child_cond, child_body, (enters, best_t, best_slot, nch))
 
             if any_hit:
                 live = has_next & ~jnp.all(best_slot >= 0)
@@ -500,12 +573,12 @@ def _kernel2(l1box_hbm, ox_ref, oy_ref, oz_ref,
 
             @pl.when(has_next & ~live)
             def _():
-                dma_boxes(1 - slot, nb).wait()
+                dma_boxes(1 - slot, src_of(nb)).wait()
 
-            return nb, ne, 1 - slot, best_t, best_slot, live
+            return nb, ne, 1 - slot, best_t, best_slot, live, nl1, nch
 
         best_t0 = tmax
-        best_slot0 = jnp.full((1, TILE), -1, jnp.int32)
+        best_slot0 = jnp.full((TILE, 1), -1.0, jnp.float32)
         b0, e0 = select()
         live0 = e0 < BIG_F32 * 0.5
 
@@ -513,26 +586,36 @@ def _kernel2(l1box_hbm, ox_ref, oy_ref, oz_ref,
         def _():
             dma_boxes(0, src_of(b0)).start()
 
-        _, _, _, best_t, best_slot, _ = jax.lax.while_loop(
+        zero = jnp.asarray(0.0, jnp.float32)
+        _, _, _, best_t, best_slot, _, nl1, nch = jax.lax.while_loop(
             lambda c: c[5], body,
             (b0, e0, jnp.asarray(0, jnp.int32), best_t0, best_slot0,
-             live0))
-        out_t_ref[0, pl.ds(tt, 1), :] = best_t
-        out_slot_ref[0, pl.ds(tt, 1), :] = best_slot
+             live0, zero, zero))
+        out_t_ref[0, pl.ds(tt, 1), :] = to_row(best_t)
+        # slot rides through the f32 transpose: values are < 2^24
+        # (callers assert), so the float round-trip is exact
+        out_slot_ref[0, pl.ds(tt, 1), :] = to_row(best_slot)
+        if counters:
+            out_cnt_ref[0, pl.ds(tt, 1), :] = jnp.where(
+                lane_row == 0, nl1, jnp.where(lane_row == 1, nch, 0.0))
         return 0
 
     jax.lax.fori_loop(0, TPS, run_tile, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("k2", "any_hit"))
+@functools.partial(jax.jit, static_argnames=("k2", "any_hit", "g",
+                                             "counters"))
 def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
-                          any_hit: bool = False, time=None):
+                          any_hit: bool = False, time=None,
+                          g: int = G_DEFAULT, counters: bool = False):
     """Two-level closest/any hit.  Same contract as pallas_tri_intersect."""
     n = origin.shape[0]
     assert n % TILE == 0, n
     m1 = scene["pk_blk_lo"].shape[0]
     m1pad = -(-m1 // 128) * 128
     motion = time is not None
+    # slots ride through an f32 transpose in-kernel: must stay < 2^24
+    assert scene["pk_slot2tri"].shape[0] < (1 << 24), "scene too large"
 
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     # pad to a whole number of TPS-tile groups; padded rays get t_max=0
@@ -549,24 +632,27 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
     ox, oy, oz = origin[:, 0], origin[:, 1], origin[:, 2]
     dx, dy, dz = direction[:, 0], direction[:, 1], direction[:, 2]
 
-    # L1 superblock boxes, blocks in sublanes, for the in-kernel ordering
-    l1box = jnp.concatenate(
-        [scene["pk_blk_lo"], scene["pk_blk_hi"],
-         jnp.zeros((m1, 2), jnp.float32)], 1)              # [M1, 8]
-    l1box = jnp.pad(l1box, ((0, m1pad - m1), (0, 0)))
+    # lane-major L1 box table [8, M1pad]: components in sublanes, blocks
+    # in lanes (the layout the in-kernel entry phase consumes densely)
+    l1boxT = jnp.concatenate(
+        [scene["pk_blk_lo"].T, scene["pk_blk_hi"].T,
+         jnp.zeros((2, m1), jnp.float32)], 0)              # [8, M1]
+    l1boxT = jnp.pad(l1boxT, ((0, 0), (0, m1pad - m1)))
 
     ray_spec = pl.BlockSpec((1, TPS, TILE), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
     instanced = "pk_blk_src" in scene
+    G = g
     kernel = functools.partial(_kernel2, k2=k2, n_l1=m1, any_hit=any_hit,
-                               instanced=instanced, motion=motion)
+                               g=g, instanced=instanced, motion=motion,
+                               counters=counters)
     interpret = jax.default_backend() != "tpu"
     shp = (groups, TPS, TILE)
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] + [ray_spec] * 7 + [
         pl.BlockSpec(memory_space=pl.ANY),    # l2box rows in HBM
         pl.BlockSpec(memory_space=pl.ANY)]    # tri table in HBM
-    operands = [l1box,
+    operands = [l1boxT,
                 ox.reshape(shp), oy.reshape(shp), oz.reshape(shp),
                 dx.reshape(shp), dy.reshape(shp), dz.reshape(shp),
                 t_max.reshape(shp),
@@ -586,22 +672,29 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
     if motion:
         in_specs += [ray_spec]
         operands += [jnp.asarray(time, jnp.float32).reshape(shp)]
-    out_t, out_slot = pl.pallas_call(
+    out_specs = [ray_spec, ray_spec]
+    out_shape = [jax.ShapeDtypeStruct(shp, jnp.float32),
+                 jax.ShapeDtypeStruct(shp, jnp.float32)]
+    if counters:
+        out_specs += [ray_spec]
+        out_shape += [jax.ShapeDtypeStruct(shp, jnp.float32)]
+    outs = pl.pallas_call(
         kernel,
         interpret=interpret,
         grid=(groups,),
         in_specs=in_specs,
-        out_specs=[ray_spec, ray_spec],
-        out_shape=[jax.ShapeDtypeStruct(shp, jnp.float32),
-                   jax.ShapeDtypeStruct(shp, jnp.int32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((G, 16, k2), jnp.float32),
                         pltpu.SemaphoreType.DMA((G,)),
                         pltpu.VMEM((2, 8, 128), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
-                        pltpu.VMEM((m1pad, 1), jnp.float32),
-                        pltpu.VMEM((m1pad, 8), jnp.float32),
+                        pltpu.VMEM((m1pad // 128, 128), jnp.float32),
+                        pltpu.VMEM((8, m1pad), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
     )(*operands)
+    out_t = outs[0]
+    out_slot = outs[1].astype(jnp.int32)
 
     t = out_t.reshape(n2)[:n]
     slot = out_slot.reshape(n2)[:n]
@@ -620,5 +713,10 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
         tri = jnp.where(valid, scene["pk_slot2tri"][jnp.clip(slot, 0)], -1)
     valid = valid & (tri >= 0)
     inst = jnp.where(valid, inst, -1)
-    return dict(t=jnp.where(valid, t, BIG_F32), tri=tri, inst=inst,
-                valid=valid)
+    res = dict(t=jnp.where(valid, t, BIG_F32), tri=tri, inst=inst,
+               valid=valid)
+    if counters:
+        cnt = outs[2].reshape(-1, TILE)          # [tiles, lanes]
+        res["n_l1_visited"] = cnt[:, 0]
+        res["n_children_tested"] = cnt[:, 1]
+    return res

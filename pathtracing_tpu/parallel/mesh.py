@@ -144,11 +144,12 @@ def train_step_sharded(scene, cam, meta, cfg: RenderConfig, target,
     Returns (new_params dict, loss scalar). Scene stays unmodified; callers
     merge params back with {**scene, **new_params}.
 
-    NOTE: with reconstruction filters wider than one pixel (Mitchell etc.)
-    samples splat into neighbor pixels, and pixels at shard borders miss
-    incoming spill from other devices, so per-pixel normalized images (and
-    the loss) differ slightly across device counts.  Use a box filter in
-    cfg for sharding-exact losses, or accept the border approximation.
+    The per-device partial films are psum-merged INSIDE the loss, so
+    reconstruction-filter spill across shard borders is exchanged before
+    normalization: the loss (and its gradient) is identical for every
+    device count, including wide filters like Mitchell (round 1 compared
+    each device's un-merged partial film against the target, which made
+    sharded losses device-count-dependent for non-box filters).
     """
     mesh = mesh or make_mesh()
     cfg = RenderConfig(**{**cfg.__dict__, "differentiable": True})
@@ -167,9 +168,8 @@ def train_step_sharded(scene, cam, meta, cfg: RenderConfig, target,
     rest = {k: v for k, v in scene.items() if k not in param_keys}
     cam_arrays = {k: v for k, v in cam.items() if k != "resolution"}
     target_flat = jnp.reshape(target, (npix, 3))
-    target_pad = jnp.pad(target_flat, ((0, dp * per - npix), (0, 0)))
 
-    def worker(params, rest, cam_arrays, tgt_local, pix_local, wave0):
+    def worker(params, rest, cam_arrays, target_flat, pix_local, wave0):
         cam_l = dict(cam_arrays, resolution=cam["resolution"])
         offset = jnp.asarray(sample_offset, jnp.uint32) \
             + wave0[0].astype(jnp.uint32)
@@ -184,20 +184,27 @@ def train_step_sharded(scene, cam, meta, cfg: RenderConfig, target,
 
             film, _ = jax.lax.scan(wave_body, film,
                                    jnp.arange(spp_local, dtype=jnp.uint32))
-            # local pixels only: gather my rows of the (local partial) film.
-            # Filter radius <= 1.5 so a sample's footprint stays within +-2
-            # pixels of its own row block; cross-block spill is dropped by
-            # comparing against the target on owned pixels only.
-            rgb = film["rgb"][pix_local]
-            wgt = film["weight"][pix_local]
-            img = rgb / jnp.maximum(wgt, 1e-12)[:, None]
-            valid = (pix_local < npix) & (wgt > 0)
-            err = jnp.where(valid[:, None], img - tgt_local, 0.0)
+            # merge the partial films BEFORE normalizing: filter spill
+            # into pixels owned by other devices is exchanged here (the
+            # halo), so the loss is exact for any device count/filter
+            film = jax.tree.map(lambda x: jax.lax.psum(x, axes), film)
+            img = film["rgb"] / jnp.maximum(film["weight"], 1e-12)[:, None]
+            valid = film["weight"] > 0
+            err = jnp.where(valid[:, None], img - target_flat, 0.0)
             return jnp.sum(err * err) / (npix * 3)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        loss = jax.lax.psum(loss, axes) / sp
-        grads = jax.tree.map(lambda g: jax.lax.psum(g, axes) / sp, grads)
+        # loss is already global/identical on every device.  JAX
+        # transposes the in-loss film psum to another psum, so each
+        # device's raw gradient is n_devices x (its own-sample
+        # contribution); psum assembles the sum over devices and the
+        # 1/n_devices normalizes the transpose factor, leaving the exact
+        # full gradient.
+        n_dev = 1
+        for a in axes:
+            n_dev *= mesh.shape[a]
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, axes) / n_dev,
+                             grads)
         new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
         return new_params, loss
 
@@ -209,6 +216,6 @@ def train_step_sharded(scene, cam, meta, cfg: RenderConfig, target,
         wave0 = jnp.zeros((dp,), jnp.int32)
 
     fn = shard_map(worker, mesh=mesh,
-                   in_specs=(P(), P(), P(), pix_spec, pix_spec, wave_spec),
+                   in_specs=(P(), P(), P(), P(), pix_spec, wave_spec),
                    out_specs=(P(), P()), check_vma=False)
-    return jax.jit(fn)(params, rest, cam_arrays, target_pad, pix, wave0)
+    return jax.jit(fn)(params, rest, cam_arrays, target_flat, pix, wave0)

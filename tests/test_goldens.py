@@ -34,6 +34,13 @@ CASES = {
                  RenderConfig(spp=4, max_depth=3, integrator="path",
                               sampler=SamplerConfig(x_samples=2, y_samples=2,
                                                     seed=11))),
+    # the reference's de-facto BSDF regression chart (MatTest,
+    # main.cpp:44-162): roughness x metallic sphere grid
+    "mat_test": (lambda: scenes.mat_test(resolution=(36, 22), rows=4,
+                                         cols=6),
+                 RenderConfig(spp=4, max_depth=3, integrator="path",
+                              sampler=SamplerConfig(x_samples=2, y_samples=2,
+                                                    seed=11))),
 }
 
 

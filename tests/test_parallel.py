@@ -54,18 +54,18 @@ def test_train_step_sharded_gradients_flow():
         jnp.sum(scene["light_color"]))
 
 
-def test_train_step_gradient_matches_unsharded():
-    """psum-all-reduced sharded grads == single-device grads.
-
-    Uses the box filter: a wider reconstruction filter splats samples
-    into neighbor pixels, and pixels at shard borders lose incoming
-    spill from other devices' samples, so the per-pixel normalized
-    images (hence losses) legitimately differ slightly between device
-    counts.  With radius 0.5 the loss is sharding-exact."""
-    from pathtracing_tpu.core.filters import box
+@pytest.mark.parametrize("filt", ["box", "mitchell"])
+def test_train_step_gradient_matches_unsharded(filt):
+    """psum-all-reduced sharded grads == single-device grads, for the box
+    AND the wide Mitchell filter: the partial films are psum-merged
+    inside the loss, so cross-shard filter spill (the halo) is exchanged
+    before normalization (round 1 dropped it, making non-box sharded
+    losses device-count-dependent)."""
+    from pathtracing_tpu.core.filters import box, mitchell
     scene, cam, meta = furnace(resolution=(8, 8))
     cfg = RenderConfig(spp=2, max_depth=2, rays_per_batch=64,
-                       differentiable=True, filter=box())
+                       differentiable=True,
+                       filter=box() if filt == "box" else mitchell())
     target = jnp.full((8, 8, 3), 0.25, jnp.float32)
     lr = 1.0
     p1, l1 = train_step_sharded(scene, cam, meta, cfg, target,

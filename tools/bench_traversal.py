@@ -5,6 +5,7 @@ coherent camera rays and incoherent (hemisphere) rays at it, and times
 pallas_tri_intersect / pallas_tri_intersect2 end to end.
 
 Usage: python tools/bench_traversal.py [n_tris] [n_rays] [auto|one|two]
+       [k2] [g]     (two-level block-size sweep overrides)
 """
 from __future__ import annotations
 
@@ -118,13 +119,16 @@ def main():
     t_build = time.perf_counter()
     if mode == "two" or (mode == "auto" and len(tri) > 2_000_000):
         from pathtracing_tpu.accel.pallas_trace2 import (build_tri_blocks2,
-                                                         pallas_tri_intersect2)
-        arrays, k = build_tri_blocks2(tri)
+                                                         pallas_tri_intersect2,
+                                                         G_DEFAULT)
+        k2 = int(sys.argv[4]) if len(sys.argv) > 4 else None
+        g = int(sys.argv[5]) if len(sys.argv) > 5 else G_DEFAULT
+        arrays, k = build_tri_blocks2(tri, k2=k2, g=g)
         scene = {kk: jnp.asarray(vv) for kk, vv in arrays.items()}
-        fn = lambda o, d, t: pallas_tri_intersect2(scene, o, d, t, k)
+        fn = lambda o, d, t: pallas_tri_intersect2(scene, o, d, t, k, g=g)
         fn_any = lambda o, d, t: pallas_tri_intersect2(scene, o, d, t, k,
-                                                       any_hit=True)
-        kind = "two-level"
+                                                       any_hit=True, g=g)
+        kind = f"two-level g={g}"
     else:
         from pathtracing_tpu.accel.pallas_trace import (build_tri_blocks,
                                                         pallas_tri_intersect)
