@@ -85,7 +85,10 @@ def bench_mesh_rays(scene, cam, meta, depth):
     cfg = RenderConfig(spp=1, max_depth=depth, integrator="path",
                        rays_per_batch=1 << 16)
     w, h = cam["resolution"]
-    pixel_idx = jnp.arange(1 << 16, dtype=jnp.int32)
+    # central rows: the top rows of the frame see mostly sky and would
+    # report ~1 ray/sample
+    mid = (h // 2) * w
+    pixel_idx = mid + jnp.arange(1 << 16, dtype=jnp.int32)
 
     @partial(jax.jit, static_argnames=())
     def run(scene, cam, sample_idx):

@@ -268,25 +268,19 @@ def build_tri_blocks_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _kernel(box_ref, ox_ref, oy_ref, oz_ref,
+def _kernel(boxT_hbm, ox_ref, oy_ref, oz_ref,
             dx_ref, dy_ref, dz_ref, tmax_ref, tri_hbm, *rest,
             block_k: int, n_blocks: int, any_hit: bool,
             instanced: bool = False, motion: bool = False,
             debug_phase: int = 0):
-    """Tile-divergent traversal with IN-KERNEL block ordering.
+    """Tile-divergent traversal with IN-KERNEL block ordering, in the
+    RAYS-IN-SUBLANES layout (see pallas_trace2._kernel2 for the design
+    notes): lane-major entry table + iota-argmin selection, and
+    Moller-Trumbore over [128 rays(sublanes), SUB prims(lanes)] read
+    straight from the pk_tri rows.  Ray rows transpose once per tile
+    through an exact-f32 MXU identity matmul.
 
-    An earlier design computed per-tile visit orders in XLA (dense
-    [rays, M] slab test + argsort); at M=389 the argsort alone cost 74%
-    of coherent traversal time.  Here the kernel computes the tile-min
-    entry distance of every block itself (phase 1: 8 blocks in sublanes x
-    the 128 rays in lanes per step — the ray tile never leaves vector
-    registers), then an argmin selection loop visits blocks front-to-back,
-    consuming each selected block by masking its entry to +inf.  Exact
-    same visit order as the argsort, at a per-visited-block cost of one
-    [Mc,128] argmin.
-
-    box_ref: [Mpad, 8] VMEM — one row per block (lox,loy,loz,hix,hiy,
-    hiz,-,-), blocks in sublanes.
+    boxT_hbm: [8, Mpad] — box components in sublanes, blocks in lanes.
     """
     K = block_k
     assert not (instanced and motion), "instanced+motion falls back"
@@ -301,86 +295,104 @@ def _kernel(box_ref, ox_ref, oy_ref, oz_ref,
     out_t_ref, out_slot_ref, scratch, sem, ecol_ref, \
         boxv_ref, box_sem = rest
 
-    mpad = boxv_ref.shape[0]
+    mpad = boxv_ref.shape[1]
+    R = mpad // 128
 
     if debug_phase == 1:          # timing probe: pure I/O, no compute
         out_t_ref[0] = tmax_ref[0]
-        out_slot_ref[0] = jnp.full((TPS, TILE), -1, jnp.int32)
+        out_slot_ref[0] = jnp.full((TPS, TILE), -1.0, jnp.float32)
         return
 
     # the block-box table is shared by every tile: fetch it into scratch
-    # ONCE (scratch persists across grid steps) instead of paying a
-    # per-step pipeline copy
+    # ONCE (scratch persists across grid steps)
     @pl.when(pl.program_id(0) == 0)
     def _():
-        pltpu.make_async_copy(box_ref, boxv_ref, box_sem).start()
-        pltpu.make_async_copy(box_ref, boxv_ref, box_sem).wait()
+        pltpu.make_async_copy(boxT_hbm, boxv_ref, box_sem).start()
+        pltpu.make_async_copy(boxT_hbm, boxv_ref, box_sem).wait()
 
     def inv_guard(c):
         return 1.0 / jnp.where(jnp.abs(c) < 1e-32,
                                jnp.where(c < 0, -1e-32, 1e-32), c)
 
-    SUBW = min(64, mpad)            # blocks per entry step
-    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (SUBW, 1), 0)
     SUB = min(K, 512)
     assert K % SUB == 0
 
+    ident = (jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
+             == jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
+             ).astype(jnp.float32)
+
+    def to_col(row):                                    # [1,128]->[128,1]
+        return jax.lax.dot_general(
+            ident, row, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+
+    def to_row(col):                                    # [128,1]->[1,128]
+        return jax.lax.dot_general(
+            col, ident, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    flat_iota = (jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0) * 128
+                 + jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1))
+
     def run_tile(tt, _):
-        ox = ox_ref[0, pl.ds(tt, 1), :]                    # [1,128]
-        oy = oy_ref[0, pl.ds(tt, 1), :]
-        oz = oz_ref[0, pl.ds(tt, 1), :]
-        dx = dx_ref[0, pl.ds(tt, 1), :]
-        dy = dy_ref[0, pl.ds(tt, 1), :]
-        dz = dz_ref[0, pl.ds(tt, 1), :]
-        tmax = tmax_ref[0, pl.ds(tt, 1), :]
-        rtime = time_ref[0, pl.ds(tt, 1), :] if motion else None
-        t_min = jnp.full_like(ox, SHADOW_EPS)
+        ox = to_col(ox_ref[0, pl.ds(tt, 1), :])            # [128,1]
+        oy = to_col(oy_ref[0, pl.ds(tt, 1), :])
+        oz = to_col(oz_ref[0, pl.ds(tt, 1), :])
+        dx = to_col(dx_ref[0, pl.ds(tt, 1), :])
+        dy = to_col(dy_ref[0, pl.ds(tt, 1), :])
+        dz = to_col(dz_ref[0, pl.ds(tt, 1), :])
+        tmax = to_col(tmax_ref[0, pl.ds(tt, 1), :])
+        rtime = to_col(time_ref[0, pl.ds(tt, 1), :]) if motion else None
         ix, iy, iz = inv_guard(dx), inv_guard(dy), inv_guard(dz)
 
-        # ---- phase 1: tile-min entry distance per block ------------------
+        # ---- phase 1: tile-min entry distance per block -----------------
         def entry_chunk(c, _):
-            bb = boxv_ref[pl.ds(c * SUBW, SUBW), :]        # [SUBW, 8]
-            u0 = (bb[:, 0:1] - ox) * ix                    # [SUBW,128]
-            u1 = (bb[:, 3:4] - ox) * ix
+            def comp(k):
+                return boxv_ref[pl.ds(k, 1), pl.ds(c * 128, 128)]
+            u0 = (comp(0) - ox) * ix                       # [128,128]
+            u1 = (comp(3) - ox) * ix
             tn = jnp.minimum(u0, u1)
             tf = jnp.maximum(u0, u1)
-            u0 = (bb[:, 1:2] - oy) * iy
-            u1 = (bb[:, 4:5] - oy) * iy
+            u0 = (comp(1) - oy) * iy
+            u1 = (comp(4) - oy) * iy
             tn = jnp.maximum(tn, jnp.minimum(u0, u1))
             tf = jnp.minimum(tf, jnp.maximum(u0, u1))
-            u0 = (bb[:, 2:3] - oz) * iz
-            u1 = (bb[:, 5:6] - oz) * iz
+            u0 = (comp(2) - oz) * iz
+            u1 = (comp(5) - oz) * iz
             tn = jnp.maximum(jnp.maximum(tn, jnp.minimum(u0, u1)),
                              SHADOW_EPS)
             tf = jnp.minimum(jnp.minimum(tf, jnp.maximum(u0, u1)), tmax)
-            e = jnp.where(tn <= tf, tn, BIG_F32)           # [SUBW,128]
-            e8 = jnp.min(e, axis=1, keepdims=True)         # [SUBW,1]
-            # blocks past the real count must never be selected
-            e8 = jnp.where(c * SUBW + sub_iota < n_blocks, e8, BIG_F32)
-            ecol_ref[pl.ds(c * SUBW, SUBW), :] = e8
+            e = jnp.where(tn <= tf, tn, BIG_F32)
+            emin = jnp.min(e, axis=0, keepdims=True)       # [1,128]
+            emin = jnp.where(c * 128 + lane_row < n_blocks, emin,
+                             BIG_F32)
+            ecol_ref[pl.ds(c, 1), :] = emin
             return 0
 
-        jax.lax.fori_loop(0, mpad // SUBW, entry_chunk, 0)
+        jax.lax.fori_loop(0, R, entry_chunk, 0)
 
         def select():
-            """Pop the block with the smallest tile-entry (front-to-back).
-            Entries live in the [Mpad, 1] sublane layout straight from
-            the entry phase — no relayout pass."""
-            e = ecol_ref[...]                              # [Mpad, 1]
+            """Pop the nearest unvisited block (front-to-back)."""
+            e = ecol_ref[...]                              # [R,128]
             v = jnp.min(e)
-            i = jnp.argmin(e, axis=0)[0]                   # sublane row
-            ecol_ref[pl.ds(i, 1), :] = jnp.full((1, 1), BIG_F32)
-            return i.astype(jnp.int32), v
+            i = jnp.min(jnp.where(e <= v, flat_iota, jnp.int32(1 << 30)))
+            r = i >> 7
+            lane = i & 127
+            row = ecol_ref[pl.ds(r, 1), :]
+            ecol_ref[pl.ds(r, 1), :] = jnp.where(lane_row == lane,
+                                                 BIG_F32, row)
+            return i, v
 
         def src_of(b):
             # expanded block -> physical column block (instanced TLAS)
             return src_ref[0, b] if instanced else b
 
         def rays_for(b):
-            """Ray tile in the tested block's source space: world blocks
-            use the rays as-is; instance blocks inverse-transform them
-            with the direction left UNNORMALIZED so t stays
-            world-parameterized (Primitive.cpp:47-66)."""
+            """Ray columns in the tested block's source space
+            (TransformedPrimitive, Primitive.cpp:47-66)."""
             if not instanced:
                 return ox, oy, oz, dx, dy, dz
             inst = inst_ref[0, b]
@@ -403,40 +415,42 @@ def _kernel(box_ref, ox_ref, oy_ref, oz_ref,
                 scratch.at[slot], sem.at[slot])
 
         def test_block(best_t, best_slot, b, slot):
-            ox, oy, oz, dx, dy, dz = rays_for(b)
-            # sub-chunks bound the [SUB, 128] VPU intermediates to VMEM
+            oxs, oys, ozs, dxs, dys, dzs = rays_for(b)
+            # sub-chunks bound the [128, SUB] VPU intermediates to VMEM
             for sub in range(K // SUB):
-                tri = scratch[slot, :, sub * SUB:(sub + 1) * SUB]
-                col = lambda i: tri[i, :][:, None]             # [SUB, 1]
-                # Möller–Trumbore: [SUB, 128] = prim sublanes x ray lanes
-                e1x, e1y, e1z = col(3), col(4), col(5)
-                e2x, e2y, e2z = col(6), col(7), col(8)
-                hx = dy * e2z - dz * e2y
-                hy = dz * e2x - dx * e2z
-                hz = dx * e2y - dy * e2x
+                def row(i):
+                    return scratch[slot, pl.ds(i, 1),
+                                   pl.ds(sub * SUB, SUB)]   # [1,SUB]
+                # Moller-Trumbore: [128 rays(sublanes), SUB prims(lanes)]
+                e1x, e1y, e1z = row(3), row(4), row(5)
+                e2x, e2y, e2z = row(6), row(7), row(8)
+                hx = dys * e2z - dzs * e2y
+                hy = dzs * e2x - dxs * e2z
+                hz = dxs * e2y - dys * e2x
                 det = e1x * hx + e1y * hy + e1z * hz
                 near0 = jnp.abs(det) < 1e-9
                 inv_det = 1.0 / jnp.where(near0, 1.0, det)
                 # moving prim at ray time == static prim hit from
                 # o - vel*time (AnimatedPrimitive, Primitive.cpp:77-96)
-                sx = ox - col(0) - (col(9) * rtime if motion else 0.0)
-                sy = oy - col(1) - (col(10) * rtime if motion else 0.0)
-                sz = oz - col(2) - (col(11) * rtime if motion else 0.0)
+                sx = oxs - row(0) - (row(9) * rtime if motion else 0.0)
+                sy = oys - row(1) - (row(10) * rtime if motion else 0.0)
+                sz = ozs - row(2) - (row(11) * rtime if motion else 0.0)
                 u = (sx * hx + sy * hy + sz * hz) * inv_det
                 qx = sy * e1z - sz * e1y
                 qy = sz * e1x - sx * e1z
                 qz = sx * e1y - sy * e1x
-                v = (dx * qx + dy * qy + dz * qz) * inv_det
+                v = (dxs * qx + dys * qy + dzs * qz) * inv_det
                 t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
                 ok = (~near0 & (u >= 0) & (u <= 1) & (v >= 0)
-                      & (u + v <= 1) & (t >= t_min) & (t < best_t))
+                      & (u + v <= 1) & (t >= SHADOW_EPS) & (t < best_t))
                 t = jnp.where(ok, t, BIG_F32)
-                kbest = jnp.argmin(t, axis=0)                  # [128]
-                tbest = jnp.min(t, axis=0)[None, :]            # [1,128]
+                kbest = jnp.argmin(t, axis=1)[:, None]      # [128,1]
+                tbest = jnp.min(t, axis=1, keepdims=True)   # [128,1]
                 better = tbest < best_t
                 best_t = jnp.where(better, tbest, best_t)
                 best_slot = jnp.where(
-                    better, (b * K + sub * SUB + kbest)[None, :],
+                    better,
+                    (b * K + sub * SUB + kbest).astype(jnp.float32),
                     best_slot)
             return best_t, best_slot
 
@@ -474,52 +488,17 @@ def _kernel(box_ref, ox_ref, oy_ref, oz_ref,
             return nb, ne, 1 - slot, best_t, best_slot, live
 
         best_t0 = tmax
-        best_slot0 = jnp.full((1, TILE), -1, jnp.int32)
+        best_slot0 = jnp.full((TILE, 1), -1.0, jnp.float32)
         _, _, _, best_t, best_slot, _ = jax.lax.while_loop(
             cond, body,
             (b0, e0, jnp.asarray(0, jnp.int32), best_t0, best_slot0,
              live0))
-        out_t_ref[0, pl.ds(tt, 1), :] = best_t
-        out_slot_ref[0, pl.ds(tt, 1), :] = best_slot
+        out_t_ref[0, pl.ds(tt, 1), :] = to_row(best_t)
+        # slot rides the f32 transpose: exact below 2^24 (caller asserts)
+        out_slot_ref[0, pl.ds(tt, 1), :] = to_row(best_slot)
         return 0
 
     jax.lax.fori_loop(0, TPS, run_tile, 0)
-
-
-def _tile_order(blk_lo, blk_hi, ox, oy, oz, ix, iy, iz, t_min, t_max):
-    """Per-tile block visit order, computed densely in XLA.
-    Rays [N] grouped in tiles of TILE; returns (order [T,M] i32,
-    sentry [T,M] f32) where sentry[t] is the sorted min-over-tile entry."""
-    n = ox.shape[0]
-    t = n // TILE
-
-    def axis(lo_a, hi_a, o_a, inv_a):
-        u0 = (lo_a[None, :] - o_a[:, None]) * inv_a[:, None]
-        u1 = (hi_a[None, :] - o_a[:, None]) * inv_a[:, None]
-        return jnp.minimum(u0, u1), jnp.maximum(u0, u1)
-
-    def chunk(args):
-        oxc, oyc, ozc, ixc, iyc, izc, tminc, tmaxc = args
-        n0, f0 = axis(blk_lo[:, 0], blk_hi[:, 0], oxc, ixc)
-        n1, f1 = axis(blk_lo[:, 1], blk_hi[:, 1], oyc, iyc)
-        n2, f2 = axis(blk_lo[:, 2], blk_hi[:, 2], ozc, izc)
-        tn = jnp.maximum(jnp.maximum(n0, n1),
-                         jnp.maximum(n2, tminc[:, None]))
-        tf = jnp.minimum(jnp.minimum(f0, f1),
-                         jnp.minimum(f2, tmaxc[:, None]))
-        entry = jnp.where(tn <= tf, tn, BIG_F32)
-        return jnp.min(entry.reshape(-1, TILE, entry.shape[-1]), axis=1)
-
-    args = tuple(a.reshape(t, TILE) for a in
-                 (ox, oy, oz, ix, iy, iz, t_min, t_max))
-    # chunk tiles through lax.map to bound the [rays, M] temp
-    step = max(1, 4096 // max(TILE, 1))          # rays per map step
-    tile_entry = jax.lax.map(chunk, args,
-                             batch_size=min(step, t))     # [T, M]
-    tile_entry = tile_entry.reshape(t, -1)
-    order = jnp.argsort(tile_entry, axis=1).astype(jnp.int32)
-    sentry = jnp.take_along_axis(tile_entry, order, 1)
-    return order, sentry
 
 
 @functools.partial(jax.jit, static_argnames=("block_k", "any_hit",
@@ -542,6 +521,8 @@ def pallas_tri_intersect(scene, origin, direction, t_max, block_k: int,
     K = block_k
     instanced = "pk_blk_src" in scene
     motion = time is not None
+    # slots ride through an f32 transpose in-kernel: must stay < 2^24
+    assert scene["pk_slot2tri"].shape[0] < (1 << 24), "scene too large"
 
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     # pad to a whole number of TPS-tile groups; padded rays get t_max=0
@@ -559,11 +540,12 @@ def pallas_tri_intersect(scene, origin, direction, t_max, block_k: int,
     ox, oy, oz = origin[:, 0], origin[:, 1], origin[:, 2]
     dx, dy, dz = direction[:, 0], direction[:, 1], direction[:, 2]
     mpad = -(-m // 128) * 128
-    # block boxes with blocks in SUBLANES for the in-kernel entry phase
+    # lane-major block-box table [8, Mpad]: components in sublanes,
+    # blocks in lanes (the layout the in-kernel entry phase consumes)
     box = jnp.concatenate(
-        [scene["pk_blk_lo"], scene["pk_blk_hi"],
-         jnp.zeros((m, 2), jnp.float32)], 1)               # [M, 8]
-    box = jnp.pad(box, ((0, mpad - m), (0, 0)))
+        [scene["pk_blk_lo"].T, scene["pk_blk_hi"].T,
+         jnp.zeros((2, m), jnp.float32)], 0)               # [8, M]
+    box = jnp.pad(box, ((0, 0), (0, mpad - m)))
 
     ray_spec = pl.BlockSpec((1, TPS, TILE), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -603,13 +585,14 @@ def pallas_tri_intersect(scene, origin, direction, t_max, block_k: int,
         in_specs=in_specs,
         out_specs=[ray_spec, ray_spec],
         out_shape=[jax.ShapeDtypeStruct(shp, jnp.float32),
-                   jax.ShapeDtypeStruct(shp, jnp.int32)],
+                   jax.ShapeDtypeStruct(shp, jnp.float32)],
         scratch_shapes=[pltpu.VMEM((2, 16, K), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
-                        pltpu.VMEM((mpad, 1), jnp.float32),
-                        pltpu.VMEM((mpad, 8), jnp.float32),
+                        pltpu.VMEM((mpad // 128, 128), jnp.float32),
+                        pltpu.VMEM((8, mpad), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
     )(*operands)
+    out_slot = out_slot.astype(jnp.int32)
 
     t = out_t.reshape(n2)[:n]
     slot = out_slot.reshape(n2)[:n]

@@ -50,6 +50,9 @@ def build_tri_blocks2(tri_v: np.ndarray, k2: int | None = None,
       pk_l2box    [M1, 8, 128]  per-L1 row of child AABBs (components in
                                 sublanes, children in lanes)
       pk_blk_lo/hi[M1, 3]       L1 bounds
+      pk_l1_base  [M1] i32      first K2-block owned by each L1 (the
+                                kernel supports VARIABLE group sizes;
+                                see the dead-end note below)
       pk_slot2tri [M2*K2]
     tri_vel/shutter: linear motion — boxes expand by the union over the
     shutter (AnimatedPrimitive, Primitive.cpp:77-96).
@@ -78,7 +81,6 @@ def build_tri_blocks2(tri_v: np.ndarray, k2: int | None = None,
         while -(-n // (k2 * G)) > 4096:
             k2 += 128
     m2 = -(-n // k2)
-    m2 = -(-m2 // G) * G                  # pad M2 to a multiple of G
     pad = m2 * k2 - n
     ord_pad = np.concatenate([order, np.repeat(order[-1:], pad)])
     v = tri_v[ord_pad]
@@ -91,30 +93,41 @@ def build_tri_blocks2(tri_v: np.ndarray, k2: int | None = None,
                            np.zeros((4, len(v)), np.float32)], 0)
     l2lo = lo[ord_pad].reshape(m2, k2, 3).min(1)
     l2hi = hi[ord_pad].reshape(m2, k2, 3).max(1)
-    # padding tail blocks (duplicated prim) keep the duplicate's box; give
-    # fully-padded blocks (beyond the data) empty boxes
-    n_blocks_data = -(-n // k2)
-    if m2 > n_blocks_data:
-        l2lo[n_blocks_data:] = np.inf
-        l2hi[n_blocks_data:] = -np.inf
-    m1 = m2 // G
-    # [M1, 8, 128]: per-L1 row of its G children's box components padded
-    # into the 128-lane axis (unused lanes get empty boxes) — the layout a
+
+    # Fixed consecutive groups of G blocks.  MEASURED DEAD END: cutting
+    # L1 groups at SAH-subtree boundaries (variable-size treelets,
+    # snapped to K2 block boundaries and merged) reduced ENTERED L1
+    # counts in CPU probes, yet ran 2-3x SLOWER on the TPU at 10.5M
+    # tris — the snapped groups overlap more, which degrades the
+    # front-to-back early-exit (more L1s with small entries are visited
+    # before `ne < max(best_t)` fires) and adds 38% more selection
+    # iterations.  pk_l1_base keeps variable grouping EXPRESSIBLE for
+    # future experiments.
+    groups = [(b, min(b + G, m2)) for b in range(0, m2, G)]
+    m1 = len(groups)
+    l1_base = np.asarray([b for b, _ in groups], np.int32)
+    # [M1, 8, 128]: per-L1 row of its child box components padded into
+    # the 128-lane axis (unused lanes get empty boxes) — the layout a
     # single aligned DMA can fetch per visited L1
     l2box = np.zeros((m1, 8, 128), np.float32)
     l2box[:, 0:3, :] = np.inf          # empty lo
     l2box[:, 3:6, :] = -np.inf         # empty hi
-    l2box[:, 0:3, :G] = l2lo.reshape(m1, G, 3).transpose(0, 2, 1)
-    l2box[:, 3:6, :G] = l2hi.reshape(m1, G, 3).transpose(0, 2, 1)
-    l1lo = l2lo.reshape(m1, G, 3).min(1)
-    l1hi = l2hi.reshape(m1, G, 3).max(1)
+    l1lo = np.empty((m1, 3), np.float32)
+    l1hi = np.empty((m1, 3), np.float32)
+    for i, (b, e) in enumerate(groups):
+        w = e - b
+        l2box[i, 0:3, :w] = l2lo[b:e].T
+        l2box[i, 3:6, :w] = l2hi[b:e].T
+        l1lo[i] = l2lo[b:e].min(0)
+        l1hi[i] = l2hi[b:e].max(0)
     slot2tri = ord_pad.astype(np.int32)
     if pad:
         slot2tri[n:] = -1
     return dict(pk_tri=tri9.astype(np.float32),
                 pk_l2box=l2box,
-                pk_blk_lo=l1lo.astype(np.float32),
-                pk_blk_hi=l1hi.astype(np.float32),
+                pk_blk_lo=l1lo,
+                pk_blk_hi=l1hi,
+                pk_l1_base=l1_base,
                 pk_slot2tri=slot2tri), k2
 
 
@@ -183,12 +196,14 @@ def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
 
     tri_chunks, slot2tri, l2boxes = [], [], []
     exp_lo, exp_hi, exp_src, exp_inst = [], [], [], []
+    l1_bases = []
     phys_l1 = 0
+    phys_blocks = 0
 
     def emit_source(v_sub, glob_ids):
         """SAH-order + block one triangle soup into L2/L1 tables; returns
         per-L1 (physical ids, source-space lo/hi)."""
-        nonlocal phys_l1
+        nonlocal phys_l1, phys_blocks
         order = _order(v_sub)
         n = len(order)
         m2 = -(-n // k2)
@@ -219,7 +234,9 @@ def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
         l1lo = l2lo.reshape(m1, G, 3).min(1)
         l1hi = l2hi.reshape(m1, G, 3).max(1)
         src = np.arange(phys_l1, phys_l1 + m1, dtype=np.int32)
+        l1_bases.append(phys_blocks + np.arange(m1, dtype=np.int32) * G)
         phys_l1 += m1
+        phys_blocks += m2
         return src, l1lo, l1hi
 
     if nt:
@@ -258,6 +275,7 @@ def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
         pk_blk_hi=np.concatenate(exp_hi, 0).astype(np.float32),
         pk_blk_src=np.concatenate(exp_src, 0),
         pk_blk_inst=np.concatenate(exp_inst, 0),
+        pk_l1_base=np.concatenate(l1_bases, 0),
         pk_slot2tri=np.concatenate(slot2tri, 0),
         pk_inst_inv=np.stack([f[:3, :4].reshape(12) for f in inst_inv]),
         pk_inst_fwd=np.stack([f[:3, :4].reshape(12) for f in inst_fwd]),
@@ -266,9 +284,9 @@ def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
 
 def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
              dx_ref, dy_ref, dz_ref, tmax_ref, l2box_hbm, tri_hbm,
-             *rest, k2: int, n_l1: int, any_hit: bool, g: int = G_DEFAULT,
-             instanced: bool = False, motion: bool = False,
-             counters: bool = False):
+             base_ref, *rest, k2: int, n_l1: int, any_hit: bool,
+             g: int = G_DEFAULT, instanced: bool = False,
+             motion: bool = False, counters: bool = False):
     """Two-level traversal, RAYS-IN-SUBLANES layout.
 
     Everything per-ray lives in [128, 1] columns (sublane = ray), so the
@@ -488,6 +506,9 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
             dma_boxes(slot, src_of(b1)).wait()
             oxs, oys, ozs, dxs, dys, dzs, ixs, iys, izs = rays_for(b1)
             phys = src_of(b1)
+            # L1s own VARIABLE runs of consecutive K2 blocks (subtree
+            # cuts); base maps physical L1 -> its first block
+            base = base_ref[0, phys]
 
             # ---- child slab: ALL G children at once, [128 rays, 128
             # child-lanes]; per-ray best_t culls in-layout; per-child
@@ -526,7 +547,7 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
             for g_ in range(G):
                 @pl.when((enters >> g_) & 1 == 1)
                 def _(g_=g_):
-                    dma(g_, phys * G + g_).start()
+                    dma(g_, base + g_).start()
 
             # drain entered children NEAREST-FIRST; a child whose entry
             # exceeds the tile's worst best-hit skips its triangle test
@@ -543,15 +564,17 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
                                                        < beste)
                     bestg = jnp.where(sel, g_, bestg)
                     beste = jnp.where(sel, child_entry[g_], beste)
-                dma(bestg, phys * G + bestg).wait()
+                dma(bestg, base + bestg).wait()
 
                 def run(args):
                     best_t, best_slot = args
-                    # best_slot encodes the EXPANDED child block so
-                    # callers recover (instance, slot) via src tables
+                    # instanced: slot encodes the EXPANDED child block so
+                    # callers recover (instance, slot) via the src/base
+                    # tables; plain scenes encode the physical slot
+                    enc = ((b1 * G + bestg) * K2 if instanced
+                           else (base + bestg) * K2)
                     return test_l2(
-                        (best_t, best_slot),
-                        jnp.asarray((b1 * G + bestg) * K2, jnp.int32),
+                        (best_t, best_slot), jnp.asarray(enc, jnp.int32),
                         bestg, (oxs, oys, ozs, dxs, dys, dzs))
 
                 do_test = beste < jnp.max(best_t)
@@ -649,22 +672,25 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
                                counters=counters)
     interpret = jax.default_backend() != "tpu"
     shp = (groups, TPS, TILE)
+
+    def shared(shape):
+        # grid-invariant tables: every step maps to block (0, 0, ...)
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.SMEM)
+
+    n_phys = scene["pk_l1_base"].shape[0]
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] + [ray_spec] * 7 + [
         pl.BlockSpec(memory_space=pl.ANY),    # l2box rows in HBM
-        pl.BlockSpec(memory_space=pl.ANY)]    # tri table in HBM
+        pl.BlockSpec(memory_space=pl.ANY),    # tri table in HBM
+        shared((1, n_phys))]                  # physical L1 -> first block
     operands = [l1boxT,
                 ox.reshape(shp), oy.reshape(shp), oz.reshape(shp),
                 dx.reshape(shp), dy.reshape(shp), dz.reshape(shp),
                 t_max.reshape(shp),
-                scene["pk_l2box"], scene["pk_tri"]]
+                scene["pk_l2box"], scene["pk_tri"],
+                scene["pk_l1_base"].reshape(1, n_phys)]
     if instanced:
         ninst = scene["pk_inst_inv"].shape[0]
-
-        def shared(shape):
-            # grid-invariant tables: every step maps to block (0, 0, ...)
-            return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
-                                memory_space=pltpu.SMEM)
-
         in_specs += [shared((1, m1)), shared((1, m1)), shared((ninst, 12))]
         operands += [scene["pk_blk_src"].reshape(1, m1),
                      scene["pk_blk_inst"].reshape(1, m1),
@@ -701,13 +727,14 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
     valid = slot >= 0
     if instanced:
         # slot = (expanded_L1*G + g)*K2 + offset: recover (instance,
-        # physical slot) through the expansion tables
+        # physical slot) through the expansion/base tables
         e = jnp.clip(slot // (G * k2), 0)
         off = jnp.clip(slot, 0) % (G * k2)
         src = scene["pk_blk_src"][e]
         inst = jnp.where(valid, scene["pk_blk_inst"][e], -1)
-        tri = jnp.where(valid,
-                        scene["pk_slot2tri"][src * (G * k2) + off], -1)
+        tri = jnp.where(
+            valid,
+            scene["pk_slot2tri"][scene["pk_l1_base"][src] * k2 + off], -1)
     else:
         inst = jnp.full((n,), -1, jnp.int32)
         tri = jnp.where(valid, scene["pk_slot2tri"][jnp.clip(slot, 0)], -1)

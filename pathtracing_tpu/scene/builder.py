@@ -319,15 +319,36 @@ class SceneBuilder:
                   tangents=None, material=-1, medium=-1,
                   emission=None, em_tex=-1) -> int:
         """Register a reusable model (ResourceManager::CacheModel analog,
-        ResourceManager.hpp:45-55).  Instance it with add_model_instance."""
+        ResourceManager.hpp:45-55).  Instance it with add_model_instance.
+
+        Content-identical registrations dedup to the same model id (the
+        ResourceManager::getMesh content-equality cache,
+        ResourceManager.hpp:33-43)."""
+        import hashlib
         if not hasattr(self, "_models"):
             self._models = []
+            self._model_dedup = {}
+        h = hashlib.sha256()
+        for a in (vertices, indices, normals, uvs, tangents):
+            if a is None:
+                h.update(b"\0none")
+            else:
+                arr = np.ascontiguousarray(np.asarray(a))
+                h.update(str(arr.shape).encode())
+                h.update(arr.tobytes())
+        key = (h.hexdigest(), int(material), int(medium),
+               tuple(np.asarray(emission).tolist())
+               if emission is not None else None, int(em_tex))
+        if key in self._model_dedup:
+            return self._model_dedup[key]
         self._models.append(dict(vertices=vertices, indices=indices,
                                  normals=normals, uvs=uvs,
                                  tangents=tangents, material=material,
                                  medium=medium, emission=emission,
                                  em_tex=em_tex))
-        return len(self._models) - 1
+        mid = len(self._models) - 1
+        self._model_dedup[key] = mid
+        return mid
 
     def add_model_instance(self, model_id: int, transform=None,
                            runtime: bool = False):
@@ -825,6 +846,7 @@ class SceneBuilder:
         if n_inst and accel in ("beam", "bvh"):
             accel = "brute"   # only pallas/brute handle runtime instances
         block_k = 0
+        alpha_block_k = 0
         if accel == "pallas" and n_inst:
             # instanced TLAS/BLAS block tables: object-space geometry
             # stored once, per-instance expanded block AABBs, in-kernel
@@ -851,23 +873,53 @@ class SceneBuilder:
             # velocities ride in the tables and block AABBs expand over
             # the shutter (AnimatedPrimitive under acceleration,
             # Primitive.cpp:77-96; round 1 forced these onto brute)
-            vel_kw = {}
-            if has_motion:
-                vel_kw = dict(
-                    tri_vel=np.asarray(self._tri["vel"], np.float32),
-                    shutter=(self.camera or {}).get("shutter", (0.0, 0.0)))
-            if nt > 65536:
-                # two-level kernel: visited-block prim counts stay small
-                # (K2=128 vs single-level K that grows with n/4096);
-                # measured 1.3-3x faster than single-level from ~30K tris
-                # up through San-Miguel scale
-                from ..accel.pallas_trace2 import build_tri_blocks2
-                pk_arrays, block_k = build_tri_blocks2(
-                    np.asarray(self._tri["v"], np.float32), **vel_kw)
+            shutter = (self.camera or {}).get("shutter", (0.0, 0.0))
+            tri_vel_all = (np.asarray(self._tri["vel"], np.float32)
+                           if has_motion else None)
+
+            def tri_tables(ids):
+                tv = np.asarray(self._tri["v"],
+                                np.float32).reshape(-1, 3, 3)[ids]
+                kw = {}
+                if tri_vel_all is not None:
+                    kw = dict(tri_vel=tri_vel_all[ids], shutter=shutter)
+                if len(ids) > 65536:
+                    # two-level kernel: visited-block prim counts stay
+                    # small; measured 1.3-3x over single-level >=30K tris
+                    from ..accel.pallas_trace2 import build_tri_blocks2
+                    arrays, bk = build_tri_blocks2(tv, **kw)
+                else:
+                    from ..accel.pallas_trace import build_tri_blocks
+                    arrays, bk = build_tri_blocks(tv, **kw)
+                # slot2tri indexes the subset: compose to GLOBAL tri ids
+                s2t = arrays["pk_slot2tri"]
+                arrays["pk_slot2tri"] = np.where(
+                    s2t >= 0, ids[np.clip(s2t, 0, len(ids) - 1)],
+                    -1).astype(np.int32)
+                return arrays, bk
+
+            # alpha-material triangles split into their own (small)
+            # table set: shadow predicates any-hit the opaque set in ONE
+            # traversal and run the stochastic alpha chain only on this
+            # subset (the reference alpha-tests inside traversal,
+            # Primitive.cpp:6-14)
+            tri_mat = np.asarray(tri_prop[:, 0] if len(tri_prop)
+                                 else [], np.int64)
+            mat_modes = np.asarray(self._mat["alpha_mode"], np.int64)
+            tri_alpha = np.zeros(nt, bool)
+            if has_alpha and nt and len(mat_modes):
+                ok_mat = (tri_mat >= 0) & (tri_mat < len(mat_modes))
+                tri_alpha[ok_mat] = mat_modes[tri_mat[ok_mat]] \
+                    != ALPHA_OPAQUE
+            n_alpha = int(tri_alpha.sum())
+            all_ids = np.arange(nt)
+            if 0 < n_alpha < nt:
+                pk_arrays, block_k = tri_tables(all_ids[~tri_alpha])
+                pka, alpha_block_k = tri_tables(all_ids[tri_alpha])
+                scene.update({"pka_" + k[3:]: jnp.asarray(v)
+                              for k, v in pka.items()})
             else:
-                from ..accel.pallas_trace import build_tri_blocks
-                pk_arrays, block_k = build_tri_blocks(
-                    np.asarray(self._tri["v"], np.float32), **vel_kw)
+                pk_arrays, block_k = tri_tables(all_ids)
             scene.update({k: jnp.asarray(v) for k, v in pk_arrays.items()})
         elif accel == "pallas":
             accel = "brute"
@@ -895,7 +947,8 @@ class SceneBuilder:
             scene_medium=self.scene_medium,
             camera_medium=(self.camera or {}).get("medium", -1),
             has_alpha=has_alpha, light_sampler=self.light_sampler,
-            accel=accel, block_k=block_k, has_motion=has_motion,
+            accel=accel, block_k=block_k, alpha_block_k=alpha_block_k,
+            has_motion=has_motion,
             has_light_motion=has_light_motion,
             mats_present=mats_present, n_inst=n_inst, n_obj_tri=n_obj_tri)
 

@@ -157,11 +157,29 @@ def _morton_key(scene, origin, direction):
     return (octant << 21) | (morton & jnp.uint32(0x1FFFFF))
 
 
+def _subset_scene(scene, prefix):
+    """View of `scene` with the prefix'd triangle table set mounted under
+    the standard pk_ names the kernels read (pka_* = alpha-material
+    triangle split, builder.build)."""
+    if prefix == "pk_":
+        return scene
+    sub = {k: v for k, v in scene.items() if not k.startswith("pk")}
+    for k, v in scene.items():
+        if k.startswith(prefix):
+            sub["pk_" + k[len(prefix):]] = v
+    return sub
+
+
 def _pallas_dispatch(scene, meta, origin, direction, t_max,
                      any_hit: bool = False, sort: bool = True,
-                     time=None):
+                     time=None, tri_tables: str = "all",
+                     analytic: bool = True):
     """Triangles via the Pallas tile-divergent kernel; the (few) analytic
-    prims of a mixed scene take the dense brute path; results merged."""
+    prims of a mixed scene take the dense brute path; results merged.
+
+    tri_tables: "all" traverses the main tables plus the alpha split
+    (pka_*) when present; "opaque"/"alpha" restrict to one set (the
+    shadow predicate's single-pass opaque any-hit + alpha chain)."""
     import dataclasses
     from ..accel.pallas_trace import pallas_tri_intersect, TILE
 
@@ -195,13 +213,30 @@ def _pallas_dispatch(scene, meta, origin, direction, t_max,
     else:
         o, d, tm = origin_s, direction_s, tmax_s
         tme = time_s
-    if "pk_l2box" in scene:
-        from ..accel.pallas_trace2 import pallas_tri_intersect2
-        hit = pallas_tri_intersect2(scene, o, d, tm, meta.block_k,
+    def run(tables, block_k):
+        sub = _subset_scene(scene, tables)
+        if "pk_l2box" in sub:
+            from ..accel.pallas_trace2 import pallas_tri_intersect2
+            return pallas_tri_intersect2(sub, o, d, tm, block_k,
+                                         any_hit=any_hit, time=tme)
+        return pallas_tri_intersect(sub, o, d, tm, block_k,
                                     any_hit=any_hit, time=tme)
-    else:
-        hit = pallas_tri_intersect(scene, o, d, tm, meta.block_k,
-                                   any_hit=any_hit, time=tme)
+
+    runs = []
+    if tri_tables in ("all", "opaque"):
+        runs.append(("pk_", meta.block_k))
+    if tri_tables in ("all", "alpha") and \
+            getattr(meta, "alpha_block_k", 0) and "pka_tri" in scene:
+        runs.append(("pka_", meta.alpha_block_k))
+    hit = run(*runs[0])
+    for tables, bk in runs[1:]:
+        h2 = run(tables, bk)
+        closer = h2["valid"] & (~hit["valid"] | (h2["t"] < hit["t"]))
+        hit = dict(t=jnp.where(closer, h2["t"], hit["t"]),
+                   tri=jnp.where(closer, h2["tri"], hit["tri"]),
+                   inst=jnp.where(closer, h2.get("inst", -1),
+                                  hit.get("inst", -1)),
+                   valid=hit["valid"] | h2["valid"])
     t = hit["t"][:n]
     idx = hit["tri"][:n]
     inst = hit.get("inst")
@@ -222,7 +257,7 @@ def _pallas_dispatch(scene, meta, origin, direction, t_max,
     else:
         kind = jnp.where(valid, SHAPE_TRI, -1)
 
-    if meta.n_sph or meta.n_quad:
+    if analytic and (meta.n_sph or meta.n_quad):
         meta2 = dataclasses.replace(meta, n_tri=0, accel="brute",
                                     n_inst=0, n_obj_tri=0)
         other = intersect(scene, meta2, origin, direction, t_max,
@@ -622,9 +657,13 @@ def occluded(scene, meta, origin, direction, t_max, rand_key=None,
     """Scene::IntersectPred with alpha-tested restarts
     (Primitive.cpp:6-14, Material.hpp:181-198).
 
-    Without alpha materials: one closest-hit pass.  With alpha: restart
-    loop — march past surfaces whose stochastic/mask alpha test says
-    "transparent" (bounded number of restarts).
+    Without alpha materials: one any-hit pass.  With alpha on the Pallas
+    backend, the builder splits alpha-material triangles into their own
+    pka_* tables, so the predicate is ONE any-hit traversal of the
+    opaque set plus a restart chain over only the (small) alpha set +
+    analytic prims — the single-pass analog of the reference's in-
+    traversal alpha test.  Other backends run the restart chain over
+    the whole scene.
     """
     if not meta.has_alpha:
         # opaque scene: pure any-hit (IntersectPred early-out semantics,
@@ -647,6 +686,25 @@ def occluded(scene, meta, origin, direction, t_max, rand_key=None,
         return intersect(scene, meta, origin, direction,
                          t_max - SHADOW_EPS, time=time)["valid"]
 
+    split = (meta.accel == "pallas"
+             and getattr(meta, "alpha_block_k", 0) > 0
+             and "pka_tri" in scene)
+    if split:
+        occ0 = _pallas_dispatch(scene, meta, origin, direction,
+                                t_max - SHADOW_EPS, any_hit=True,
+                                time=time, tri_tables="opaque",
+                                analytic=False)["valid"]
+
+        def chain_isect(o, t_rem):
+            return _pallas_dispatch(scene, meta, o, direction, t_rem,
+                                    time=time, tri_tables="alpha",
+                                    analytic=True)
+    else:
+        occ0 = jnp.zeros((origin.shape[0],), bool)
+
+        def chain_isect(o, t_rem):
+            return intersect(scene, meta, o, direction, t_rem, time=time)
+
     # trip count is data-dependent (the while_loop exits as soon as no
     # lane is marching); the reference loops unbounded (Scene.cpp:8-29,
     # Primitive.cpp:6-14) — 64 is a safety net against degenerate
@@ -660,7 +718,7 @@ def occluded(scene, meta, origin, direction, t_max, rand_key=None,
 
     def body(st):
         o, t_rem, occ, live, it_ = st
-        h = intersect(scene, meta, o, direction, t_rem, time=time)
+        h = chain_isect(o, t_rem)
         inter = make_interaction(scene, meta, o, direction, h, time=time)
         mat_ids = jnp.clip(inter["mat_id"], 0, scene["mat_type"].shape[0] - 1)
         mode = scene["mat_alpha_mode"][mat_ids]
@@ -695,7 +753,7 @@ def occluded(scene, meta, origin, direction, t_max, rand_key=None,
     n = origin.shape[0]
     t0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32) - SHADOW_EPS,
                           (n,))
-    init = (origin, t0, jnp.zeros((n,), bool), jnp.ones((n,), bool),
-            jnp.asarray(0))
+    init = (origin, t0, jnp.zeros((n,), bool),
+            jnp.ones((n,), bool) & ~occ0, jnp.asarray(0))
     _, _, occ, _, _ = jax.lax.while_loop(cond, body, init)
-    return occ
+    return occ0 | occ

@@ -65,6 +65,11 @@ class SceneMeta:
     light_sampler: str = "power"  # "power" | "uniform"
     accel: str = "beam"  # "pallas" | "beam" | "bvh" | "brute"
     block_k: int = 0            # beam/pallas prims-per-block (static)
+    alpha_block_k: int = 0      # >0: alpha-material triangles live in a
+                                # separate pka_* table set so shadow rays
+                                # any-hit the opaque set in ONE pass and
+                                # only alpha-test the (small) alpha set
+                                # (Primitive.cpp:6-14 single-pass analog)
     has_motion: bool = False    # any primitive with nonzero velocity
     has_light_motion: bool = False  # any light with nonzero velocity
     n_inst: int = 0             # runtime instances (TransformedPrimitive)

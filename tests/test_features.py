@@ -190,6 +190,22 @@ def test_runtime_instancing_pallas_kernel():
     assert (ob == op).all()
 
 
+def test_model_content_dedup():
+    """Content-identical add_model registrations return the same id
+    (ResourceManager::getMesh content-equality dedup,
+    ResourceManager.hpp:33-43)."""
+    V = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    F = np.asarray([[0, 1, 2]], np.int32)
+    b = SceneBuilder()
+    m = b.add_diffuse((0.5, 0.5, 0.5))
+    a = b.add_model(V, F, material=m)
+    same = b.add_model(V.copy(), F.copy(), material=m)
+    other_geo = b.add_model(V * 2.0, F, material=m)
+    other_mat = b.add_model(V, F, material=b.add_diffuse((0.9, 0.1, 0.1)))
+    assert a == same
+    assert len({a, other_geo, other_mat}) == 3
+
+
 def test_motion_blur_under_pallas_kernel():
     """A moving mesh >4K tris keeps accel=pallas (velocities ride in the
     kernel tables, AABBs expand over the shutter) and matches brute
@@ -220,6 +236,76 @@ def test_motion_blur_under_pallas_kernel():
                        sampler=SamplerConfig(x_samples=2, y_samples=2))
     img_p = np.asarray(render_image(scene_p, cam, meta_p, cfg))
     img_b = np.asarray(render_image(scene_b, cam, meta_b, cfg))
+    close = np.isclose(img_p, img_b, rtol=1e-3, atol=1e-4)
+    assert close.mean() > 0.99, close.mean()
+
+
+def test_alpha_split_tables_match_brute():
+    """Alpha-material triangles split into their own pka_* tables on the
+    Pallas backend (single-pass opaque any-hit + small alpha chain,
+    Primitive.cpp:6-14 analog): closest hits, shadows, and renders must
+    match the brute oracle."""
+    import jax
+    import jax.numpy as jnp
+    from pathtracing_tpu.scene.intersect import intersect, occluded
+
+    side = 52                      # 5202 tris per sheet
+    x, z = np.meshgrid(np.linspace(-3, 3, side), np.linspace(-3, 3, side))
+    V0 = np.stack([x, 0 * x, z], -1).reshape(-1, 3)
+    i, j = np.meshgrid(np.arange(side - 1), np.arange(side - 1),
+                       indexing="ij")
+    a = (i * side + j).ravel()
+    F = np.concatenate([np.stack([a, a + 1, a + side], -1),
+                        np.stack([a + 1, a + side + 1, a + side], -1)])
+    uvs = np.stack([(x.ravel() + 3) / 6, (z.ravel() + 3) / 6], -1)
+
+    def build(accel):
+        b = SceneBuilder()
+        tex = np.zeros((32, 32, 4), np.float32)
+        xx, yy = np.meshgrid(np.arange(32), np.arange(32))
+        tex[..., :3] = 0.8
+        tex[..., 3] = np.where(((xx // 4) + (yy // 4)) % 2 == 0, 1.0, 0.0)
+        tid = b.textures.add_image(tex)
+        cut = b.add_diffuse((1, 1, 1), base_tex=tid, alpha_mode=2,
+                            alpha_cutoff=0.5)
+        # alpha "leaf canopy" sheet above an opaque ground sheet
+        b.add_mesh(V0 + np.asarray([0, 2.0, 0], np.float32), F, uvs=uvs,
+                   material=cut)
+        b.add_mesh(V0, F, material=b.add_diffuse((0.6, 0.5, 0.4)))
+        b.add_uniform_inf_light((1.0, 1.0, 1.0))
+        b.set_camera([0, 5, -8], [0, 1, 0], math.radians(40), (24, 24))
+        return b.build(accel=accel)
+
+    sc_p, cam, mp = build("auto")
+    assert mp.accel == "pallas" and mp.alpha_block_k > 0, \
+        (mp.accel, mp.alpha_block_k)
+    assert "pka_tri" in sc_p
+    sc_b, _, mb = build("brute")
+
+    rng = np.random.default_rng(5)
+    n = 256
+    o = np.stack([rng.uniform(-2.5, 2.5, n), np.full(n, 0.05),
+                  rng.uniform(-2.5, 2.5, n)], -1).astype(np.float32)
+    d = np.tile([0.0, 1.0, 0.0], (n, 1)).astype(np.float32)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    hb = jax.tree.map(np.asarray, intersect(sc_b, mb, o, d, 1e30))
+    hp = jax.tree.map(np.asarray, intersect(sc_p, mp, o, d, 1e30))
+    assert (hb["valid"] == hp["valid"]).all()
+    m = hb["valid"]
+    np.testing.assert_allclose(hp["t"][m], hb["t"][m], rtol=1e-4,
+                               atol=1e-5)
+    assert (hb["idx"][m] == hp["idx"][m]).all()
+    # stochastic alpha decisions share the hash stream => exact match
+    ob = np.asarray(occluded(sc_b, mb, o, d, jnp.full((n,), 4.0)))
+    op = np.asarray(occluded(sc_p, mp, o, d, jnp.full((n,), 4.0)))
+    assert (ob == op).all()
+    # through the cutout holes the shadow ray must escape
+    assert (~op).any() and op.any()
+
+    cfg = RenderConfig(spp=2, max_depth=3,
+                       sampler=SamplerConfig(x_samples=2, y_samples=1))
+    img_p = np.asarray(render_image(sc_p, cam, mp, cfg))
+    img_b = np.asarray(render_image(sc_b, cam, mb, cfg))
     close = np.isclose(img_p, img_b, rtol=1e-3, atol=1e-4)
     assert close.mean() > 0.99, close.mean()
 
