@@ -38,6 +38,7 @@ from ..core.math import BIG_F32, SHADOW_EPS
 from .pallas_trace import TILE, TPS
 
 G_DEFAULT = 16      # L2 blocks per L1 superblock (tunable)
+RECULL_EVERY = 16   # L1 visits between per-ray entry-table re-culls
 
 
 def build_tri_blocks2(tri_v: np.ndarray, k2: int | None = None,
@@ -110,8 +111,13 @@ def build_tri_blocks2(tri_v: np.ndarray, k2: int | None = None,
     # the 128-lane axis (unused lanes get empty boxes) — the layout a
     # single aligned DMA can fetch per visited L1
     l2box = np.zeros((m1, 8, 128), np.float32)
-    l2box[:, 0:3, :] = np.inf          # empty lo
-    l2box[:, 3:6, :] = -np.inf         # empty hi
+    # empty child lanes are DEGENERATE FAR-POINT boxes (lo == hi == 3e37),
+    # which the slab test rejects for EVERY ray sign.  +-inf "empty"
+    # boxes are a trap: with a negative inverse direction the min/max
+    # swap makes (lo=+inf, hi=-inf) look ENTERED, and since the last L1
+    # group can own fewer than G blocks, a spurious entry DMA'd past the
+    # end of pk_tri (TPU kernel fault).
+    l2box[:, 0:6, :] = 3e37
     l1lo = np.empty((m1, 3), np.float32)
     l1hi = np.empty((m1, 3), np.float32)
     for i, (b, e) in enumerate(groups):
@@ -222,12 +228,12 @@ def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
         l2hi = hi[ord_pad].reshape(m2, k2, 3).max(1)
         nb_data = -(-n // k2)
         if m2 > nb_data:
-            l2lo[nb_data:] = np.inf
-            l2hi[nb_data:] = -np.inf
+            l2lo[nb_data:] = 3e37      # degenerate far-point empty box
+            l2hi[nb_data:] = 3e37
         m1 = m2 // G
         box = np.zeros((m1, 8, 128), np.float32)
-        box[:, 0:3, :] = np.inf
-        box[:, 3:6, :] = -np.inf
+        # degenerate far-point empty boxes (see build_tri_blocks2)
+        box[:, 0:6, :] = 3e37
         box[:, 0:3, :G] = l2lo.reshape(m1, G, 3).transpose(0, 2, 1)
         box[:, 3:6, :G] = l2hi.reshape(m1, G, 3).transpose(0, 2, 1)
         l2boxes.append(box)
@@ -327,10 +333,10 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
         rest = rest[1:]
     if counters:
         out_t_ref, out_slot_ref, out_cnt_ref, scratch, sem, box_scratch, \
-            box_sem, ecol_ref, l1v_ref, l1v_sem = rest
+            box_sem, ecol_ref, etab_ref, l1v_ref, l1v_sem = rest
     else:
         out_t_ref, out_slot_ref, scratch, sem, box_scratch, box_sem, \
-            ecol_ref, l1v_ref, l1v_sem = rest
+            ecol_ref, etab_ref, l1v_ref, l1v_sem = rest
     m1pad = l1v_ref.shape[1]
     R = m1pad // 128
 
@@ -394,12 +400,37 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
                              SHADOW_EPS)
             tf = jnp.minimum(jnp.minimum(tf, jnp.maximum(u0, u1)), tmax)
             e = jnp.where(tn <= tf, tn, BIG_F32)           # [128,128]
+            # full per-ray entry table kept for the periodic re-cull
+            etab_ref[:, pl.ds(c * 128, 128)] = e
             emin = jnp.min(e, axis=0, keepdims=True)       # [1,128]
             emin = jnp.where(c * 128 + lane_row < n_l1, emin, BIG_F32)
             ecol_ref[pl.ds(c, 1), :] = emin
             return 0
 
         jax.lax.fori_loop(0, R, entry_chunk, 0)
+
+        def recull(best_t):
+            """Per-ray interval culling (BVH.hpp:1129-1135 per-RAY, not
+            per-tile): drop every L1 whose entry distance exceeds the
+            CURRENT best hit of each ray that entered it.  The entry
+            phase ran against the initial t_max, so without this a tile
+            keeps visiting L1s that only already-finished rays wanted —
+            on incoherent bounce tiles that is most of the visits (and
+            one sky ray otherwise pins max(best_t) at BIG, disabling
+            the tile-granularity exit entirely)."""
+            def chunk(c, _):
+                e = etab_ref[:, pl.ds(c * 128, 128)]       # [128,128]
+                emin = jnp.min(jnp.where(e < best_t, e, BIG_F32),
+                               axis=0, keepdims=True)      # [1,128]
+                old = ecol_ref[pl.ds(c, 1), :]
+                # visited / padding lanes (already BIG) stay BIG; live
+                # lanes take the raised still-needed-by-someone entry
+                ecol_ref[pl.ds(c, 1), :] = jnp.where(
+                    (old >= BIG_F32 * 0.5) | (emin >= BIG_F32 * 0.5),
+                    BIG_F32, emin)
+                return 0
+
+            jax.lax.fori_loop(0, R, chunk, 0)
 
         def select():
             """Pop the nearest unvisited L1 from the lane-major entry
@@ -492,8 +523,14 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
             return best_t, best_slot
 
         def body(carry):
-            b1, e1, slot, best_t, best_slot, _, nl1, nch = carry
+            b1, e1, slot, best_t, best_slot, _, nl1, nch, cnt = carry
             nl1 = nl1 + 1.0
+
+            @pl.when(cnt >= RECULL_EVERY)
+            def _():
+                recull(best_t)
+
+            cnt = jnp.where(cnt >= RECULL_EVERY, 0, cnt + 1)
             # select + prefetch the NEXT L1's child-box row while this
             # L1 is processed (double buffered)
             nb, ne = select()
@@ -588,6 +625,10 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
                 child_cond, child_body, (enters, best_t, best_slot, nch))
 
             if any_hit:
+                # a hit ray is DONE: collapsing its best_t to 0 stops it
+                # entering children and lets recull drop its L1s (the
+                # caller only consumes the hit flag, not t)
+                best_t = jnp.where(best_slot >= 0.0, 0.0, best_t)
                 live = has_next & ~jnp.all(best_slot >= 0)
             else:
                 # entryDist t-max culling (BVH.hpp:1129-1135) at tile
@@ -598,7 +639,8 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
             def _():
                 dma_boxes(1 - slot, src_of(nb)).wait()
 
-            return nb, ne, 1 - slot, best_t, best_slot, live, nl1, nch
+            return (nb, ne, 1 - slot, best_t, best_slot, live, nl1, nch,
+                    cnt)
 
         best_t0 = tmax
         best_slot0 = jnp.full((TILE, 1), -1.0, jnp.float32)
@@ -610,10 +652,10 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
             dma_boxes(0, src_of(b0)).start()
 
         zero = jnp.asarray(0.0, jnp.float32)
-        _, _, _, best_t, best_slot, _, nl1, nch = jax.lax.while_loop(
+        _, _, _, best_t, best_slot, _, nl1, nch, _ = jax.lax.while_loop(
             lambda c: c[5], body,
             (b0, e0, jnp.asarray(0, jnp.int32), best_t0, best_slot0,
-             live0, zero, zero))
+             live0, zero, zero, jnp.asarray(1, jnp.int32)))
         out_t_ref[0, pl.ds(tt, 1), :] = to_row(best_t)
         # slot rides through the f32 transpose: values are < 2^24
         # (callers assert), so the float round-trip is exact
@@ -716,6 +758,7 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
                         pltpu.VMEM((2, 8, 128), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.VMEM((m1pad // 128, 128), jnp.float32),
+                        pltpu.VMEM((TILE, m1pad), jnp.float32),
                         pltpu.VMEM((8, m1pad), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
     )(*operands)

@@ -165,7 +165,7 @@ def sanmiguel_analog(resolution=(1920, 1080), n_tris=10_500_000,
     b.add_distant_light(direction=(-0.35, -1.0, -0.25),
                         color=(6.0, 5.7, 5.2))              # sun
     b.add_uniform_inf_light((0.35, 0.45, 0.65))             # sky
-    b.set_camera(look_from=[8.0, 14.0, 8.0], look_at=[60.0, 4.0, 60.0],
+    b.set_camera(look_from=[6.0, 26.0, 6.0], look_at=[60.0, 2.0, 60.0],
                  fov=math.radians(65.0), resolution=resolution)
     return b.build(accel=accel)
 
