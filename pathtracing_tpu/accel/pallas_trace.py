@@ -55,6 +55,7 @@ TILE = 128          # rays per tile (one independent traversal loop each)
 TPS = 8             # tiles per grid step: pallas pays ~70us of pipeline
                     # overhead per grid step (measured with a no-op
                     # kernel); folding 8 tiles into one step amortizes it
+RECULL_EVERY = 16   # block visits between per-ray entry-table re-culls
 
 
 # ---------------------------------------------------------------------------
@@ -292,7 +293,7 @@ def _kernel(boxT_hbm, ox_ref, oy_ref, oz_ref,
     if motion:
         time_ref = rest[0]
         rest = rest[1:]
-    out_t_ref, out_slot_ref, scratch, sem, ecol_ref, \
+    out_t_ref, out_slot_ref, scratch, sem, ecol_ref, etab_ref, \
         boxv_ref, box_sem = rest
 
     mpad = boxv_ref.shape[1]
@@ -366,6 +367,8 @@ def _kernel(boxT_hbm, ox_ref, oy_ref, oz_ref,
                              SHADOW_EPS)
             tf = jnp.minimum(jnp.minimum(tf, jnp.maximum(u0, u1)), tmax)
             e = jnp.where(tn <= tf, tn, BIG_F32)
+            # full per-ray entry table kept for the periodic re-cull
+            etab_ref[:, pl.ds(c * 128, 128)] = e
             emin = jnp.min(e, axis=0, keepdims=True)       # [1,128]
             emin = jnp.where(c * 128 + lane_row < n_blocks, emin,
                              BIG_F32)
@@ -373,6 +376,22 @@ def _kernel(boxT_hbm, ox_ref, oy_ref, oz_ref,
             return 0
 
         jax.lax.fori_loop(0, R, entry_chunk, 0)
+
+        def recull(best_t):
+            """Per-ray interval culling (see pallas_trace2._kernel2):
+            drop blocks whose entry now exceeds the current best hit of
+            every ray that entered them."""
+            def chunk(c, _):
+                e = etab_ref[:, pl.ds(c * 128, 128)]       # [128,128]
+                emin = jnp.min(jnp.where(e < best_t, e, BIG_F32),
+                               axis=0, keepdims=True)      # [1,128]
+                old = ecol_ref[pl.ds(c, 1), :]
+                ecol_ref[pl.ds(c, 1), :] = jnp.where(
+                    (old >= BIG_F32 * 0.5) | (emin >= BIG_F32 * 0.5),
+                    BIG_F32, emin)
+                return 0
+
+            jax.lax.fori_loop(0, R, chunk, 0)
 
         def select():
             """Pop the nearest unvisited block (front-to-back)."""
@@ -466,7 +485,13 @@ def _kernel(boxT_hbm, ox_ref, oy_ref, oz_ref,
             return carry[5]
 
         def body(carry):
-            b, e, slot, best_t, best_slot, _ = carry
+            b, e, slot, best_t, best_slot, _, cnt = carry
+
+            @pl.when(cnt >= RECULL_EVERY)
+            def _():
+                recull(best_t)
+
+            cnt = jnp.where(cnt >= RECULL_EVERY, 0, cnt + 1)
             nb, ne = select()
             has_next = ne < BIG_F32 * 0.5
             # prefetch the next selected block while testing this one
@@ -476,6 +501,9 @@ def _kernel(boxT_hbm, ox_ref, oy_ref, oz_ref,
             dma(slot, src_of(b)).wait()
             best_t, best_slot = test_block(best_t, best_slot, b, slot)
             if any_hit:
+                # a hit ray is DONE: collapsing its best_t lets recull
+                # drop its blocks (callers consume the hit flag, not t)
+                best_t = jnp.where(best_slot >= 0.0, 0.0, best_t)
                 live = has_next & ~jnp.all(best_slot >= 0)
             else:
                 # entryDist t-max culling (BVH.hpp:1129-1135) at tile
@@ -485,14 +513,14 @@ def _kernel(boxT_hbm, ox_ref, oy_ref, oz_ref,
             @pl.when(has_next & ~live)
             def _():
                 dma(1 - slot, src_of(nb)).wait()
-            return nb, ne, 1 - slot, best_t, best_slot, live
+            return nb, ne, 1 - slot, best_t, best_slot, live, cnt
 
         best_t0 = tmax
         best_slot0 = jnp.full((TILE, 1), -1.0, jnp.float32)
-        _, _, _, best_t, best_slot, _ = jax.lax.while_loop(
+        _, _, _, best_t, best_slot, _, _ = jax.lax.while_loop(
             cond, body,
             (b0, e0, jnp.asarray(0, jnp.int32), best_t0, best_slot0,
-             live0))
+             live0, jnp.asarray(1, jnp.int32)))
         out_t_ref[0, pl.ds(tt, 1), :] = to_row(best_t)
         # slot rides the f32 transpose: exact below 2^24 (caller asserts)
         out_slot_ref[0, pl.ds(tt, 1), :] = to_row(best_slot)
@@ -589,6 +617,7 @@ def pallas_tri_intersect(scene, origin, direction, t_max, block_k: int,
         scratch_shapes=[pltpu.VMEM((2, 16, K), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.VMEM((mpad // 128, 128), jnp.float32),
+                        pltpu.VMEM((TILE, mpad), jnp.float32),
                         pltpu.VMEM((8, mpad), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
     )(*operands)

@@ -617,6 +617,11 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
                 do_test = beste < jnp.max(best_t)
                 best_t, best_slot = jax.lax.cond(
                     do_test, run, lambda a: a, (best_t, best_slot))
+                if any_hit:
+                    # collapse resolved rays mid-drain: once every ray
+                    # has a hit (or lies beyond), remaining children of
+                    # this L1 fail the do_test gate
+                    best_t = jnp.where(best_slot >= 0.0, 0.0, best_t)
                 return (mask & ~(jnp.asarray(1, jnp.int32) << bestg),
                         best_t, best_slot,
                         nch + do_test.astype(jnp.float32))

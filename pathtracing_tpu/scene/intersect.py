@@ -157,6 +157,64 @@ def _morton_key(scene, origin, direction):
     return (octant << 21) | (morton & jnp.uint32(0x1FFFFF))
 
 
+def _first_block_key(scene, origin, direction):
+    """Sort key for kernel dispatch: the id of the FIRST block each ray
+    enters (chunked slab argmin over the top-level block AABBs), with
+    the direction octant as tie-break.  Blocks are SAH-ordered, so rays
+    sharing a first block share a traversal working set — a much
+    stronger grouping for bounce rays than the origin Morton code (a
+    128-ray tile's visited-block union is the kernel's cost multiplier).
+    The pre-pass repeats the kernel's entry slab math once in XLA
+    (~m/512 fused [N,512] chunks), a few ms against the hundreds it
+    saves on incoherent tiles."""
+    bl = scene["pk_blk_lo"]
+    bh = scene["pk_blk_hi"]
+    m = bl.shape[0]
+    C = 512
+    mp = -(-m // C) * C
+    # pad with degenerate far-point boxes (never entered; see
+    # pallas_trace2 build notes on +-inf empties)
+    blp = jnp.pad(bl, ((0, mp - m), (0, 0)), constant_values=3e37)
+    bhp = jnp.pad(bh, ((0, mp - m), (0, 0)), constant_values=3e37)
+    inv = 1.0 / jnp.where(jnp.abs(direction) < 1e-32,
+                          jnp.where(direction < 0, -1e-32, 1e-32),
+                          direction)
+    n = origin.shape[0]
+
+    def chunk(c, st):
+        be, bi = st
+        lo = jax.lax.dynamic_slice(blp, (c * C, 0), (C, 3))
+        hi = jax.lax.dynamic_slice(bhp, (c * C, 0), (C, 3))
+        u0 = (lo[None, :, 0] - origin[:, 0:1]) * inv[:, 0:1]
+        u1 = (hi[None, :, 0] - origin[:, 0:1]) * inv[:, 0:1]
+        tn = jnp.minimum(u0, u1)
+        tf = jnp.maximum(u0, u1)
+        u0 = (lo[None, :, 1] - origin[:, 1:2]) * inv[:, 1:2]
+        u1 = (hi[None, :, 1] - origin[:, 1:2]) * inv[:, 1:2]
+        tn = jnp.maximum(tn, jnp.minimum(u0, u1))
+        tf = jnp.minimum(tf, jnp.maximum(u0, u1))
+        u0 = (lo[None, :, 2] - origin[:, 2:3]) * inv[:, 2:3]
+        u1 = (hi[None, :, 2] - origin[:, 2:3]) * inv[:, 2:3]
+        tn = jnp.maximum(jnp.maximum(tn, jnp.minimum(u0, u1)), 0.0)
+        tf = jnp.minimum(tf, jnp.maximum(u0, u1))
+        e = jnp.where(tn <= tf, tn, BIG_F32)               # [N,C]
+        ce = jnp.min(e, axis=1)
+        ci = jnp.argmin(e, axis=1).astype(jnp.int32) + c * C
+        upd = ce < be
+        return jnp.where(upd, ce, be), jnp.where(upd, ci, bi)
+
+    be, bi = jax.lax.fori_loop(
+        0, mp // C, chunk,
+        (jnp.full((n,), BIG_F32), jnp.zeros((n,), jnp.int32)))
+    octant = ((direction[:, 0] > 0).astype(jnp.uint32)
+              | ((direction[:, 1] > 0).astype(jnp.uint32) << 1)
+              | ((direction[:, 2] > 0).astype(jnp.uint32) << 2))
+    key = (bi.astype(jnp.uint32) << 3) | octant
+    # rays entering nothing sort after everything live (dead lanes get
+    # 0xFFFFFFFF at the call site and stay last)
+    return jnp.where(be >= BIG_F32 * 0.5, jnp.uint32(0x7FFFFFFF), key)
+
+
 def _subset_scene(scene, prefix):
     """View of `scene` with the prefix'd triangle table set mounted under
     the standard pk_ names the kernels read (pka_* = alpha-material
@@ -189,7 +247,9 @@ def _pallas_dispatch(scene, meta, origin, direction, t_max,
     if motion and time is None:
         time = jnp.zeros((n,), jnp.float32)
     if sort and "scene_lo" in scene:
-        key = _morton_key(scene, origin, direction)
+        key = (_first_block_key(scene, origin, direction)
+               if "pk_blk_lo" in scene
+               else _morton_key(scene, origin, direction))
         # dead lanes (t_max<=0) sort LAST: live rays compact into fewer
         # tiles and the all-dead tiles exit before selecting any block —
         # the wavefront-compaction analog of the reference's per-pixel

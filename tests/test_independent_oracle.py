@@ -1,0 +1,103 @@
+"""Cross-validate the renderer against the from-scratch NumPy oracle.
+
+Round-1 review: goldens pin the renderer to its own earlier output, and
+backend-agreement tests compare the same code on two backends — neither
+catches a systematic estimator bug.  Here the `simple` integrator's
+converged mean is compared against tests/independent_oracle.py, a
+separate implementation of the same transport (shared formulas only).
+The estimator-consistency test (test_render_e2e.py) extends the
+validation to the MIS/NEE path integrator, which must match `simple`.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pathtracing_tpu import SceneBuilder, RenderConfig, render, SamplerConfig
+from pathtracing_tpu.core.filters import box
+from pathtracing_tpu.sensor.camera import generate_ray
+
+from independent_oracle import trace as oracle_trace
+
+RES = (32, 32)
+MAX_DEPTH = 4
+SKY = (0.3, 0.4, 0.55)
+FLOOR_BASE = (0.65, 0.6, 0.55)
+SPH_BASE = (0.5, 0.3, 0.25)
+LIGHT_EM = (14.0, 12.0, 10.0)
+
+
+def _build_scene():
+    b = SceneBuilder()
+    b.add_quad([-8, 0, -8], [16, 0, 0], [0, 0, 16],
+               material=b.add_diffuse(FLOOR_BASE))
+    b.add_sphere([0, 1, 0], 1.0, material=b.add_diffuse(SPH_BASE))
+    # n = u x v points DOWN: the one-sided emitter lights the scene below
+    b.add_quad([-1, 4, -1], [2, 0, 0], [0, 0, 2], emission=LIGHT_EM,
+               one_sided=True)
+    b.add_uniform_inf_light(SKY)
+    b.set_camera([0, 2.5, -7], [0, 1, 0], math.radians(45), RES)
+    return b.build()
+
+
+def _oracle_prims():
+    return [
+        dict(kind="quad", q=np.array([-8.0, 0, -8]),
+             u=np.array([16.0, 0, 0]), v=np.array([0.0, 0, 16]),
+             mat=dict(base=FLOOR_BASE, rough=1.0, metal=0.0)),
+        dict(kind="sphere", c=np.array([0.0, 1, 0]), r=1.0,
+             mat=dict(base=SPH_BASE, rough=1.0, metal=0.0)),
+        dict(kind="quad", q=np.array([-1.0, 4, -1]),
+             u=np.array([2.0, 0, 0]), v=np.array([0.0, 0, 2]),
+             emit=np.array(LIGHT_EM), one_sided=True, mat=None),
+    ]
+
+
+def test_simple_integrator_matches_independent_oracle():
+    scene, cam, meta = _build_scene()
+    spp = 512
+    cfg = RenderConfig(spp=spp, max_depth=MAX_DEPTH, integrator="simple",
+                      filter=box(),
+                      sampler=SamplerConfig(x_samples=32, y_samples=16,
+                                            seed=11))
+    film = render(scene, cam, meta, cfg)
+    w = np.asarray(film["weight"])[:, None]
+    ours = np.asarray(film["rgb"]) / np.maximum(w, 1e-12)
+    ours = ours.reshape(RES[1], RES[0], 3)
+
+    # oracle: same pixels, the renderer's own camera for ray generation
+    # (the camera model is not under test), fresh uniform jitter
+    w_res, h_res = RES
+    px, py = np.meshgrid(np.arange(w_res), np.arange(h_res))
+    px = px.ravel().astype(np.float32)
+    py = py.ravel().astype(np.float32)
+    rng = np.random.default_rng(101)
+    acc = np.zeros((h_res * w_res, 3))
+    o_spp = 768
+    chunk = 64
+    gen = jax.jit(lambda p: generate_ray(
+        cam, p, jnp.zeros(p.shape[0]), jnp.zeros((p.shape[0], 2))))
+    prims = _oracle_prims()
+    for _ in range(o_spp // chunk):
+        jit = rng.random((chunk, h_res * w_res, 2))
+        p = np.stack([px[None, :] + jit[..., 0],
+                      py[None, :] + jit[..., 1]], -1).reshape(-1, 2)
+        o, d, _ = gen(jnp.asarray(p, jnp.float32))
+        li = oracle_trace(prims, SKY, np.asarray(o), np.asarray(d),
+                          MAX_DEPTH, rng)
+        acc += li.reshape(chunk, -1, 3).sum(0)
+    oracle = (acc / o_spp).reshape(h_res, w_res, 3)
+
+    # converged means must agree: whole image tightly, 4x4 blocks loosely
+    rel = abs(ours.mean() - oracle.mean()) / oracle.mean()
+    assert rel < 0.02, f"overall mean off by {rel:.1%}"
+    blocks_o = ours.reshape(8, 4, 8, 4, 3).mean((1, 3, 4))
+    blocks_i = oracle.reshape(8, 4, 8, 4, 3).mean((1, 3, 4))
+    lum_floor = 0.05
+    mask = blocks_i > lum_floor
+    brel = np.abs(blocks_o - blocks_i)[mask] / blocks_i[mask]
+    assert brel.max() < 0.12, (
+        f"worst 4x4-block mean off by {brel.max():.1%}")
