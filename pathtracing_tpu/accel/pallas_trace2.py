@@ -39,6 +39,8 @@ from .pallas_trace import TILE, TPS
 
 G_DEFAULT = 16      # L2 blocks per L1 superblock (tunable)
 RECULL_EVERY = 16   # L1 visits between per-ray entry-table re-culls
+RECULL_MAX_M1PAD = 8192   # beyond this many L1 lanes the [128, m1pad]
+                          # entry table (~4MB) would crowd VMEM: skip it
 
 
 def build_tri_blocks2(tri_v: np.ndarray, k2: int | None = None,
@@ -292,7 +294,8 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
              dx_ref, dy_ref, dz_ref, tmax_ref, l2box_hbm, tri_hbm,
              base_ref, *rest, k2: int, n_l1: int, any_hit: bool,
              g: int = G_DEFAULT, instanced: bool = False,
-             motion: bool = False, counters: bool = False):
+             motion: bool = False, counters: bool = False,
+             use_recull: bool = True):
     """Two-level traversal, RAYS-IN-SUBLANES layout.
 
     Everything per-ray lives in [128, 1] columns (sublane = ray), so the
@@ -332,11 +335,16 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
         time_ref = rest[0]
         rest = rest[1:]
     if counters:
-        out_t_ref, out_slot_ref, out_cnt_ref, scratch, sem, box_scratch, \
-            box_sem, ecol_ref, etab_ref, l1v_ref, l1v_sem = rest
+        out_t_ref, out_slot_ref, out_cnt_ref, *rest = rest
     else:
-        out_t_ref, out_slot_ref, scratch, sem, box_scratch, box_sem, \
-            ecol_ref, etab_ref, l1v_ref, l1v_sem = rest
+        out_t_ref, out_slot_ref, *rest = rest
+    if use_recull:
+        scratch, sem, box_scratch, box_sem, ecol_ref, etab_ref, \
+            l1v_ref, l1v_sem = rest
+    else:
+        scratch, sem, box_scratch, box_sem, ecol_ref, l1v_ref, \
+            l1v_sem = rest
+        etab_ref = None
     m1pad = l1v_ref.shape[1]
     R = m1pad // 128
 
@@ -400,8 +408,9 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
                              SHADOW_EPS)
             tf = jnp.minimum(jnp.minimum(tf, jnp.maximum(u0, u1)), tmax)
             e = jnp.where(tn <= tf, tn, BIG_F32)           # [128,128]
-            # full per-ray entry table kept for the periodic re-cull
-            etab_ref[:, pl.ds(c * 128, 128)] = e
+            if use_recull:
+                # full per-ray entry table kept for the periodic re-cull
+                etab_ref[:, pl.ds(c * 128, 128)] = e
             emin = jnp.min(e, axis=0, keepdims=True)       # [1,128]
             emin = jnp.where(c * 128 + lane_row < n_l1, emin, BIG_F32)
             ecol_ref[pl.ds(c, 1), :] = emin
@@ -526,11 +535,12 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
             b1, e1, slot, best_t, best_slot, _, nl1, nch, cnt = carry
             nl1 = nl1 + 1.0
 
-            @pl.when(cnt >= RECULL_EVERY)
-            def _():
-                recull(best_t)
+            if use_recull:
+                @pl.when(cnt >= RECULL_EVERY)
+                def _():
+                    recull(best_t)
 
-            cnt = jnp.where(cnt >= RECULL_EVERY, 0, cnt + 1)
+                cnt = jnp.where(cnt >= RECULL_EVERY, 0, cnt + 1)
             # select + prefetch the NEXT L1's child-box row while this
             # L1 is processed (double buffered)
             nb, ne = select()
@@ -714,9 +724,12 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
 
     instanced = "pk_blk_src" in scene
     G = g
+    # the re-cull's per-ray entry table is [128, m1pad] f32 VMEM: cap it
+    # so giant scenes (>=16K superblocks ~ 8MB) keep their VMEM headroom
+    use_recull = m1pad <= RECULL_MAX_M1PAD
     kernel = functools.partial(_kernel2, k2=k2, n_l1=m1, any_hit=any_hit,
                                g=g, instanced=instanced, motion=motion,
-                               counters=counters)
+                               counters=counters, use_recull=use_recull)
     interpret = jax.default_backend() != "tpu"
     shp = (groups, TPS, TILE)
 
@@ -762,10 +775,11 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
                         pltpu.SemaphoreType.DMA((G,)),
                         pltpu.VMEM((2, 8, 128), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
-                        pltpu.VMEM((m1pad // 128, 128), jnp.float32),
-                        pltpu.VMEM((TILE, m1pad), jnp.float32),
-                        pltpu.VMEM((8, m1pad), jnp.float32),
-                        pltpu.SemaphoreType.DMA(())],
+                        pltpu.VMEM((m1pad // 128, 128), jnp.float32)]
+                       + ([pltpu.VMEM((TILE, m1pad), jnp.float32)]
+                          if use_recull else [])
+                       + [pltpu.VMEM((8, m1pad), jnp.float32),
+                          pltpu.SemaphoreType.DMA(())],
     )(*operands)
     out_t = outs[0]
     out_slot = outs[1].astype(jnp.int32)
