@@ -32,44 +32,28 @@ BASELINE_SAMPLES_PER_S = 1920 * 1080 * 100 / 349.0  # reference main.cpp:332
 
 
 def bench_mesh_forward(scene, cam, meta, res, spp, depth):
-    """Full-frame forward render; returns (samples/s, film)."""
+    """Full-frame forward render; returns (samples/s, film).
+
+    A first frame warms every tile-shape compile; the timed frame then
+    runs all tiles back-to-back (async dispatch keeps the chip busy
+    across tile boundaries) with ONE device_get at the end, so the
+    ~35 ms/dispatch tunnel latency is not charged once per tile."""
     from pathtracing_tpu.integrators.path import RenderConfig
-    from pathtracing_tpu.integrators.render import render_tile
+    from pathtracing_tpu.integrators.render import render
     from pathtracing_tpu.sensor import film as filmmod
 
     cfg = RenderConfig(spp=spp, max_depth=depth, integrator="path",
                        rays_per_batch=1 << 16)
     w, h = res
-    rows_per = max(1, min(cfg.rays_per_batch, w * h) // w)
-    n_tiles = -(-h // rows_per)
-    film = filmmod.new_film(res)
-    seen_shapes = set()
-    timed = warm = 0.0
-    timed_samples = warm_samples = 0
-    for t in range(n_tiles):
-        row0 = t * rows_per
-        rows = min(rows_per, h - row0)
-        pixel_idx = jnp.arange(row0 * w, (row0 + rows) * w, dtype=jnp.int32)
-        t0 = time.perf_counter()
-        film = render_tile(scene, cam, meta, cfg, film, pixel_idx, spp,
-                             0, rows=rows, row0=jnp.asarray(row0, jnp.int32))
-        jax.device_get(film["weight"][row0 * w])        # hard sync
-        dt = time.perf_counter() - t0
-        if rows in seen_shapes:
-            timed += dt
-            timed_samples += rows * w * spp
-        else:
-            seen_shapes.add(rows)
-            warm += dt
-            warm_samples += rows * w * spp
-    if timed_samples == 0:          # single-tile frame: re-run once warm
-        t0 = time.perf_counter()
-        film = render_tile(scene, cam, meta, cfg, film,
-                             pixel_idx, spp, spp, rows=rows,
-                             row0=jnp.asarray(row0, jnp.int32))
-        jax.device_get(film["weight"][row0 * w])
-        timed = time.perf_counter() - t0
-        timed_samples = rows * w * spp
+    t0 = time.perf_counter()
+    film = render(scene, cam, meta, cfg, spp=spp)
+    jax.device_get(film["weight"][0])                   # hard sync
+    warm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    film = render(scene, cam, meta, cfg, spp=spp, sample_offset=spp)
+    jax.device_get(film["weight"][0])
+    timed = time.perf_counter() - t0
+    timed_samples = w * h * spp
     print(f"[bench] fwd: warm(compile) {warm:.1f}s, "
           f"timed {timed:.1f}s / {timed_samples} samples", flush=True)
     return timed_samples / timed, film

@@ -358,3 +358,39 @@ def test_pallas_two_level_matches_brute():
                                np.asarray(ref["t"])[v], rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(got["tri"])[v],
                                   np.asarray(ref["idx"])[v])
+
+
+def test_first_block_key_matches_numpy():
+    """The chunked-slab first-entered-block sort key (intersect.
+    _first_block_key) must pick each ray's nearest entered block, with
+    the direction octant in the low bits."""
+    rng = np.random.default_rng(5)
+    m = 700                               # forces multiple 512-chunks
+    lo = rng.uniform(-50, 50, (m, 3)).astype(np.float32)
+    hi = lo + rng.uniform(0.5, 4.0, (m, 3)).astype(np.float32)
+    scene = dict(pk_blk_lo=jnp.asarray(lo), pk_blk_hi=jnp.asarray(hi))
+    n = 512
+    o = rng.uniform(-80, 80, (n, 3)).astype(np.float32)
+    d = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    key = np.asarray(isect._first_block_key(scene, jnp.asarray(o),
+                                            jnp.asarray(d)))
+
+    # NumPy reference: entry distance of every (ray, box) pair
+    inv = 1.0 / np.where(np.abs(d) < 1e-32,
+                         np.where(d < 0, -1e-32, 1e-32), d)
+    t0 = (lo[None] - o[:, None]) * inv[:, None]           # [n,m,3]
+    t1 = (hi[None] - o[:, None]) * inv[:, None]
+    tn = np.minimum(t0, t1).max(-1)
+    tn = np.maximum(tn, 0.0)
+    tf = np.maximum(t0, t1).min(-1)
+    e = np.where(tn <= tf, tn, np.inf)
+    first = e.argmin(1)
+    entered = np.isfinite(e.min(1))
+    octant = ((d[:, 0] > 0).astype(np.uint32)
+              | ((d[:, 1] > 0).astype(np.uint32) << 1)
+              | ((d[:, 2] > 0).astype(np.uint32) << 2))
+    expect = (first.astype(np.uint32) << 3) | octant
+    np.testing.assert_array_equal(key[entered], expect[entered])
+    assert (key[~entered] == np.uint32(0x7FFFFFFF)).all()
