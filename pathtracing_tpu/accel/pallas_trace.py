@@ -273,7 +273,7 @@ def _kernel(boxT_hbm, ox_ref, oy_ref, oz_ref,
             dx_ref, dy_ref, dz_ref, tmax_ref, tri_hbm, *rest,
             block_k: int, n_blocks: int, any_hit: bool,
             instanced: bool = False, motion: bool = False,
-            debug_phase: int = 0):
+            debug_phase: int = 0, recull_every: int = RECULL_EVERY):
     """Tile-divergent traversal with IN-KERNEL block ordering, in the
     RAYS-IN-SUBLANES layout (see pallas_trace2._kernel2 for the design
     notes): lane-major entry table + iota-argmin selection, and
@@ -487,11 +487,11 @@ def _kernel(boxT_hbm, ox_ref, oy_ref, oz_ref,
         def body(carry):
             b, e, slot, best_t, best_slot, _, cnt = carry
 
-            @pl.when(cnt >= RECULL_EVERY)
+            @pl.when(cnt >= recull_every)
             def _():
                 recull(best_t)
 
-            cnt = jnp.where(cnt >= RECULL_EVERY, 0, cnt + 1)
+            cnt = jnp.where(cnt >= recull_every, 0, cnt + 1)
             nb, ne = select()
             has_next = ne < BIG_F32 * 0.5
             # prefetch the next selected block while testing this one
@@ -530,10 +530,11 @@ def _kernel(boxT_hbm, ox_ref, oy_ref, oz_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("block_k", "any_hit",
-                                             "debug_phase"))
+                                             "debug_phase",
+                                             "recull_every"))
 def pallas_tri_intersect(scene, origin, direction, t_max, block_k: int,
                          any_hit: bool = False, debug_phase: int = 0,
-                         time=None):
+                         time=None, recull_every: int = RECULL_EVERY):
     """Closest-hit over the triangle block tables via the Pallas kernel.
 
     Returns dict(t [N], tri [N] original-triangle-id, inst [N], valid [N]);
@@ -581,7 +582,8 @@ def pallas_tri_intersect(scene, origin, direction, t_max, block_k: int,
 
     kernel = functools.partial(_kernel, block_k=K, n_blocks=m,
                                any_hit=any_hit, instanced=instanced,
-                               motion=motion, debug_phase=debug_phase)
+                               motion=motion, debug_phase=debug_phase,
+                               recull_every=recull_every)
     in_specs = [box_spec] + [ray_spec] * 7 + [
         pl.BlockSpec(memory_space=pl.ANY)]
     shp = (groups, TPS, TILE)

@@ -295,7 +295,8 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
              base_ref, *rest, k2: int, n_l1: int, any_hit: bool,
              g: int = G_DEFAULT, instanced: bool = False,
              motion: bool = False, counters: bool = False,
-             use_recull: bool = True):
+             use_recull: bool = True,
+             recull_every: int = RECULL_EVERY):
     """Two-level traversal, RAYS-IN-SUBLANES layout.
 
     Everything per-ray lives in [128, 1] columns (sublane = ray), so the
@@ -536,11 +537,11 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
             nl1 = nl1 + 1.0
 
             if use_recull:
-                @pl.when(cnt >= RECULL_EVERY)
+                @pl.when(cnt >= recull_every)
                 def _():
                     recull(best_t)
 
-                cnt = jnp.where(cnt >= RECULL_EVERY, 0, cnt + 1)
+                cnt = jnp.where(cnt >= recull_every, 0, cnt + 1)
             # select + prefetch the NEXT L1's child-box row while this
             # L1 is processed (double buffered)
             nb, ne = select()
@@ -684,10 +685,12 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("k2", "any_hit", "g",
-                                             "counters"))
+                                             "counters",
+                                             "recull_every"))
 def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
                           any_hit: bool = False, time=None,
-                          g: int = G_DEFAULT, counters: bool = False):
+                          g: int = G_DEFAULT, counters: bool = False,
+                          recull_every: int = RECULL_EVERY):
     """Two-level closest/any hit.  Same contract as pallas_tri_intersect."""
     n = origin.shape[0]
     assert n % TILE == 0, n
@@ -729,7 +732,8 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
     use_recull = m1pad <= RECULL_MAX_M1PAD
     kernel = functools.partial(_kernel2, k2=k2, n_l1=m1, any_hit=any_hit,
                                g=g, instanced=instanced, motion=motion,
-                               counters=counters, use_recull=use_recull)
+                               counters=counters, use_recull=use_recull,
+                               recull_every=recull_every)
     interpret = jax.default_backend() != "tpu"
     shp = (groups, TPS, TILE)
 
