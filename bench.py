@@ -193,5 +193,38 @@ def main():
     }), flush=True)
 
 
+def _supervised():
+    """Run main() in a child process with a timeout + retries.
+
+    The remote-TPU tunnel occasionally wedges during PJRT client init
+    (observed: hangs >1h, then recovers); a driver invoking bench.py
+    unattended would hang with it.  The parent re-executes this file
+    with BENCH_INNER=1, kills the child if it makes no progress, waits,
+    and retries."""
+    import subprocess
+    import sys
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
+    timeout = int(os.environ.get("BENCH_TIMEOUT_S", "3000"))
+    for i in range(attempts):
+        env = dict(os.environ, BENCH_INNER="1")
+        try:
+            r = subprocess.run([sys.executable, __file__], env=env,
+                               timeout=timeout)
+            if r.returncode == 0:
+                return
+            print(f"[bench] attempt {i+1}/{attempts} exited "
+                  f"{r.returncode}", file=sys.stderr, flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"[bench] attempt {i+1}/{attempts} timed out after "
+                  f"{timeout}s (tunnel wedge?)", file=sys.stderr,
+                  flush=True)
+        if i + 1 < attempts:
+            time.sleep(120)
+    raise SystemExit(1)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_INNER"):
+        main()
+    else:
+        _supervised()
