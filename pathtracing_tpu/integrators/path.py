@@ -65,6 +65,21 @@ class RenderConfig:
                                     # drops from every per-bounce
                                     # intermediate to just the carried ray
                                     # state (recomputes the bounce in bwd)
+    compact_after: int | None = None
+                                    # tail compaction: after this many
+                                    # bounces, gather surviving lanes
+                                    # into a quarter-width batch so deep
+                                    # bounces stop paying full-width
+                                    # shade/NEE cost (the wavefront-
+                                    # compaction analog of the
+                                    # reference's per-pixel loop,
+                                    # Integrators.cpp:55-90).  None = off.
+                                    # Per-lane RNG is (pixel, sample,
+                                    # bounce)-keyed so results match the
+                                    # uncompacted render to float
+                                    # precision (tile regrouping can
+                                    # flip traversal tie-breaks: ~1 ULP
+                                    # on isolated pixels).
 
 
 # ---------------------------------------------------------------------------
@@ -250,215 +265,223 @@ def trace(scene, cam, meta, cfg: RenderConfig, origin, direction, time,
     def dim(b, off):
         return _DIM_BASE + b * _DIM_STRIDE + off
 
-    def bounce(state, b):
-        alive = state["alive"]
-        o, d = state["o"], state["d"]
-        tput = state["tput"]
-        radiance = state["radiance"]
-        n_rays = state["n_rays"] + jnp.sum(alive.astype(jnp.float32))
+    def bounce_for(px, py, time, n):
+        """Bounce step bound to one lane set: the tail-
+        compaction path rebinds (px, py, time) to a gathered
+        subset at a narrower static width."""
+        def bounce(state, b):
+            alive = state["alive"]
+            o, d = state["o"], state["d"]
+            tput = state["tput"]
+            radiance = state["radiance"]
+            n_rays = state["n_rays"] + jnp.sum(alive.astype(jnp.float32))
 
-        # dead lanes get t_max=0: they miss immediately, and after the
-        # Morton sort clusters them the pallas kernel's whole-tile early
-        # exit skips their traversal work entirely
-        hit = intersect(scene, meta, o, d,
-                        jnp.where(alive, BIG_F32, 0.0), time=time)
-        it = make_interaction(scene, meta, o, d, hit, time=time)
-        missed = alive & ~hit["valid"]
+            # dead lanes get t_max=0: they miss immediately, and after the
+            # Morton sort clusters them the pallas kernel's whole-tile early
+            # exit skips their traversal work entirely
+            hit = intersect(scene, meta, o, d,
+                            jnp.where(alive, BIG_F32, 0.0), time=time)
+            it = make_interaction(scene, meta, o, d, hit, time=time)
+            missed = alive & ~hit["valid"]
 
-        # ---- escaped rays: infinite lights (Integrators.cpp:196-208)
-        for i in range(meta.n_inf):
-            lid = scene["inf_idx"][i]
-            le = L.infinite_le(scene, meta, jnp.full((n,), lid, jnp.int32),
-                               d)
-            lpmf = L.light_pmf(scene, meta, jnp.full((n,), lid, jnp.int32))
-            lpdf = lpmf * L.infinite_light_mis_pdf(
-                scene, meta, jnp.full((n,), lid, jnp.int32), d)
+            # ---- escaped rays: infinite lights (Integrators.cpp:196-208)
+            for i in range(meta.n_inf):
+                lid = scene["inf_idx"][i]
+                le = L.infinite_le(scene, meta, jnp.full((n,), lid, jnp.int32),
+                                   d)
+                lpmf = L.light_pmf(scene, meta, jnp.full((n,), lid, jnp.int32))
+                lpdf = lpmf * L.infinite_light_mis_pdf(
+                    scene, meta, jnp.full((n,), lid, jnp.int32), d)
+                pp = state["prev_pdf"]
+                w = jnp.where(state["spec"], 1.0,
+                              jnp.where(pp > 0,
+                                        pp * pp / jnp.maximum(
+                                            pp * pp + lpdf * lpdf, 1e-18), 0.0))
+                if simple:
+                    w = jnp.ones_like(w)
+                radiance = radiance + jnp.where(missed[:, None],
+                                                tput * le * w[:, None], 0.0)
+            alive = alive & hit["valid"]
+
+            # ---- participating medium segment (VolPath, Integrators.cpp:340-344)
+            med_scatter = jnp.zeros((n,), bool)
+            if volumetric and meta.n_media:
+                med = state["medium"]
+                if meta.scene_medium >= 0:
+                    med = jnp.where(med < 0, meta.scene_medium, med)
+                in_medium = alive & (med >= 0)
+                mi = jnp.clip(med, 0, scene["med_sigma_t"].shape[0] - 1)
+                sig_t = scene["med_sigma_t"][mi]
+                sig_s = scene["med_sigma_s"][mi]
+                u_ch = sample_1d(s, px, py, sample_idx, dim(b, _D_MED_CHANNEL))
+                u_dist = sample_1d(s, px, py, sample_idx, dim(b, _D_MED_DIST))
+                scat, t_scat, w_med = medium_sample(sig_t, sig_s, hit["t"],
+                                                    u_ch, u_dist)
+                tput = jnp.where(in_medium[:, None], tput * w_med, tput)
+                med_scatter = in_medium & scat
+                state = dict(state, medium=med)
+
+            # ---- per-bounce randoms (Integrators.cpp:210-215)
+            uv_scatter = sample_2d(s, px, py, sample_idx, dim(b, _D_SCATTER_UV))
+            uv_light = sample_2d(s, px, py, sample_idx, dim(b, _D_LIGHT_UV))
+            u_scatter = sample_1d(s, px, py, sample_idx, dim(b, _D_SCATTER_U))
+            u_select = sample_1d(s, px, py, sample_idx, dim(b, _D_LIGHT_SELECT))
+            u_rr = sample_1d(s, px, py, sample_idx, dim(b, _D_RR))
+            u_cell = rngmod.hash_float(px, py, sample_idx, dim(b, _D_ENV_CELL),
+                                       s.seed)
+            alpha_salt = rngmod.hash_u32(sample_idx, b, s.seed)
+
+            mat = resolve_material(scene, meta, it)
+            mi = jnp.clip(state["medium"], 0, scene["med_g"].shape[0] - 1)
+            g_lanes = scene["med_g"][mi]
+
+            # ---- emitter hit (Integrators.cpp:217-226)
+            surf = alive & ~med_scatter
+            emit_l = L.area_light_L(scene, meta, it["light_id"], it["n"],
+                                    it["uv"], d)
+            has_emit = surf & (it["light_id"] >= 0) \
+                & jnp.any(emit_l != 0.0, axis=-1)
+            lpmf_hit = L.light_pmf(scene, meta,
+                                   jnp.clip(it["light_id"], 0,
+                                            max(meta.n_lights - 1, 0)))
+            lpdf_hit = lpmf_hit * L.area_light_hit_pdf(
+                scene, meta, it["light_id"], o, it["p_raw"], it["n"], d)
             pp = state["prev_pdf"]
-            w = jnp.where(state["spec"], 1.0,
-                          jnp.where(pp > 0,
-                                    pp * pp / jnp.maximum(
-                                        pp * pp + lpdf * lpdf, 1e-18), 0.0))
+            w_emit = jnp.where(state["spec"], 1.0,
+                               jnp.where(pp > 0, pp * pp / jnp.maximum(
+                                   pp * pp + lpdf_hit * lpdf_hit, 1e-18), 0.0))
             if simple:
-                w = jnp.ones_like(w)
-            radiance = radiance + jnp.where(missed[:, None],
-                                            tput * le * w[:, None], 0.0)
-        alive = alive & hit["valid"]
+                w_emit = jnp.ones_like(w_emit)
+            radiance = radiance + jnp.where(has_emit[:, None],
+                                            tput * emit_l * w_emit[:, None],
+                                            0.0)
 
-        # ---- participating medium segment (VolPath, Integrators.cpp:340-344)
-        med_scatter = jnp.zeros((n,), bool)
-        if volumetric and meta.n_media:
-            med = state["medium"]
-            if meta.scene_medium >= 0:
-                med = jnp.where(med < 0, meta.scene_medium, med)
-            in_medium = alive & (med >= 0)
-            mi = jnp.clip(med, 0, scene["med_sigma_t"].shape[0] - 1)
-            sig_t = scene["med_sigma_t"][mi]
-            sig_s = scene["med_sigma_s"][mi]
-            u_ch = sample_1d(s, px, py, sample_idx, dim(b, _D_MED_CHANNEL))
-            u_dist = sample_1d(s, px, py, sample_idx, dim(b, _D_MED_DIST))
-            scat, t_scat, w_med = medium_sample(sig_t, sig_s, hit["t"],
-                                                u_ch, u_dist)
-            tput = jnp.where(in_medium[:, None], tput * w_med, tput)
-            med_scatter = in_medium & scat
-            state = dict(state, medium=med)
+            # ---- medium scatter vertex (Integrators.cpp:356-362)
+            if volumetric and meta.n_media:
+                uv_phase = sample_2d(s, px, py, sample_idx, dim(b, _D_PHASE))
+                scat_p = o + t_scat[:, None] * d
+                it_med = dict(it, p=scat_p, p_raw=scat_p)
+                nee_med = sample_ld(scene, meta, cfg, d, it_med, mat,
+                                    jnp.ones((n,), bool), state["medium"],
+                                    g_lanes, u_select, uv_light, u_cell,
+                                    alpha_salt, med_scatter, volumetric,
+                                    time=time)
+                radiance = radiance + jnp.where(med_scatter[:, None],
+                                                tput * nee_med, 0.0)
+                n_rays = n_rays + jnp.sum(med_scatter.astype(jnp.float32))
+                mle = scene["med_le"][mi]
+                radiance = radiance + jnp.where(med_scatter[:, None],
+                                                tput * mle, 0.0)
+                new_dir_med, _ = hg_sample(d, g_lanes, uv_phase)
 
-        # ---- per-bounce randoms (Integrators.cpp:210-215)
-        uv_scatter = sample_2d(s, px, py, sample_idx, dim(b, _D_SCATTER_UV))
-        uv_light = sample_2d(s, px, py, sample_idx, dim(b, _D_LIGHT_UV))
-        u_scatter = sample_1d(s, px, py, sample_idx, dim(b, _D_SCATTER_U))
-        u_select = sample_1d(s, px, py, sample_idx, dim(b, _D_LIGHT_SELECT))
-        u_rr = sample_1d(s, px, py, sample_idx, dim(b, _D_RR))
-        u_cell = rngmod.hash_float(px, py, sample_idx, dim(b, _D_ENV_CELL),
-                                   s.seed)
-        alpha_salt = rngmod.hash_u32(sample_idx, b, s.seed)
-
-        mat = resolve_material(scene, meta, it)
-        mi = jnp.clip(state["medium"], 0, scene["med_g"].shape[0] - 1)
-        g_lanes = scene["med_g"][mi]
-
-        # ---- emitter hit (Integrators.cpp:217-226)
-        surf = alive & ~med_scatter
-        emit_l = L.area_light_L(scene, meta, it["light_id"], it["n"],
-                                it["uv"], d)
-        has_emit = surf & (it["light_id"] >= 0) \
-            & jnp.any(emit_l != 0.0, axis=-1)
-        lpmf_hit = L.light_pmf(scene, meta,
-                               jnp.clip(it["light_id"], 0,
-                                        max(meta.n_lights - 1, 0)))
-        lpdf_hit = lpmf_hit * L.area_light_hit_pdf(
-            scene, meta, it["light_id"], o, it["p_raw"], it["n"], d)
-        pp = state["prev_pdf"]
-        w_emit = jnp.where(state["spec"], 1.0,
-                           jnp.where(pp > 0, pp * pp / jnp.maximum(
-                               pp * pp + lpdf_hit * lpdf_hit, 1e-18), 0.0))
-        if simple:
-            w_emit = jnp.ones_like(w_emit)
-        radiance = radiance + jnp.where(has_emit[:, None],
-                                        tput * emit_l * w_emit[:, None],
-                                        0.0)
-
-        # ---- medium scatter vertex (Integrators.cpp:356-362)
-        if volumetric and meta.n_media:
-            uv_phase = sample_2d(s, px, py, sample_idx, dim(b, _D_PHASE))
-            scat_p = o + t_scat[:, None] * d
-            it_med = dict(it, p=scat_p, p_raw=scat_p)
-            nee_med = sample_ld(scene, meta, cfg, d, it_med, mat,
-                                jnp.ones((n,), bool), state["medium"],
-                                g_lanes, u_select, uv_light, u_cell,
-                                alpha_salt, med_scatter, volumetric,
-                                time=time)
-            radiance = radiance + jnp.where(med_scatter[:, None],
-                                            tput * nee_med, 0.0)
-            n_rays = n_rays + jnp.sum(med_scatter.astype(jnp.float32))
-            mle = scene["med_le"][mi]
-            radiance = radiance + jnp.where(med_scatter[:, None],
-                                            tput * mle, 0.0)
-            new_dir_med, _ = hg_sample(d, g_lanes, uv_phase)
-
-        # ---- alpha transparency (Material.hpp:330-353): a failed
-        # stochastic-blend or mask test means the ray passes through the
-        # surface as if it weren't there (handled below like a
-        # material-less boundary)
-        boundary = surf & (it["mat_id"] < 0)
-        can_scatter = surf & (it["mat_id"] >= 0)
-        if meta.has_alpha:
-            mid_a = jnp.clip(it["mat_id"], 0, scene["mat_type"].shape[0] - 1)
-            mode_a = scene["mat_alpha_mode"][mid_a]
-            cutoff_a = scene["mat_alpha_cutoff"][mid_a]
-            atex = scene["mat_tex"][mid_a, 4]
-            btex = scene["mat_tex"][mid_a, 0]
-            from ..scene.textures import texture_alpha
-            a_val = texture_alpha(scene, jnp.where(atex >= 0, atex, btex),
-                                  it["uv"])
-            a_val = jnp.where(atex >= 0,
-                              texture_eval(scene, atex, it["uv"])[:, 0],
-                              a_val)
-            u_alpha = sample_1d(s, px, py, sample_idx, dim(b, _D_ALPHA))
-            solid = jnp.where(mode_a == 1, u_alpha < a_val,      # BLEND
-                              jnp.where(mode_a == 2,
-                                        a_val > cutoff_a, True))  # MASK
-            see_through = can_scatter & ~solid
-            boundary = boundary | see_through
-            can_scatter = can_scatter & solid
-        wi, f, pdf, flags, bvalid, new_origin = bsdf_sample(
-            mat, d, it, u_scatter, uv_scatter,
-            present=getattr(meta, "mats_present", (1, 1, 1, 1)))
-        absorbed = can_scatter & ~bvalid
-        scattered = can_scatter & bvalid
-        new_spec = (flags & FLAG_SPECULAR) > 0
-        transmissive = (flags & FLAG_TRANSMISSIVE) > 0
-
-        # ---- NEE from surface (Integrators.cpp:243-245)
-        if not simple:
-            nee_active = scattered & ~new_spec
-            nee = sample_ld(scene, meta, cfg, d, it, mat,
-                            jnp.zeros((n,), bool), state["medium"], g_lanes,
-                            u_select, uv_light, u_cell, alpha_salt,
-                            nee_active, volumetric, time=time)
-            radiance = radiance + jnp.where(nee_active[:, None],
-                                            tput * nee, 0.0)
-            n_rays = n_rays + jnp.sum(nee_active.astype(jnp.float32))
-            _, pdf_mis = bsdf_eval_pdf(
-                mat, d, it, wi,
+            # ---- alpha transparency (Material.hpp:330-353): a failed
+            # stochastic-blend or mask test means the ray passes through the
+            # surface as if it weren't there (handled below like a
+            # material-less boundary)
+            boundary = surf & (it["mat_id"] < 0)
+            can_scatter = surf & (it["mat_id"] >= 0)
+            if meta.has_alpha:
+                mid_a = jnp.clip(it["mat_id"], 0, scene["mat_type"].shape[0] - 1)
+                mode_a = scene["mat_alpha_mode"][mid_a]
+                cutoff_a = scene["mat_alpha_cutoff"][mid_a]
+                atex = scene["mat_tex"][mid_a, 4]
+                btex = scene["mat_tex"][mid_a, 0]
+                from ..scene.textures import texture_alpha
+                a_val = texture_alpha(scene, jnp.where(atex >= 0, atex, btex),
+                                      it["uv"])
+                a_val = jnp.where(atex >= 0,
+                                  texture_eval(scene, atex, it["uv"])[:, 0],
+                                  a_val)
+                u_alpha = sample_1d(s, px, py, sample_idx, dim(b, _D_ALPHA))
+                solid = jnp.where(mode_a == 1, u_alpha < a_val,      # BLEND
+                                  jnp.where(mode_a == 2,
+                                            a_val > cutoff_a, True))  # MASK
+                see_through = can_scatter & ~solid
+                boundary = boundary | see_through
+                can_scatter = can_scatter & solid
+            wi, f, pdf, flags, bvalid, new_origin = bsdf_sample(
+                mat, d, it, u_scatter, uv_scatter,
                 present=getattr(meta, "mats_present", (1, 1, 1, 1)))
-            new_prev_pdf = jnp.where(scattered & ~new_spec, pdf_mis,
-                                     state["prev_pdf"])
-        else:
-            new_prev_pdf = state["prev_pdf"]
+            absorbed = can_scatter & ~bvalid
+            scattered = can_scatter & bvalid
+            new_spec = (flags & FLAG_SPECULAR) > 0
+            transmissive = (flags & FLAG_TRANSMISSIVE) > 0
 
-        # ---- throughput update (Integrators.cpp:247)
-        cos_wi = jnp.abs(it["ns"][:, 0] * wi[:, 0]
-                         + it["ns"][:, 1] * wi[:, 1]
-                         + it["ns"][:, 2] * wi[:, 2])
-        tput_new = tput * f * (cos_wi / jnp.maximum(pdf, 1e-18))[:, None]
-        tput = jnp.where(scattered[:, None], tput_new, tput)
+            # ---- NEE from surface (Integrators.cpp:243-245)
+            if not simple:
+                nee_active = scattered & ~new_spec
+                nee = sample_ld(scene, meta, cfg, d, it, mat,
+                                jnp.zeros((n,), bool), state["medium"], g_lanes,
+                                u_select, uv_light, u_cell, alpha_salt,
+                                nee_active, volumetric, time=time)
+                radiance = radiance + jnp.where(nee_active[:, None],
+                                                tput * nee, 0.0)
+                n_rays = n_rays + jnp.sum(nee_active.astype(jnp.float32))
+                _, pdf_mis = bsdf_eval_pdf(
+                    mat, d, it, wi,
+                    present=getattr(meta, "mats_present", (1, 1, 1, 1)))
+                new_prev_pdf = jnp.where(scattered & ~new_spec, pdf_mis,
+                                         state["prev_pdf"])
+            else:
+                new_prev_pdf = state["prev_pdf"]
 
-        # ---- medium handoff (VolPath, Integrators.cpp:393-399)
-        if volumetric:
-            going_in = vdot(wi, it["n"]) < 0.0
-            med_next = jnp.where(going_in, it["med_id"], -1)
-            carry = ~transmissive & (vdot(d, it["ns"]) <= 0.0)
-            med_next = jnp.where(carry, state["medium"], med_next)
-            med_boundary = jnp.where(vdot(d, it["n"]) < 0.0, it["med_id"],
-                                     -1)
-            medium = jnp.where(scattered, med_next,
-                               jnp.where(boundary, med_boundary,
-                                         state["medium"]))
-        else:
-            medium = state["medium"]
+            # ---- throughput update (Integrators.cpp:247)
+            cos_wi = jnp.abs(it["ns"][:, 0] * wi[:, 0]
+                             + it["ns"][:, 1] * wi[:, 1]
+                             + it["ns"][:, 2] * wi[:, 2])
+            tput_new = tput * f * (cos_wi / jnp.maximum(pdf, 1e-18))[:, None]
+            tput = jnp.where(scattered[:, None], tput_new, tput)
 
-        # ---- next ray state
-        o_next = jnp.where(scattered[:, None], new_origin,
-                           jnp.where(boundary[:, None], it["p_raw"], o))
-        d_next = jnp.where(scattered[:, None], wi, d)
-        spec = jnp.where(scattered, new_spec,
-                         jnp.where(boundary,
-                                   False if volumetric else True,
-                                   state["spec"]))
-        if volumetric and meta.n_media:
-            # medium scatter overrides surface results
-            o_next = jnp.where(med_scatter[:, None], scat_p, o_next)
-            d_next = jnp.where(med_scatter[:, None], new_dir_med, d_next)
-            spec = jnp.where(med_scatter, False, spec)
+            # ---- medium handoff (VolPath, Integrators.cpp:393-399)
+            if volumetric:
+                going_in = vdot(wi, it["n"]) < 0.0
+                med_next = jnp.where(going_in, it["med_id"], -1)
+                carry = ~transmissive & (vdot(d, it["ns"]) <= 0.0)
+                med_next = jnp.where(carry, state["medium"], med_next)
+                med_boundary = jnp.where(vdot(d, it["n"]) < 0.0, it["med_id"],
+                                         -1)
+                medium = jnp.where(scattered, med_next,
+                                   jnp.where(boundary, med_boundary,
+                                             state["medium"]))
+            else:
+                medium = state["medium"]
 
-        # ---- Russian roulette (Integrators.cpp:249-253)
-        did_scatter = scattered | med_scatter
-        rr_depth = state["rr_depth"] + did_scatter.astype(jnp.int32)
-        rr_on = did_scatter & (rr_depth > cfg.rr_start)
-        rr_prob = jnp.minimum(0.95, jnp.max(tput, axis=-1))
-        rr_kill = rr_on & (u_rr >= rr_prob)
-        tput = jnp.where((rr_on & ~rr_kill)[:, None],
-                         tput / jnp.maximum(rr_prob, 1e-18)[:, None], tput)
+            # ---- next ray state
+            o_next = jnp.where(scattered[:, None], new_origin,
+                               jnp.where(boundary[:, None], it["p_raw"], o))
+            d_next = jnp.where(scattered[:, None], wi, d)
+            spec = jnp.where(scattered, new_spec,
+                             jnp.where(boundary,
+                                       False if volumetric else True,
+                                       state["spec"]))
+            if volumetric and meta.n_media:
+                # medium scatter overrides surface results
+                o_next = jnp.where(med_scatter[:, None], scat_p, o_next)
+                d_next = jnp.where(med_scatter[:, None], new_dir_med, d_next)
+                spec = jnp.where(med_scatter, False, spec)
 
-        alive = alive & ~absorbed & ~rr_kill
-        alive = alive & (did_scatter | boundary)
-        alive = alive & (jnp.sum(tput, axis=-1) > 0.0)
+            # ---- Russian roulette (Integrators.cpp:249-253)
+            did_scatter = scattered | med_scatter
+            rr_depth = state["rr_depth"] + did_scatter.astype(jnp.int32)
+            rr_on = did_scatter & (rr_depth > cfg.rr_start)
+            rr_prob = jnp.minimum(0.95, jnp.max(tput, axis=-1))
+            rr_kill = rr_on & (u_rr >= rr_prob)
+            tput = jnp.where((rr_on & ~rr_kill)[:, None],
+                             tput / jnp.maximum(rr_prob, 1e-18)[:, None], tput)
 
-        # every per-lane update above is masked by an `alive`-derived mask,
-        # so dead lanes carry their state forward unchanged
-        return dict(o=o_next, d=d_next, tput=tput, radiance=radiance,
-                    prev_pdf=new_prev_pdf, spec=spec, alive=alive,
-                    medium=medium, rr_depth=rr_depth, n_rays=n_rays)
+            alive = alive & ~absorbed & ~rr_kill
+            alive = alive & (did_scatter | boundary)
+            alive = alive & (jnp.sum(tput, axis=-1) > 0.0)
+
+            # every per-lane update above is masked by an `alive`-derived mask,
+            # so dead lanes carry their state forward unchanged
+            return dict(o=o_next, d=d_next, tput=tput, radiance=radiance,
+                        prev_pdf=new_prev_pdf, spec=spec, alive=alive,
+                        medium=medium, rr_depth=rr_depth, n_rays=n_rays)
+
+        return bounce
+
+    bounce = bounce_for(px, py, time, n)
 
     if cfg.differentiable:
         # per-bounce rematerialisation: the backward pass recomputes each
@@ -481,7 +504,52 @@ def trace(scene, cam, meta, cfg: RenderConfig, origin, direction, time,
             st, b = carry
             return bounce(st, b), b + 1
 
-        state, _ = jax.lax.while_loop(cond, body, (state, jnp.asarray(0)))
+        compact = (cfg.compact_after is not None
+                   and cfg.compact_after < cfg.max_depth and n >= 4096)
+        if not compact:
+            state, _ = jax.lax.while_loop(cond, body,
+                                          (state, jnp.asarray(0)))
+        else:
+            # ---- tail compaction: full width up to compact_after, then
+            # gather survivors into a quarter-width batch.  Exact: RNG is
+            # (pixel, sample, bounce)-keyed, dead gathered lanes carry
+            # state unchanged, and untaken lanes are all dead.
+            def cond0(carry):
+                st, b = carry
+                return jnp.any(st["alive"]) & (b < cfg.compact_after)
+
+            state, b_end = jax.lax.while_loop(cond0, body,
+                                              (state, jnp.asarray(0)))
+            cap = max(1024, -(-(n // 4) // 1024) * 1024)
+            live = state["alive"]
+            n_live = jnp.sum(live)
+
+            def tail_full(_):
+                st, _ = jax.lax.while_loop(cond, body, (state, b_end))
+                return st["radiance"], st["n_rays"]
+
+            def tail_compact(_):
+                # stable: live lanes first, then dead (order preserved)
+                take = jnp.argsort(~live)[:cap]
+                sub = {k: (v[take] if getattr(v, "ndim", 0) else v)
+                       for k, v in state.items()}
+                bounce_sub = bounce_for(px[take], py[take],
+                                        time[take], cap)
+
+                def body2(carry):
+                    st, b = carry
+                    return bounce_sub(st, b), b + 1
+
+                sub, _ = jax.lax.while_loop(
+                    lambda c: jnp.any(c[0]["alive"]) & (c[1] <
+                                                        cfg.max_depth),
+                    body2, (sub, b_end))
+                return (state["radiance"].at[take].set(sub["radiance"]),
+                        sub["n_rays"])
+
+            radiance, n_rays = jax.lax.cond(n_live <= cap, tail_compact,
+                                            tail_full, None)
+            state = dict(state, radiance=radiance, n_rays=n_rays)
     if with_stats:
         return state["radiance"], dict(n_rays=state["n_rays"])
     return state["radiance"]

@@ -122,3 +122,34 @@ def test_gradients_through_render():
     g = np.asarray(g)
     assert np.isfinite(g).all()
     assert np.abs(g).max() > 0.0
+
+
+def test_tail_compaction_matches_full_width():
+    """compact_after gathers survivors into a quarter-width batch after
+    a few bounces; per-lane RNG is (pixel, sample, bounce)-keyed, so the
+    image must match the uncompacted render to float precision (tile
+    regrouping may flip traversal tie-breaks by ~1 ULP)."""
+    import dataclasses
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from bench_traversal import heightfield
+    import math
+    from pathtracing_tpu import SceneBuilder
+
+    tri = heightfield(20_000)
+    b = SceneBuilder()
+    b.add_mesh(tri.reshape(-1, 3),
+               np.arange(len(tri) * 3).reshape(-1, 3),
+               material=b.add_diffuse((0.6, 0.55, 0.5)))
+    b.add_distant_light(direction=(-0.3, -1.0, -0.2), color=(5, 5, 4.6))
+    b.add_uniform_inf_light((0.35, 0.45, 0.65))
+    b.set_camera([50, 40, -30], [50, 0, 50], math.radians(55), (96, 64))
+    scene, cam, meta = b.build()
+    cfg = RenderConfig(spp=1, max_depth=6, integrator="path")
+    f0 = render(scene, cam, meta, cfg)
+    f1 = render(scene, cam, meta,
+                dataclasses.replace(cfg, compact_after=3))
+    r0 = np.asarray(f0["rgb"])
+    r1 = np.asarray(f1["rgb"])
+    np.testing.assert_allclose(r1, r0, atol=1e-5, rtol=1e-5)
