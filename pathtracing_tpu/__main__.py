@@ -24,8 +24,12 @@ def _build_scene(args):
     from .io import load_gltf, load_obj, load_scene, save_scene
 
     if args.cache and Path(args.cache).exists() and not args.rebuild:
+        from .io.cache import StaleCacheError
         print(f"[scene] loading cache {args.cache}", file=sys.stderr)
-        return load_scene(args.cache)
+        try:
+            return load_scene(args.cache)
+        except StaleCacheError as e:
+            print(f"[scene] {e}; rebuilding", file=sys.stderr)
 
     if args.model:
         b = SceneBuilder()

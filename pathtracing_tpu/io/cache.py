@@ -17,7 +17,14 @@ import jax.numpy as jnp
 
 from ..scene.types import SceneMeta
 
-_FORMAT_VERSION = 2   # v2: per-env-light tables (light_env_slot)
+_FORMAT_VERSION = 3   # v2: per-env-light tables (light_env_slot)
+                      # v3: degenerate far-point empty AABBs in the
+                      # two-level kernel tables — v2 caches hold the
+                      # +-inf empties that OOB-DMA'd the TPU kernel
+
+
+class StaleCacheError(RuntimeError):
+    """Cache file uses an older format; callers should rebuild."""
 
 
 def save_scene(path, scene, cam, meta: SceneMeta):
@@ -41,7 +48,10 @@ def load_scene(path):
     """Load a scene cache. Returns (scene, cam, meta)."""
     z = np.load(Path(path), allow_pickle=False)
     header = json.loads(bytes(z["header"]).decode("utf-8"))
-    assert header["version"] == _FORMAT_VERSION, header["version"]
+    if header["version"] != _FORMAT_VERSION:
+        raise StaleCacheError(
+            f"scene cache {path} is format v{header['version']}, "
+            f"current is v{_FORMAT_VERSION}; rebuild it")
     scene = {k.split("/", 1)[1]: jnp.asarray(z[k])
              for k in z.files if k.startswith("scene/")}
     cam = {k.split("/", 1)[1]: jnp.asarray(z[k])

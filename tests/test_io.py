@@ -208,3 +208,24 @@ def test_native_obj_parser_matches_python(tmp_path):
                                       np.asarray(bn._tri[k]), err_msg=k)
     assert bp._mat["type"] == bn._mat["type"]
     assert len(bp._lights) == len(bn._lights)
+
+
+def test_stale_cache_version_raises(tmp_path):
+    """Old-format caches must be rejected loudly (the CLI rebuilds):
+    v2 caches predate the degenerate-empty-AABB kernel tables."""
+    import json
+    import numpy as np
+    from pathtracing_tpu.io import cache as cachemod
+    from pathtracing_tpu import scenes
+    import pytest
+
+    scene, cam, meta = scenes.cornell_box(resolution=(16, 16))
+    p = tmp_path / "old.npz"
+    save_scene(p, scene, cam, meta)
+    z = dict(np.load(p, allow_pickle=False))
+    hdr = json.loads(bytes(z["header"]).decode())
+    hdr["version"] = 2
+    z["header"] = np.frombuffer(json.dumps(hdr).encode(), np.uint8)
+    np.savez_compressed(p, **z)
+    with pytest.raises(cachemod.StaleCacheError):
+        load_scene(p)
