@@ -160,7 +160,7 @@ def main():
     fast = bool(os.environ.get("BENCH_FAST"))
     res = (512, 512) if fast else (1920, 1080)
     n_tris = 200_000 if fast else 10_500_000
-    depth = 8 if fast else 32
+    depth = int(os.environ.get("BENCH_DEPTH", "8" if fast else "32"))
     spp = 1
 
     from pathtracing_tpu.scenes import sanmiguel_analog
@@ -177,7 +177,7 @@ def main():
     cornell_rate = bench_cornell()
 
     print(json.dumps({
-        "metric": "camera_samples_per_sec_mesh10M_1080p_path_d32",
+        "metric": f"camera_samples_per_sec_mesh10M_1080p_path_d{depth}",
         "value": round(fwd_rate, 1),
         "unit": "samples/s",
         "vs_baseline": round(fwd_rate / BASELINE_SAMPLES_PER_S, 4),

@@ -20,7 +20,9 @@ if os.environ.get("FORCE_CPU"):
     jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_here = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _here)                      # tools/ (bench_traversal)
+sys.path.insert(0, os.path.dirname(_here))     # repo root (pathtracing_tpu)
 from bench_traversal import (heightfield, camera_rays, bounce_rays,
                              dispatch_overhead_ms)
 
