@@ -26,6 +26,9 @@ import time
 
 import numpy as np
 import jax
+
+if os.environ.get("FORCE_CPU"):     # smoke-testing the harness off-TPU
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 BASELINE_SAMPLES_PER_S = 1920 * 1080 * 100 / 349.0  # reference main.cpp:332
@@ -159,7 +162,7 @@ def bench_cornell():
 def main():
     fast = bool(os.environ.get("BENCH_FAST"))
     res = (512, 512) if fast else (1920, 1080)
-    n_tris = 200_000 if fast else 10_500_000
+    n_tris = int(os.environ.get("N_TRIS", 200_000 if fast else 10_500_000))
     depth = int(os.environ.get("BENCH_DEPTH", "8" if fast else "32"))
     spp = 1
 
