@@ -94,14 +94,14 @@ def bench_mesh_rays(scene, cam, meta, depth):
         return jnp.sum(color), stats["n_rays"]
 
     zero = jnp.asarray(0, jnp.uint32)
-    _, n_rays = run(scene, cam, zero)
-    n_rays = float(jax.device_get(n_rays))
+    _, n_rays = run(scene, cam, zero)                  # warm-up/compile
+    jax.device_get(n_rays)
     t0 = time.perf_counter()
     _, n2 = run(scene, cam, jnp.asarray(1, jnp.uint32))
-    jax.device_get(n2)
+    n2 = float(jax.device_get(n2))                     # the timed run's count
     dt = time.perf_counter() - t0
-    rays_per_sample = n_rays / (1 << 16)
-    return rays_per_sample, n_rays / dt
+    rays_per_sample = n2 / (1 << 16)
+    return rays_per_sample, n2 / dt
 
 
 def bench_mesh_fwd_bwd(scene, cam, meta, res=(512, 512), depth=8):

@@ -56,6 +56,8 @@ TPS = 8             # tiles per grid step: pallas pays ~70us of pipeline
                     # overhead per grid step (measured with a no-op
                     # kernel); folding 8 tiles into one step amortizes it
 RECULL_EVERY = 16   # block visits between per-ray entry-table re-culls
+RECULL_MAX_MPAD = 8192   # beyond this many block lanes the [128, mpad]
+                         # re-cull entry table would crowd VMEM — skip it
 
 
 # ---------------------------------------------------------------------------
@@ -273,7 +275,8 @@ def _kernel(boxT_hbm, ox_ref, oy_ref, oz_ref,
             dx_ref, dy_ref, dz_ref, tmax_ref, tri_hbm, *rest,
             block_k: int, n_blocks: int, any_hit: bool,
             instanced: bool = False, motion: bool = False,
-            debug_phase: int = 0, recull_every: int = RECULL_EVERY):
+            debug_phase: int = 0, use_recull: bool = True,
+            recull_every: int = RECULL_EVERY):
     """Tile-divergent traversal with IN-KERNEL block ordering, in the
     RAYS-IN-SUBLANES layout (see pallas_trace2._kernel2 for the design
     notes): lane-major entry table + iota-argmin selection, and
@@ -293,8 +296,13 @@ def _kernel(boxT_hbm, ox_ref, oy_ref, oz_ref,
     if motion:
         time_ref = rest[0]
         rest = rest[1:]
-    out_t_ref, out_slot_ref, scratch, sem, ecol_ref, etab_ref, \
-        boxv_ref, box_sem = rest
+    if use_recull:
+        out_t_ref, out_slot_ref, scratch, sem, ecol_ref, etab_ref, \
+            boxv_ref, box_sem = rest
+    else:
+        etab_ref = None
+        out_t_ref, out_slot_ref, scratch, sem, ecol_ref, \
+            boxv_ref, box_sem = rest
 
     mpad = boxv_ref.shape[1]
     R = mpad // 128
@@ -367,8 +375,9 @@ def _kernel(boxT_hbm, ox_ref, oy_ref, oz_ref,
                              SHADOW_EPS)
             tf = jnp.minimum(jnp.minimum(tf, jnp.maximum(u0, u1)), tmax)
             e = jnp.where(tn <= tf, tn, BIG_F32)
-            # full per-ray entry table kept for the periodic re-cull
-            etab_ref[:, pl.ds(c * 128, 128)] = e
+            if use_recull:
+                # full per-ray entry table kept for the periodic re-cull
+                etab_ref[:, pl.ds(c * 128, 128)] = e
             emin = jnp.min(e, axis=0, keepdims=True)       # [1,128]
             emin = jnp.where(c * 128 + lane_row < n_blocks, emin,
                              BIG_F32)
@@ -487,11 +496,12 @@ def _kernel(boxT_hbm, ox_ref, oy_ref, oz_ref,
         def body(carry):
             b, e, slot, best_t, best_slot, _, cnt = carry
 
-            @pl.when(cnt >= recull_every)
-            def _():
-                recull(best_t)
+            if use_recull:
+                @pl.when(cnt >= recull_every)
+                def _():
+                    recull(best_t)
 
-            cnt = jnp.where(cnt >= recull_every, 0, cnt + 1)
+                cnt = jnp.where(cnt >= recull_every, 0, cnt + 1)
             nb, ne = select()
             has_next = ne < BIG_F32 * 0.5
             # prefetch the next selected block while testing this one
@@ -550,8 +560,12 @@ def pallas_tri_intersect(scene, origin, direction, t_max, block_k: int,
     K = block_k
     instanced = "pk_blk_src" in scene
     motion = time is not None
-    # slots ride through an f32 transpose in-kernel: must stay < 2^24
-    assert scene["pk_slot2tri"].shape[0] < (1 << 24), "scene too large"
+    # slots ride through an f32 transpose in-kernel: must stay < 2^24.
+    # Instanced slots are EXPANDED-block encoded (expanded_block*K + k),
+    # so the bound is m*K — the physical table length understates it
+    max_slot = m * K if instanced else scene["pk_slot2tri"].shape[0]
+    assert max_slot < (1 << 24), \
+        "encoded slot ids exceed exact-f32 range (2^24): scene too large"
 
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     # pad to a whole number of TPS-tile groups; padded rays get t_max=0
@@ -580,9 +594,14 @@ def pallas_tri_intersect(scene, origin, direction, t_max, block_k: int,
                             memory_space=pltpu.VMEM)
     box_spec = pl.BlockSpec(memory_space=pl.ANY)   # kernel DMAs once
 
+    # sentinel-large cadence disables the re-cull machinery entirely
+    # (no [TILE, mpad] table in VMEM, no per-chunk stores) — the true
+    # baseline for A/B tools; the VMEM cap mirrors pallas_trace2
+    use_recull = mpad <= RECULL_MAX_MPAD and recull_every < (1 << 29)
     kernel = functools.partial(_kernel, block_k=K, n_blocks=m,
                                any_hit=any_hit, instanced=instanced,
                                motion=motion, debug_phase=debug_phase,
+                               use_recull=use_recull,
                                recull_every=recull_every)
     in_specs = [box_spec] + [ray_spec] * 7 + [
         pl.BlockSpec(memory_space=pl.ANY)]
@@ -618,10 +637,11 @@ def pallas_tri_intersect(scene, origin, direction, t_max, block_k: int,
                    jax.ShapeDtypeStruct(shp, jnp.float32)],
         scratch_shapes=[pltpu.VMEM((2, 16, K), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
-                        pltpu.VMEM((mpad // 128, 128), jnp.float32),
-                        pltpu.VMEM((TILE, mpad), jnp.float32),
-                        pltpu.VMEM((8, mpad), jnp.float32),
-                        pltpu.SemaphoreType.DMA(())],
+                        pltpu.VMEM((mpad // 128, 128), jnp.float32)]
+                       + ([pltpu.VMEM((TILE, mpad), jnp.float32)]
+                          if use_recull else [])
+                       + [pltpu.VMEM((8, mpad), jnp.float32),
+                          pltpu.SemaphoreType.DMA(())],
     )(*operands)
     out_slot = out_slot.astype(jnp.int32)
 

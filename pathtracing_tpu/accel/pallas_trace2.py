@@ -697,8 +697,14 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
     m1 = scene["pk_blk_lo"].shape[0]
     m1pad = -(-m1 // 128) * 128
     motion = time is not None
-    # slots ride through an f32 transpose in-kernel: must stay < 2^24
-    assert scene["pk_slot2tri"].shape[0] < (1 << 24), "scene too large"
+    # slots ride through an f32 transpose in-kernel: must stay < 2^24.
+    # Instanced slots are EXPANDED-L1 encoded ((expanded_L1*G + g)*K2 +
+    # k), so the bound is m1*G*K2 — the physical table length
+    # understates it for heavily-instanced scenes
+    max_slot = (m1 * g * k2 if "pk_blk_src" in scene
+                else scene["pk_slot2tri"].shape[0])
+    assert max_slot < (1 << 24), \
+        "encoded slot ids exceed exact-f32 range (2^24): scene too large"
 
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     # pad to a whole number of TPS-tile groups; padded rays get t_max=0
@@ -728,8 +734,10 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
     instanced = "pk_blk_src" in scene
     G = g
     # the re-cull's per-ray entry table is [128, m1pad] f32 VMEM: cap it
-    # so giant scenes (>=16K superblocks ~ 8MB) keep their VMEM headroom
-    use_recull = m1pad <= RECULL_MAX_M1PAD
+    # so giant scenes (>=16K superblocks ~ 8MB) keep their VMEM headroom.
+    # A sentinel-large cadence disables the machinery entirely (no table
+    # allocation or per-chunk stores), giving A/B tools a true baseline.
+    use_recull = m1pad <= RECULL_MAX_M1PAD and recull_every < (1 << 29)
     kernel = functools.partial(_kernel2, k2=k2, n_l1=m1, any_hit=any_hit,
                                g=g, instanced=instanced, motion=motion,
                                counters=counters, use_recull=use_recull,
