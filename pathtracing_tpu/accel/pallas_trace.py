@@ -50,6 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.math import BIG_F32, SHADOW_EPS
+from . import _kernel_common as kc
 
 TILE = 128          # rays per tile (one independent traversal loop each)
 TPS = 8             # tiles per grid step: pallas pays ~70us of pipeline
@@ -319,32 +320,12 @@ def _kernel(boxT_hbm, ox_ref, oy_ref, oz_ref,
         pltpu.make_async_copy(boxT_hbm, boxv_ref, box_sem).start()
         pltpu.make_async_copy(boxT_hbm, boxv_ref, box_sem).wait()
 
-    def inv_guard(c):
-        return 1.0 / jnp.where(jnp.abs(c) < 1e-32,
-                               jnp.where(c < 0, -1e-32, 1e-32), c)
-
     SUB = min(K, 512)
     assert K % SUB == 0
 
-    ident = (jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
-             == jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
-             ).astype(jnp.float32)
-
-    def to_col(row):                                    # [1,128]->[128,1]
-        return jax.lax.dot_general(
-            ident, row, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
-
-    def to_row(col):                                    # [128,1]->[1,128]
-        return jax.lax.dot_general(
-            col, ident, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
-
-    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    flat_iota = (jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0) * 128
-                 + jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1))
+    to_col, to_row = kc.make_transposes(TILE)
+    lane_row, flat_iota = kc.lane_iotas(R)
+    inv_guard = kc.inv_guard
 
     def run_tile(tt, _):
         ox = to_col(ox_ref[0, pl.ds(tt, 1), :])            # [128,1]
@@ -358,61 +339,11 @@ def _kernel(boxT_hbm, ox_ref, oy_ref, oz_ref,
         ix, iy, iz = inv_guard(dx), inv_guard(dy), inv_guard(dz)
 
         # ---- phase 1: tile-min entry distance per block -----------------
-        def entry_chunk(c, _):
-            def comp(k):
-                return boxv_ref[pl.ds(k, 1), pl.ds(c * 128, 128)]
-            u0 = (comp(0) - ox) * ix                       # [128,128]
-            u1 = (comp(3) - ox) * ix
-            tn = jnp.minimum(u0, u1)
-            tf = jnp.maximum(u0, u1)
-            u0 = (comp(1) - oy) * iy
-            u1 = (comp(4) - oy) * iy
-            tn = jnp.maximum(tn, jnp.minimum(u0, u1))
-            tf = jnp.minimum(tf, jnp.maximum(u0, u1))
-            u0 = (comp(2) - oz) * iz
-            u1 = (comp(5) - oz) * iz
-            tn = jnp.maximum(jnp.maximum(tn, jnp.minimum(u0, u1)),
-                             SHADOW_EPS)
-            tf = jnp.minimum(jnp.minimum(tf, jnp.maximum(u0, u1)), tmax)
-            e = jnp.where(tn <= tf, tn, BIG_F32)
-            if use_recull:
-                # full per-ray entry table kept for the periodic re-cull
-                etab_ref[:, pl.ds(c * 128, 128)] = e
-            emin = jnp.min(e, axis=0, keepdims=True)       # [1,128]
-            emin = jnp.where(c * 128 + lane_row < n_blocks, emin,
-                             BIG_F32)
-            ecol_ref[pl.ds(c, 1), :] = emin
-            return 0
-
-        jax.lax.fori_loop(0, R, entry_chunk, 0)
-
-        def recull(best_t):
-            """Per-ray interval culling (see pallas_trace2._kernel2):
-            drop blocks whose entry now exceeds the current best hit of
-            every ray that entered them."""
-            def chunk(c, _):
-                e = etab_ref[:, pl.ds(c * 128, 128)]       # [128,128]
-                emin = jnp.min(jnp.where(e < best_t, e, BIG_F32),
-                               axis=0, keepdims=True)      # [1,128]
-                old = ecol_ref[pl.ds(c, 1), :]
-                ecol_ref[pl.ds(c, 1), :] = jnp.where(
-                    (old >= BIG_F32 * 0.5) | (emin >= BIG_F32 * 0.5),
-                    BIG_F32, emin)
-                return 0
-
-            jax.lax.fori_loop(0, R, chunk, 0)
-
-        def select():
-            """Pop the nearest unvisited block (front-to-back)."""
-            e = ecol_ref[...]                              # [R,128]
-            v = jnp.min(e)
-            i = jnp.min(jnp.where(e <= v, flat_iota, jnp.int32(1 << 30)))
-            r = i >> 7
-            lane = i & 127
-            row = ecol_ref[pl.ds(r, 1), :]
-            ecol_ref[pl.ds(r, 1), :] = jnp.where(lane_row == lane,
-                                                 BIG_F32, row)
-            return i, v
+        kc.entry_phase(boxv_ref, ecol_ref, etab_ref, (ox, oy, oz),
+                       (ix, iy, iz), tmax, n_blocks, R, lane_row,
+                       use_recull)
+        recull = kc.make_recull(etab_ref, ecol_ref, R)
+        select = kc.make_select(ecol_ref, flat_iota, lane_row)
 
         def src_of(b):
             # expanded block -> physical column block (instanced TLAS)
@@ -424,14 +355,8 @@ def _kernel(boxT_hbm, ox_ref, oy_ref, oz_ref,
             if not instanced:
                 return ox, oy, oz, dx, dy, dz
             inst = inst_ref[0, b]
-            ii = jnp.maximum(inst, 0)
-            m = [inv_ref[ii, c] for c in range(12)]
-            oxl = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
-            oyl = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
-            ozl = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
-            dxl = m[0] * dx + m[1] * dy + m[2] * dz
-            dyl = m[4] * dx + m[5] * dy + m[6] * dz
-            dzl = m[8] * dx + m[9] * dy + m[10] * dz
+            (oxl, oyl, ozl), (dxl, dyl, dzl) = kc.instance_transform(
+                inv_ref, jnp.maximum(inst, 0), (ox, oy, oz), (dx, dy, dz))
             use = inst >= 0
             return (jnp.where(use, oxl, ox), jnp.where(use, oyl, oy),
                     jnp.where(use, ozl, oz), jnp.where(use, dxl, dx),
@@ -443,35 +368,13 @@ def _kernel(boxT_hbm, ox_ref, oy_ref, oz_ref,
                 scratch.at[slot], sem.at[slot])
 
         def test_block(best_t, best_slot, b, slot):
-            oxs, oys, ozs, dxs, dys, dzs = rays_for(b)
+            rays = rays_for(b)
             # sub-chunks bound the [128, SUB] VPU intermediates to VMEM
             for sub in range(K // SUB):
                 def row(i):
                     return scratch[slot, pl.ds(i, 1),
                                    pl.ds(sub * SUB, SUB)]   # [1,SUB]
-                # Moller-Trumbore: [128 rays(sublanes), SUB prims(lanes)]
-                e1x, e1y, e1z = row(3), row(4), row(5)
-                e2x, e2y, e2z = row(6), row(7), row(8)
-                hx = dys * e2z - dzs * e2y
-                hy = dzs * e2x - dxs * e2z
-                hz = dxs * e2y - dys * e2x
-                det = e1x * hx + e1y * hy + e1z * hz
-                near0 = jnp.abs(det) < 1e-9
-                inv_det = 1.0 / jnp.where(near0, 1.0, det)
-                # moving prim at ray time == static prim hit from
-                # o - vel*time (AnimatedPrimitive, Primitive.cpp:77-96)
-                sx = oxs - row(0) - (row(9) * rtime if motion else 0.0)
-                sy = oys - row(1) - (row(10) * rtime if motion else 0.0)
-                sz = ozs - row(2) - (row(11) * rtime if motion else 0.0)
-                u = (sx * hx + sy * hy + sz * hz) * inv_det
-                qx = sy * e1z - sz * e1y
-                qy = sz * e1x - sx * e1z
-                qz = sx * e1y - sy * e1x
-                v = (dxs * qx + dys * qy + dzs * qz) * inv_det
-                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                ok = (~near0 & (u >= 0) & (u <= 1) & (v >= 0)
-                      & (u + v <= 1) & (t >= SHADOW_EPS) & (t < best_t))
-                t = jnp.where(ok, t, BIG_F32)
+                t = kc.moller_trumbore(row, rays, rtime, motion, best_t)
                 kbest = jnp.argmin(t, axis=1)[:, None]      # [128,1]
                 tbest = jnp.min(t, axis=1, keepdims=True)   # [128,1]
                 better = tbest < best_t

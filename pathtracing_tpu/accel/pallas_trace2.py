@@ -35,6 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.math import BIG_F32, SHADOW_EPS
+from . import _kernel_common as kc
 from .pallas_trace import TILE, TPS
 
 G_DEFAULT = 16      # L2 blocks per L1 superblock (tunable)
@@ -354,31 +355,9 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
         pltpu.make_async_copy(l1boxT_hbm, l1v_ref, l1v_sem).start()
         pltpu.make_async_copy(l1boxT_hbm, l1v_ref, l1v_sem).wait()
 
-    def inv(c):
-        return 1.0 / jnp.where(jnp.abs(c) < 1e-32,
-                               jnp.where(c < 0, -1e-32, 1e-32), c)
-
-    # exact f32 transpose through the MXU: the bf16 3-pass split
-    # reconstructs x*1.0 exactly
-    ident = (jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
-             == jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
-             ).astype(jnp.float32)
-
-    def to_col(row):                                    # [1,128]->[128,1]
-        return jax.lax.dot_general(
-            ident, row, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
-
-    def to_row(col):                                    # [128,1]->[1,128]
-        return jax.lax.dot_general(
-            col, ident, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
-
-    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    flat_iota = (jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0) * 128
-                 + jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1))
+    inv = kc.inv_guard
+    to_col, to_row = kc.make_transposes(TILE)
+    lane_row, flat_iota = kc.lane_iotas(R)
 
     def run_tile(tt, _):
         ox = to_col(ox_ref[0, pl.ds(tt, 1), :])            # [128,1]
@@ -392,68 +371,10 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
         ix, iy, iz = inv(dx), inv(dy), inv(dz)
 
         # ---- L1 entry phase: [128 rays, 128 blocks] per chunk ----------
-        def entry_chunk(c, _):
-            def comp(k):
-                return l1v_ref[pl.ds(k, 1), pl.ds(c * 128, 128)]  # [1,128]
-            u0 = (comp(0) - ox) * ix
-            u1 = (comp(3) - ox) * ix
-            tn = jnp.minimum(u0, u1)
-            tf = jnp.maximum(u0, u1)
-            u0 = (comp(1) - oy) * iy
-            u1 = (comp(4) - oy) * iy
-            tn = jnp.maximum(tn, jnp.minimum(u0, u1))
-            tf = jnp.minimum(tf, jnp.maximum(u0, u1))
-            u0 = (comp(2) - oz) * iz
-            u1 = (comp(5) - oz) * iz
-            tn = jnp.maximum(jnp.maximum(tn, jnp.minimum(u0, u1)),
-                             SHADOW_EPS)
-            tf = jnp.minimum(jnp.minimum(tf, jnp.maximum(u0, u1)), tmax)
-            e = jnp.where(tn <= tf, tn, BIG_F32)           # [128,128]
-            if use_recull:
-                # full per-ray entry table kept for the periodic re-cull
-                etab_ref[:, pl.ds(c * 128, 128)] = e
-            emin = jnp.min(e, axis=0, keepdims=True)       # [1,128]
-            emin = jnp.where(c * 128 + lane_row < n_l1, emin, BIG_F32)
-            ecol_ref[pl.ds(c, 1), :] = emin
-            return 0
-
-        jax.lax.fori_loop(0, R, entry_chunk, 0)
-
-        def recull(best_t):
-            """Per-ray interval culling (BVH.hpp:1129-1135 per-RAY, not
-            per-tile): drop every L1 whose entry distance exceeds the
-            CURRENT best hit of each ray that entered it.  The entry
-            phase ran against the initial t_max, so without this a tile
-            keeps visiting L1s that only already-finished rays wanted —
-            on incoherent bounce tiles that is most of the visits (and
-            one sky ray otherwise pins max(best_t) at BIG, disabling
-            the tile-granularity exit entirely)."""
-            def chunk(c, _):
-                e = etab_ref[:, pl.ds(c * 128, 128)]       # [128,128]
-                emin = jnp.min(jnp.where(e < best_t, e, BIG_F32),
-                               axis=0, keepdims=True)      # [1,128]
-                old = ecol_ref[pl.ds(c, 1), :]
-                # visited / padding lanes (already BIG) stay BIG; live
-                # lanes take the raised still-needed-by-someone entry
-                ecol_ref[pl.ds(c, 1), :] = jnp.where(
-                    (old >= BIG_F32 * 0.5) | (emin >= BIG_F32 * 0.5),
-                    BIG_F32, emin)
-                return 0
-
-            jax.lax.fori_loop(0, R, chunk, 0)
-
-        def select():
-            """Pop the nearest unvisited L1 from the lane-major entry
-            table: full-lane min + first-match iota."""
-            e = ecol_ref[...]                              # [R,128]
-            v = jnp.min(e)
-            i = jnp.min(jnp.where(e <= v, flat_iota, jnp.int32(1 << 30)))
-            r = i >> 7
-            lane = i & 127
-            row = ecol_ref[pl.ds(r, 1), :]
-            ecol_ref[pl.ds(r, 1), :] = jnp.where(lane_row == lane,
-                                                 BIG_F32, row)
-            return i, v
+        kc.entry_phase(l1v_ref, ecol_ref, etab_ref, (ox, oy, oz),
+                       (ix, iy, iz), tmax, n_l1, R, lane_row, use_recull)
+        recull = kc.make_recull(etab_ref, ecol_ref, R)
+        select = kc.make_select(ecol_ref, flat_iota, lane_row)
 
         def src_of(b1):
             # expanded L1 -> physical L1 row (instanced TLAS)
@@ -465,14 +386,8 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
             if not instanced:
                 return ox, oy, oz, dx, dy, dz, ix, iy, iz
             inst = inst_ref[0, b1]
-            ii = jnp.maximum(inst, 0)
-            m = [inv_ref[ii, c] for c in range(12)]
-            oxl = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
-            oyl = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
-            ozl = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
-            dxl = m[0] * dx + m[1] * dy + m[2] * dz
-            dyl = m[4] * dx + m[5] * dy + m[6] * dz
-            dzl = m[8] * dx + m[9] * dy + m[10] * dz
+            (oxl, oyl, ozl), (dxl, dyl, dzl) = kc.instance_transform(
+                inv_ref, jnp.maximum(inst, 0), (ox, oy, oz), (dx, dy, dz))
             use = inst >= 0
             oxs = jnp.where(use, oxl, ox)
             oys = jnp.where(use, oyl, oy)
@@ -496,32 +411,10 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
         def test_l2(best, enc_base, slot, rays):
             """Moller-Trumbore, [128 rays(sublanes), K2 prims(lanes)]."""
             best_t, best_slot = best
-            oxs, oys, ozs, dxs, dys, dzs = rays
 
             def row(i):
                 return scratch[slot, pl.ds(i, 1), :]       # [1,K2]
-            e1x, e1y, e1z = row(3), row(4), row(5)
-            e2x, e2y, e2z = row(6), row(7), row(8)
-            hx = dys * e2z - dzs * e2y                     # [128,K2]
-            hy = dzs * e2x - dxs * e2z
-            hz = dxs * e2y - dys * e2x
-            det = e1x * hx + e1y * hy + e1z * hz
-            near0 = jnp.abs(det) < 1e-9
-            inv_det = 1.0 / jnp.where(near0, 1.0, det)
-            # moving prim at ray time == static prim hit from
-            # o - vel*time (AnimatedPrimitive, Primitive.cpp:77-96)
-            sx = oxs - row(0) - (row(9) * rtime if motion else 0.0)
-            sy = oys - row(1) - (row(10) * rtime if motion else 0.0)
-            sz = ozs - row(2) - (row(11) * rtime if motion else 0.0)
-            u = (sx * hx + sy * hy + sz * hz) * inv_det
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            v = (dxs * qx + dys * qy + dzs * qz) * inv_det
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            ok = (~near0 & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
-                  & (t >= SHADOW_EPS) & (t < best_t))
-            t = jnp.where(ok, t, BIG_F32)
+            t = kc.moller_trumbore(row, rays, rtime, motion, best_t)
             kbest = jnp.argmin(t, axis=1)[:, None]         # [128,1]
             tbest = jnp.min(t, axis=1, keepdims=True)      # [128,1]
             better = tbest < best_t
