@@ -430,3 +430,32 @@ def test_animated_area_light_sampled_at_ray_time():
     p1 = np.asarray(L.light_sample(scene, meta, lidx, ref_p, u, uv,
                                    jnp.ones((n,)))["p"])[0]
     np.testing.assert_allclose(p1 - p0, [3, 0, 0], atol=1e-5)
+
+
+def test_instanced_slot_range_guard():
+    """Instanced hit slots are expanded-block encoded and ride an
+    exact-f32 transpose in-kernel; past 2^24 encoded ids they would
+    silently round to even (wrong triangle/instance).  Both kernels
+    must refuse such scenes loudly at trace time."""
+    import pytest
+    import jax.numpy as jnp
+    from pathtracing_tpu.accel.pallas_trace import pallas_tri_intersect
+    from pathtracing_tpu.accel.pallas_trace2 import pallas_tri_intersect2
+
+    o = jnp.zeros((128, 3), jnp.float32)
+    d = jnp.ones((128, 3), jnp.float32)
+    tm = jnp.full((128,), 1e30, jnp.float32)
+
+    # single-level: m expanded blocks * K = 8192 * 2048 = 2^24 -> refuse
+    scene1 = dict(pk_blk_lo=jnp.zeros((8192, 3), jnp.float32),
+                  pk_blk_src=jnp.zeros((8192,), jnp.int32),
+                  pk_slot2tri=jnp.zeros((1024,), jnp.int32))
+    with pytest.raises(AssertionError, match="slot ids"):
+        pallas_tri_intersect(scene1, o, d, tm, 2048)
+
+    # two-level: m1 * G * K2 = 4096 * 16 * 256 = 2^24 -> refuse
+    scene2 = dict(pk_blk_lo=jnp.zeros((4096, 3), jnp.float32),
+                  pk_blk_src=jnp.zeros((4096,), jnp.int32),
+                  pk_slot2tri=jnp.zeros((1024,), jnp.int32))
+    with pytest.raises(AssertionError, match="slot ids"):
+        pallas_tri_intersect2(scene2, o, d, tm, 256)
