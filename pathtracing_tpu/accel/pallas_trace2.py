@@ -190,7 +190,10 @@ def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
         return _sah_build_binary(lo, hi, leaf_size=4)[1]
 
     if k2 is None:
-        # expanded L1 count must stay <= 4096
+        # aim for <= 4096 expanded L1s (entry-phase cost is linear in
+        # the L1 count) — but the kernel handles any count, and when the
+        # count is INSTANCE-bound (every instance needs >= 1 L1) raising
+        # k2 can't reduce it further: stop as soon as it stops helping
         def n_l1_expanded(k2):
             def l1_of(n):
                 return -(-(-(-n // k2)) // G) if n else 0
@@ -200,7 +203,8 @@ def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
             return me
 
         k2 = 128
-        while n_l1_expanded(k2) > 4096:
+        while (n_l1_expanded(k2) > 4096
+               and n_l1_expanded(k2 + 128) < n_l1_expanded(k2)):
             k2 += 128
 
     tri_chunks, slot2tri, l2boxes = [], [], []
@@ -337,9 +341,9 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
         time_ref = rest[0]
         rest = rest[1:]
     if counters:
-        out_t_ref, out_slot_ref, out_cnt_ref, *rest = rest
+        out_t_ref, out_blk_ref, out_off_ref, out_cnt_ref, *rest = rest
     else:
-        out_t_ref, out_slot_ref, *rest = rest
+        out_t_ref, out_blk_ref, out_off_ref, *rest = rest
     if use_recull:
         scratch, sem, box_scratch, box_sem, ecol_ref, etab_ref, \
             l1v_ref, l1v_sem = rest
@@ -408,9 +412,16 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
                                          box_scratch.at[slot],
                                          box_sem.at[slot])
 
-        def test_l2(best, enc_base, slot, rays):
-            """Moller-Trumbore, [128 rays(sublanes), K2 prims(lanes)]."""
-            best_t, best_slot = best
+        def test_l2(best, blk_val, off_base, slot, rays):
+            """Moller-Trumbore, [128 rays(sublanes), K2 prims(lanes)].
+
+            Hits are recorded as the (block, offset) PAIR (blk_val is
+            the expanded L1 when instanced, the physical L2 block
+            otherwise; off_base + argmin lane is the offset within it):
+            each component stays far below 2^24, so the pair survives
+            the exact-f32 output transpose at ANY scene scale — a
+            single flat slot id overflowed past 16.7M slots."""
+            best_t, best_blk, best_off = best
 
             def row(i):
                 return scratch[slot, pl.ds(i, 1), :]       # [1,K2]
@@ -419,14 +430,17 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
             tbest = jnp.min(t, axis=1, keepdims=True)      # [128,1]
             better = tbest < best_t
             best_t = jnp.where(better, tbest, best_t)
-            # slot carried as f32 (exact below 2^24; caller asserts)
-            best_slot = jnp.where(better,
-                                  (enc_base + kbest).astype(jnp.float32),
-                                  best_slot)
-            return best_t, best_slot
+            best_blk = jnp.where(better,
+                                 jnp.asarray(blk_val, jnp.float32),
+                                 best_blk)
+            best_off = jnp.where(better,
+                                 (off_base + kbest).astype(jnp.float32),
+                                 best_off)
+            return best_t, best_blk, best_off
 
         def body(carry):
-            b1, e1, slot, best_t, best_slot, _, nl1, nch, cnt = carry
+            (b1, e1, slot, best_t, best_blk, best_off, _, nl1, nch,
+             cnt) = carry
             nl1 = nl1 + 1.0
 
             if use_recull:
@@ -497,7 +511,7 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
                 return c[0] != 0
 
             def child_body(c):
-                mask, best_t, best_slot, nch = c
+                mask, best_t, best_blk, best_off, nch = c
                 bestg = jnp.asarray(0, jnp.int32)
                 beste = jnp.asarray(BIG_F32, jnp.float32)
                 for g_ in range(G):
@@ -508,37 +522,38 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
                 dma(bestg, base + bestg).wait()
 
                 def run(args):
-                    best_t, best_slot = args
-                    # instanced: slot encodes the EXPANDED child block so
+                    # instanced: the block half of the pair is the
+                    # EXPANDED L1 (off = child*K2 + lane within it) so
                     # callers recover (instance, slot) via the src/base
-                    # tables; plain scenes encode the physical slot
-                    enc = ((b1 * G + bestg) * K2 if instanced
-                           else (base + bestg) * K2)
-                    return test_l2(
-                        (best_t, best_slot), jnp.asarray(enc, jnp.int32),
-                        bestg, (oxs, oys, ozs, dxs, dys, dzs))
+                    # tables; plain scenes record the physical L2 block
+                    blk = b1 if instanced else base + bestg
+                    offb = bestg * K2 if instanced else 0
+                    return test_l2(args, blk, offb, bestg,
+                                   (oxs, oys, ozs, dxs, dys, dzs))
 
                 do_test = beste < jnp.max(best_t)
-                best_t, best_slot = jax.lax.cond(
-                    do_test, run, lambda a: a, (best_t, best_slot))
+                best_t, best_blk, best_off = jax.lax.cond(
+                    do_test, run, lambda a: a,
+                    (best_t, best_blk, best_off))
                 if any_hit:
                     # collapse resolved rays mid-drain: once every ray
                     # has a hit (or lies beyond), remaining children of
                     # this L1 fail the do_test gate
-                    best_t = jnp.where(best_slot >= 0.0, 0.0, best_t)
+                    best_t = jnp.where(best_blk >= 0.0, 0.0, best_t)
                 return (mask & ~(jnp.asarray(1, jnp.int32) << bestg),
-                        best_t, best_slot,
+                        best_t, best_blk, best_off,
                         nch + do_test.astype(jnp.float32))
 
-            _, best_t, best_slot, nch = jax.lax.while_loop(
-                child_cond, child_body, (enters, best_t, best_slot, nch))
+            _, best_t, best_blk, best_off, nch = jax.lax.while_loop(
+                child_cond, child_body,
+                (enters, best_t, best_blk, best_off, nch))
 
             if any_hit:
                 # a hit ray is DONE: collapsing its best_t to 0 stops it
                 # entering children and lets recull drop its L1s (the
                 # caller only consumes the hit flag, not t)
-                best_t = jnp.where(best_slot >= 0.0, 0.0, best_t)
-                live = has_next & ~jnp.all(best_slot >= 0)
+                best_t = jnp.where(best_blk >= 0.0, 0.0, best_t)
+                live = has_next & ~jnp.all(best_blk >= 0)
             else:
                 # entryDist t-max culling (BVH.hpp:1129-1135) at tile
                 # granularity
@@ -548,11 +563,12 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
             def _():
                 dma_boxes(1 - slot, src_of(nb)).wait()
 
-            return (nb, ne, 1 - slot, best_t, best_slot, live, nl1, nch,
-                    cnt)
+            return (nb, ne, 1 - slot, best_t, best_blk, best_off, live,
+                    nl1, nch, cnt)
 
         best_t0 = tmax
-        best_slot0 = jnp.full((TILE, 1), -1.0, jnp.float32)
+        best_blk0 = jnp.full((TILE, 1), -1.0, jnp.float32)
+        best_off0 = jnp.zeros((TILE, 1), jnp.float32)
         b0, e0 = select()
         live0 = e0 < BIG_F32 * 0.5
 
@@ -561,14 +577,16 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
             dma_boxes(0, src_of(b0)).start()
 
         zero = jnp.asarray(0.0, jnp.float32)
-        _, _, _, best_t, best_slot, _, nl1, nch, _ = jax.lax.while_loop(
-            lambda c: c[5], body,
-            (b0, e0, jnp.asarray(0, jnp.int32), best_t0, best_slot0,
-             live0, zero, zero, jnp.asarray(1, jnp.int32)))
+        (_, _, _, best_t, best_blk, best_off, _, nl1, nch,
+         _) = jax.lax.while_loop(
+            lambda c: c[6], body,
+            (b0, e0, jnp.asarray(0, jnp.int32), best_t0, best_blk0,
+             best_off0, live0, zero, zero, jnp.asarray(1, jnp.int32)))
         out_t_ref[0, pl.ds(tt, 1), :] = to_row(best_t)
-        # slot rides through the f32 transpose: values are < 2^24
-        # (callers assert), so the float round-trip is exact
-        out_slot_ref[0, pl.ds(tt, 1), :] = to_row(best_slot)
+        # each pair component stays far below 2^24, so both ride the
+        # f32 transpose exactly at any scene scale
+        out_blk_ref[0, pl.ds(tt, 1), :] = to_row(best_blk)
+        out_off_ref[0, pl.ds(tt, 1), :] = to_row(best_off)
         if counters:
             out_cnt_ref[0, pl.ds(tt, 1), :] = jnp.where(
                 lane_row == 0, nl1, jnp.where(lane_row == 1, nch, 0.0))
@@ -590,14 +608,16 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
     m1 = scene["pk_blk_lo"].shape[0]
     m1pad = -(-m1 // 128) * 128
     motion = time is not None
-    # slots ride through an f32 transpose in-kernel: must stay < 2^24.
-    # Instanced slots are EXPANDED-L1 encoded ((expanded_L1*G + g)*K2 +
-    # k), so the bound is m1*G*K2 — the physical table length
-    # understates it for heavily-instanced scenes
-    max_slot = (m1 * g * k2 if "pk_blk_src" in scene
-                else scene["pk_slot2tri"].shape[0])
-    assert max_slot < (1 << 24), \
-        "encoded slot ids exceed exact-f32 range (2^24): scene too large"
+    instanced = "pk_blk_src" in scene
+    # hit records are a (block, offset) PAIR of f32 lanes, each of which
+    # must survive the exact-f32 output transpose (< 2^24).  blk is the
+    # expanded L1 (instanced) or the physical L2 block; off < G*K2.
+    # Splitting the old flat slot id into the pair lifted its 16.7M-slot
+    # scene-size cap — both components are tiny at any realistic scale,
+    # but guard loudly rather than round silently
+    max_blk = m1 if instanced else scene["pk_slot2tri"].shape[0] // k2
+    assert max_blk < (1 << 24) and g * k2 < (1 << 24), \
+        "hit-record slot ids exceed exact-f32 range (2^24)"
 
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     # pad to a whole number of TPS-tile groups; padded rays get t_max=0
@@ -624,7 +644,6 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
     ray_spec = pl.BlockSpec((1, TPS, TILE), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    instanced = "pk_blk_src" in scene
     G = g
     # the re-cull's per-ray entry table is [128, m1pad] f32 VMEM: cap it
     # so giant scenes (>=16K superblocks ~ 8MB) keep their VMEM headroom.
@@ -663,9 +682,8 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
     if motion:
         in_specs += [ray_spec]
         operands += [jnp.asarray(time, jnp.float32).reshape(shp)]
-    out_specs = [ray_spec, ray_spec]
-    out_shape = [jax.ShapeDtypeStruct(shp, jnp.float32),
-                 jax.ShapeDtypeStruct(shp, jnp.float32)]
+    out_specs = [ray_spec, ray_spec, ray_spec]
+    out_shape = [jax.ShapeDtypeStruct(shp, jnp.float32)] * 3
     if counters:
         out_specs += [ray_spec]
         out_shape += [jax.ShapeDtypeStruct(shp, jnp.float32)]
@@ -686,31 +704,30 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
                        + [pltpu.VMEM((8, m1pad), jnp.float32),
                           pltpu.SemaphoreType.DMA(())],
     )(*operands)
-    out_t = outs[0]
-    out_slot = outs[1].astype(jnp.int32)
-
-    t = out_t.reshape(n2)[:n]
-    slot = out_slot.reshape(n2)[:n]
-    valid = slot >= 0
+    t = outs[0].reshape(n2)[:n]
+    blk = outs[1].astype(jnp.int32).reshape(n2)[:n]
+    off = outs[2].astype(jnp.int32).reshape(n2)[:n]
+    valid = blk >= 0
+    blk_c = jnp.clip(blk, 0)
     if instanced:
-        # slot = (expanded_L1*G + g)*K2 + offset: recover (instance,
-        # physical slot) through the expansion/base tables
-        e = jnp.clip(slot // (G * k2), 0)
-        off = jnp.clip(slot, 0) % (G * k2)
-        src = scene["pk_blk_src"][e]
-        inst = jnp.where(valid, scene["pk_blk_inst"][e], -1)
+        # blk = expanded L1, off = child*K2 + lane within it: recover
+        # (instance, physical slot) through the expansion/base tables
+        src = scene["pk_blk_src"][blk_c]
+        inst = jnp.where(valid, scene["pk_blk_inst"][blk_c], -1)
         tri = jnp.where(
             valid,
             scene["pk_slot2tri"][scene["pk_l1_base"][src] * k2 + off], -1)
     else:
+        # blk = physical L2 block, off = lane within it
         inst = jnp.full((n,), -1, jnp.int32)
-        tri = jnp.where(valid, scene["pk_slot2tri"][jnp.clip(slot, 0)], -1)
+        tri = jnp.where(valid,
+                        scene["pk_slot2tri"][blk_c * k2 + off], -1)
     valid = valid & (tri >= 0)
     inst = jnp.where(valid, inst, -1)
     res = dict(t=jnp.where(valid, t, BIG_F32), tri=tri, inst=inst,
                valid=valid)
     if counters:
-        cnt = outs[2].reshape(-1, TILE)          # [tiles, lanes]
+        cnt = outs[3].reshape(-1, TILE)          # [tiles, lanes]
         res["n_l1_visited"] = cnt[:, 0]
         res["n_children_tested"] = cnt[:, 1]
     return res

@@ -861,27 +861,21 @@ class SceneBuilder:
                 [i["inv"] for i in self._inst],
                 [i["base"] for i in self._inst],
                 [i["count"] for i in self._inst])
-            if nt + n_inst_tris > 65536:
-                from ..accel.pallas_trace2 import (build_tri_blocks2_inst,
-                                                   G_DEFAULT)
-                pk_arrays, block_k = build_tri_blocks2_inst(*args)
-                max_slot = (pk_arrays["pk_blk_lo"].shape[0]
-                            * G_DEFAULT * block_k)
-            else:
+            use_two = nt + n_inst_tris > 65536
+            if not use_two:
                 from ..accel.pallas_trace import build_tri_blocks_inst
                 pk_arrays, block_k = build_tri_blocks_inst(*args)
-                max_slot = pk_arrays["pk_blk_lo"].shape[0] * block_k
-            if max_slot >= (1 << 24):
-                # instanced hit slots are expanded-block encoded and ride
-                # an exact-f32 transpose in-kernel: past 2^24 expanded
-                # slots the ids would round.  Fail at build time with a
-                # clear message rather than render corrupt images.
-                raise ValueError(
-                    f"instanced scene needs {max_slot:,} expanded slot "
-                    f"ids (> 2^24 = {1 << 24:,}): beyond the Pallas "
-                    "instancing kernels' exact-f32 slot range; reduce "
-                    "instance/triangle count or pre-transform "
-                    "(runtime=False) the largest instances")
+                if pk_arrays["pk_blk_lo"].shape[0] * block_k >= (1 << 24):
+                    # single-level hits are a FLAT expanded slot id that
+                    # rides an exact-f32 transpose in-kernel: past 2^24
+                    # ids it would round to even (wrong triangle /
+                    # instance).  The two-level kernel records hits as a
+                    # (block, offset) pair whose components stay tiny —
+                    # route extreme instance counts there instead
+                    use_two = True
+            if use_two:
+                from ..accel.pallas_trace2 import build_tri_blocks2_inst
+                pk_arrays, block_k = build_tri_blocks2_inst(*args)
             scene.update({k: jnp.asarray(v) for k, v in pk_arrays.items()})
         elif accel == "pallas" and nt:
             # motion-blurred scenes keep the kernel: per-triangle

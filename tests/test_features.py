@@ -433,14 +433,16 @@ def test_animated_area_light_sampled_at_ray_time():
 
 
 def test_instanced_slot_range_guard():
-    """Instanced hit slots are expanded-block encoded and ride an
-    exact-f32 transpose in-kernel; past 2^24 encoded ids they would
-    silently round to even (wrong triangle/instance).  Both kernels
-    must refuse such scenes loudly at trace time."""
+    """Single-level hit slots are flat-encoded and ride an exact-f32
+    transpose in-kernel; past 2^24 encoded ids they would silently
+    round to even (wrong triangle/instance), so that kernel must refuse
+    loudly at trace time.  The two-level kernel records hits as a
+    (block, offset) PAIR whose components stay tiny, so a scene the old
+    flat encoding refused (m1*G*K2 >= 2^24) must now trace EXACTLY."""
     import pytest
-    import jax.numpy as jnp
     from pathtracing_tpu.accel.pallas_trace import pallas_tri_intersect
-    from pathtracing_tpu.accel.pallas_trace2 import pallas_tri_intersect2
+    from pathtracing_tpu.accel.pallas_trace2 import (
+        build_tri_blocks2_inst, pallas_tri_intersect2)
 
     o = jnp.zeros((128, 3), jnp.float32)
     d = jnp.ones((128, 3), jnp.float32)
@@ -453,9 +455,30 @@ def test_instanced_slot_range_guard():
     with pytest.raises(AssertionError, match="slot ids"):
         pallas_tri_intersect(scene1, o, d, tm, 2048)
 
-    # two-level: m1 * G * K2 = 4096 * 16 * 256 = 2^24 -> refuse
-    scene2 = dict(pk_blk_lo=jnp.zeros((4096, 3), jnp.float32),
-                  pk_blk_src=jnp.zeros((4096,), jnp.int32),
-                  pk_slot2tri=jnp.zeros((1024,), jnp.int32))
-    with pytest.raises(AssertionError, match="slot ids"):
-        pallas_tri_intersect2(scene2, o, d, tm, 256)
+    # two-level: 1024 instances of one triangle at K2=1024 encodes to
+    # m1*G*K2 = 1024*16*1024 = 2^24 under the old flat slot id (it
+    # refused); the pair encoding must return exact (t, inst, tri)
+    tri = np.asarray([[[-.5, -.5, 0], [.5, -.5, 0], [0, .5, 0]]],
+                     np.float32)
+    fwd = []
+    for i in range(1024):
+        m = np.eye(4, dtype=np.float32)
+        m[0, 3] = 3.0 * i
+        fwd.append(m)
+    inv = [np.linalg.inv(m).astype(np.float32) for m in fwd]
+    arrays, K2 = build_tri_blocks2_inst(
+        np.zeros((0, 3, 3), np.float32), tri, fwd, inv,
+        [0] * 1024, [1] * 1024, k2=1024)
+    assert K2 == 1024
+    scene2 = {k: jnp.asarray(v) for k, v in arrays.items()}
+    targets = np.asarray([0, 1, 513, 1023] * 32, np.int32)
+    o2 = np.zeros((128, 3), np.float32)
+    o2[:, 0] = 3.0 * targets
+    o2[:, 2] = -2.0
+    d2 = np.tile(np.asarray([[0, 0, 1]], np.float32), (128, 1))
+    res = pallas_tri_intersect2(scene2, jnp.asarray(o2),
+                                jnp.asarray(d2), tm, K2)
+    assert bool(jnp.all(res["valid"]))
+    np.testing.assert_allclose(np.asarray(res["t"]), 2.0, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(res["inst"]), targets)
+    np.testing.assert_array_equal(np.asarray(res["tri"]), 0)
