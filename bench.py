@@ -46,8 +46,10 @@ def bench_mesh_forward(scene, cam, meta, res, spp, depth):
     from pathtracing_tpu.sensor import film as filmmod
 
     compact = int(os.environ.get("BENCH_COMPACT", "0")) or None
+    regen = bool(int(os.environ.get("BENCH_REGEN", "0")))
     cfg = RenderConfig(spp=spp, max_depth=depth, integrator="path",
-                       rays_per_batch=1 << 16, compact_after=compact)
+                       rays_per_batch=1 << 16, compact_after=compact,
+                       regenerate=regen)
     w, h = res
     t0 = time.perf_counter()
     film = render(scene, cam, meta, cfg, spp=spp)

@@ -137,7 +137,9 @@ def cmd_render(args):
         sampler=SamplerConfig(kind=args.sampler, x_samples=x,
                               y_samples=max(1, args.spp // x),
                               seed=args.seed),
-        rays_per_batch=args.rays_per_batch)
+        rays_per_batch=args.rays_per_batch,
+        compact_after=args.compact_after,
+        regenerate=args.regen)
 
     if args.turntable:
         _turntable(args, scene, cam, meta, cfg)
@@ -213,6 +215,13 @@ def main(argv=None):
                    help="auto picks by scene size (pallas kernel for "
                         ">4K-tri scenes)")
     r.add_argument("--rays-per-batch", type=int, default=1 << 16)
+    r.add_argument("--compact-after", type=int, default=None,
+                   help="tail compaction: gather surviving lanes into a "
+                        "quarter-width batch after this many bounces")
+    r.add_argument("--regen", action="store_true",
+                   help="persistent wavefront: refill finished lanes with "
+                        "fresh camera samples so multi-spp queues drain "
+                        "with every lane busy (supersedes --compact-after)")
     r.add_argument("--tonemap", default="reinhard_jodie")
     r.add_argument("--out", default="out.png")
     r.add_argument("--sharded", action="store_true",

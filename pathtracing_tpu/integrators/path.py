@@ -80,6 +80,15 @@ class RenderConfig:
                                     # precision (tile regrouping can
                                     # flip traversal tie-breaks: ~1 ULP
                                     # on isolated pixels).
+    regenerate: bool = False        # persistent wavefront: lanes whose
+                                    # path ends are refilled with fresh
+                                    # camera samples the same iteration
+                                    # (trace_regen), so a multi-wave
+                                    # sample queue drains with every lane
+                                    # busy.  Subsumes compact_after
+                                    # (ignored when set); forward-only
+                                    # (the differentiable path keeps the
+                                    # fixed-depth scan).
 
 
 # ---------------------------------------------------------------------------
@@ -141,7 +150,11 @@ def transmittance(scene, meta, origin, direction, dist, medium, active,
 
     def body(st):
         o, rem, med, tr, blocked, live, i = st
-        h = intersect(scene, meta, o, direction, rem, time=time)
+        # finished lanes march ZERO-length segments: the traversal skips
+        # them (t_max=0 lanes sort last + whole-tile early exit); all
+        # downstream updates are already `live`-masked
+        h = intersect(scene, meta, o, direction,
+                      jnp.where(live, rem, 0.0), time=time)
         it = make_interaction(scene, meta, o, direction, h, time=time)
         seg = jnp.where(h["valid"], h["t"], rem)
         tr = jnp.where(live[:, None], tr * med_tr(med, seg), tr)
@@ -209,6 +222,15 @@ def sample_ld(scene, meta, cfg, ray_dir, it, mat, is_medium_vertex,
         | jnp.all(f == 0.0, axis=-1)
     active = active & ~dead
 
+    # inactive lanes trace a ZERO-length shadow ray: like the closest-hit
+    # path's t_max=0 for dead lanes, the traversal kernels skip them
+    # (sorted last + whole-tile early exit).  Without this every NEE call
+    # traced a full-length shadow ray per DEAD lane too — at depth 32
+    # with ~6-bounce average paths, most shadow-traversal work was for
+    # lanes whose contribution is masked out anyway.  Output is unchanged:
+    # the contribution below is gated on `active & vis`.
+    t_shadow = jnp.where(active, t_shadow, 0.0)
+
     if volumetric:
         tr, blocked = transmittance(scene, meta, ref_p, sdir, t_shadow,
                                     medium, active, time=time)
@@ -239,6 +261,237 @@ def sample_ld(scene, meta, cfg, ray_dir, it, mat, is_medium_vertex,
 # The bounce loop
 # ---------------------------------------------------------------------------
 
+def _make_bounce(scene, meta, cfg, px, py, time, sample_idx, n):
+    """Build the one-bounce step for a bound lane set.
+
+    The returned `bounce(state, b)` advances every lane one bounce.
+    `b` may be a traced scalar (the scan / while_loop forms in `trace`)
+    or a per-lane [n] i32 array (`trace_regen`, where each lane sits at
+    its own depth) — the RNG dimension arithmetic broadcasts either way.
+    `trace` rebinds (px, py, time) to gathered subsets for tail
+    compaction; `trace_regen` rebinds every lane on sample refill.
+    """
+    simple = cfg.integrator == "simple"
+    volumetric = cfg.integrator == "volpath"
+    s = cfg.sampler
+
+    def dim(b, off):
+        return _DIM_BASE + b * _DIM_STRIDE + off
+
+    def bounce(state, b):
+        alive = state["alive"]
+        o, d = state["o"], state["d"]
+        tput = state["tput"]
+        radiance = state["radiance"]
+        n_rays = state["n_rays"] + jnp.sum(alive.astype(jnp.float32))
+
+        # dead lanes get t_max=0: they miss immediately, and after the
+        # Morton sort clusters them the pallas kernel's whole-tile early
+        # exit skips their traversal work entirely
+        hit = intersect(scene, meta, o, d,
+                        jnp.where(alive, BIG_F32, 0.0), time=time)
+        it = make_interaction(scene, meta, o, d, hit, time=time)
+        missed = alive & ~hit["valid"]
+
+        # ---- escaped rays: infinite lights (Integrators.cpp:196-208)
+        for i in range(meta.n_inf):
+            lid = scene["inf_idx"][i]
+            le = L.infinite_le(scene, meta, jnp.full((n,), lid, jnp.int32),
+                               d)
+            lpmf = L.light_pmf(scene, meta, jnp.full((n,), lid, jnp.int32))
+            lpdf = lpmf * L.infinite_light_mis_pdf(
+                scene, meta, jnp.full((n,), lid, jnp.int32), d)
+            pp = state["prev_pdf"]
+            w = jnp.where(state["spec"], 1.0,
+                          jnp.where(pp > 0,
+                                    pp * pp / jnp.maximum(
+                                        pp * pp + lpdf * lpdf, 1e-18), 0.0))
+            if simple:
+                w = jnp.ones_like(w)
+            radiance = radiance + jnp.where(missed[:, None],
+                                            tput * le * w[:, None], 0.0)
+        alive = alive & hit["valid"]
+
+        # ---- participating medium segment (VolPath, Integrators.cpp:340-344)
+        med_scatter = jnp.zeros((n,), bool)
+        if volumetric and meta.n_media:
+            med = state["medium"]
+            if meta.scene_medium >= 0:
+                med = jnp.where(med < 0, meta.scene_medium, med)
+            in_medium = alive & (med >= 0)
+            mi = jnp.clip(med, 0, scene["med_sigma_t"].shape[0] - 1)
+            sig_t = scene["med_sigma_t"][mi]
+            sig_s = scene["med_sigma_s"][mi]
+            u_ch = sample_1d(s, px, py, sample_idx, dim(b, _D_MED_CHANNEL))
+            u_dist = sample_1d(s, px, py, sample_idx, dim(b, _D_MED_DIST))
+            scat, t_scat, w_med = medium_sample(sig_t, sig_s, hit["t"],
+                                                u_ch, u_dist)
+            tput = jnp.where(in_medium[:, None], tput * w_med, tput)
+            med_scatter = in_medium & scat
+            state = dict(state, medium=med)
+
+        # ---- per-bounce randoms (Integrators.cpp:210-215)
+        uv_scatter = sample_2d(s, px, py, sample_idx, dim(b, _D_SCATTER_UV))
+        uv_light = sample_2d(s, px, py, sample_idx, dim(b, _D_LIGHT_UV))
+        u_scatter = sample_1d(s, px, py, sample_idx, dim(b, _D_SCATTER_U))
+        u_select = sample_1d(s, px, py, sample_idx, dim(b, _D_LIGHT_SELECT))
+        u_rr = sample_1d(s, px, py, sample_idx, dim(b, _D_RR))
+        u_cell = rngmod.hash_float(px, py, sample_idx, dim(b, _D_ENV_CELL),
+                                   s.seed)
+        alpha_salt = rngmod.hash_u32(sample_idx, b, s.seed)
+
+        mat = resolve_material(scene, meta, it)
+        mi = jnp.clip(state["medium"], 0, scene["med_g"].shape[0] - 1)
+        g_lanes = scene["med_g"][mi]
+
+        # ---- emitter hit (Integrators.cpp:217-226)
+        surf = alive & ~med_scatter
+        emit_l = L.area_light_L(scene, meta, it["light_id"], it["n"],
+                                it["uv"], d)
+        has_emit = surf & (it["light_id"] >= 0) \
+            & jnp.any(emit_l != 0.0, axis=-1)
+        lpmf_hit = L.light_pmf(scene, meta,
+                               jnp.clip(it["light_id"], 0,
+                                        max(meta.n_lights - 1, 0)))
+        lpdf_hit = lpmf_hit * L.area_light_hit_pdf(
+            scene, meta, it["light_id"], o, it["p_raw"], it["n"], d)
+        pp = state["prev_pdf"]
+        w_emit = jnp.where(state["spec"], 1.0,
+                           jnp.where(pp > 0, pp * pp / jnp.maximum(
+                               pp * pp + lpdf_hit * lpdf_hit, 1e-18), 0.0))
+        if simple:
+            w_emit = jnp.ones_like(w_emit)
+        radiance = radiance + jnp.where(has_emit[:, None],
+                                        tput * emit_l * w_emit[:, None],
+                                        0.0)
+
+        # ---- medium scatter vertex (Integrators.cpp:356-362)
+        if volumetric and meta.n_media:
+            uv_phase = sample_2d(s, px, py, sample_idx, dim(b, _D_PHASE))
+            scat_p = o + t_scat[:, None] * d
+            it_med = dict(it, p=scat_p, p_raw=scat_p)
+            nee_med = sample_ld(scene, meta, cfg, d, it_med, mat,
+                                jnp.ones((n,), bool), state["medium"],
+                                g_lanes, u_select, uv_light, u_cell,
+                                alpha_salt, med_scatter, volumetric,
+                                time=time)
+            radiance = radiance + jnp.where(med_scatter[:, None],
+                                            tput * nee_med, 0.0)
+            n_rays = n_rays + jnp.sum(med_scatter.astype(jnp.float32))
+            mle = scene["med_le"][mi]
+            radiance = radiance + jnp.where(med_scatter[:, None],
+                                            tput * mle, 0.0)
+            new_dir_med, _ = hg_sample(d, g_lanes, uv_phase)
+
+        # ---- alpha transparency (Material.hpp:330-353): a failed
+        # stochastic-blend or mask test means the ray passes through the
+        # surface as if it weren't there (handled below like a
+        # material-less boundary)
+        boundary = surf & (it["mat_id"] < 0)
+        can_scatter = surf & (it["mat_id"] >= 0)
+        if meta.has_alpha:
+            mid_a = jnp.clip(it["mat_id"], 0, scene["mat_type"].shape[0] - 1)
+            mode_a = scene["mat_alpha_mode"][mid_a]
+            cutoff_a = scene["mat_alpha_cutoff"][mid_a]
+            atex = scene["mat_tex"][mid_a, 4]
+            btex = scene["mat_tex"][mid_a, 0]
+            from ..scene.textures import texture_alpha
+            a_val = texture_alpha(scene, jnp.where(atex >= 0, atex, btex),
+                                  it["uv"])
+            a_val = jnp.where(atex >= 0,
+                              texture_eval(scene, atex, it["uv"])[:, 0],
+                              a_val)
+            u_alpha = sample_1d(s, px, py, sample_idx, dim(b, _D_ALPHA))
+            solid = jnp.where(mode_a == 1, u_alpha < a_val,      # BLEND
+                              jnp.where(mode_a == 2,
+                                        a_val > cutoff_a, True))  # MASK
+            see_through = can_scatter & ~solid
+            boundary = boundary | see_through
+            can_scatter = can_scatter & solid
+        wi, f, pdf, flags, bvalid, new_origin = bsdf_sample(
+            mat, d, it, u_scatter, uv_scatter,
+            present=getattr(meta, "mats_present", (1, 1, 1, 1)))
+        absorbed = can_scatter & ~bvalid
+        scattered = can_scatter & bvalid
+        new_spec = (flags & FLAG_SPECULAR) > 0
+        transmissive = (flags & FLAG_TRANSMISSIVE) > 0
+
+        # ---- NEE from surface (Integrators.cpp:243-245)
+        if not simple:
+            nee_active = scattered & ~new_spec
+            nee = sample_ld(scene, meta, cfg, d, it, mat,
+                            jnp.zeros((n,), bool), state["medium"], g_lanes,
+                            u_select, uv_light, u_cell, alpha_salt,
+                            nee_active, volumetric, time=time)
+            radiance = radiance + jnp.where(nee_active[:, None],
+                                            tput * nee, 0.0)
+            n_rays = n_rays + jnp.sum(nee_active.astype(jnp.float32))
+            _, pdf_mis = bsdf_eval_pdf(
+                mat, d, it, wi,
+                present=getattr(meta, "mats_present", (1, 1, 1, 1)))
+            new_prev_pdf = jnp.where(scattered & ~new_spec, pdf_mis,
+                                     state["prev_pdf"])
+        else:
+            new_prev_pdf = state["prev_pdf"]
+
+        # ---- throughput update (Integrators.cpp:247)
+        cos_wi = jnp.abs(it["ns"][:, 0] * wi[:, 0]
+                         + it["ns"][:, 1] * wi[:, 1]
+                         + it["ns"][:, 2] * wi[:, 2])
+        tput_new = tput * f * (cos_wi / jnp.maximum(pdf, 1e-18))[:, None]
+        tput = jnp.where(scattered[:, None], tput_new, tput)
+
+        # ---- medium handoff (VolPath, Integrators.cpp:393-399)
+        if volumetric:
+            going_in = vdot(wi, it["n"]) < 0.0
+            med_next = jnp.where(going_in, it["med_id"], -1)
+            carry = ~transmissive & (vdot(d, it["ns"]) <= 0.0)
+            med_next = jnp.where(carry, state["medium"], med_next)
+            med_boundary = jnp.where(vdot(d, it["n"]) < 0.0, it["med_id"],
+                                     -1)
+            medium = jnp.where(scattered, med_next,
+                               jnp.where(boundary, med_boundary,
+                                         state["medium"]))
+        else:
+            medium = state["medium"]
+
+        # ---- next ray state
+        o_next = jnp.where(scattered[:, None], new_origin,
+                           jnp.where(boundary[:, None], it["p_raw"], o))
+        d_next = jnp.where(scattered[:, None], wi, d)
+        spec = jnp.where(scattered, new_spec,
+                         jnp.where(boundary,
+                                   False if volumetric else True,
+                                   state["spec"]))
+        if volumetric and meta.n_media:
+            # medium scatter overrides surface results
+            o_next = jnp.where(med_scatter[:, None], scat_p, o_next)
+            d_next = jnp.where(med_scatter[:, None], new_dir_med, d_next)
+            spec = jnp.where(med_scatter, False, spec)
+
+        # ---- Russian roulette (Integrators.cpp:249-253)
+        did_scatter = scattered | med_scatter
+        rr_depth = state["rr_depth"] + did_scatter.astype(jnp.int32)
+        rr_on = did_scatter & (rr_depth > cfg.rr_start)
+        rr_prob = jnp.minimum(0.95, jnp.max(tput, axis=-1))
+        rr_kill = rr_on & (u_rr >= rr_prob)
+        tput = jnp.where((rr_on & ~rr_kill)[:, None],
+                         tput / jnp.maximum(rr_prob, 1e-18)[:, None], tput)
+
+        alive = alive & ~absorbed & ~rr_kill
+        alive = alive & (did_scatter | boundary)
+        alive = alive & (jnp.sum(tput, axis=-1) > 0.0)
+
+        # every per-lane update above is masked by an `alive`-derived mask,
+        # so dead lanes carry their state forward unchanged
+        return dict(o=o_next, d=d_next, tput=tput, radiance=radiance,
+                    prev_pdf=new_prev_pdf, spec=spec, alive=alive,
+                    medium=medium, rr_depth=rr_depth, n_rays=n_rays)
+
+    return bounce
+
+
+
 def trace(scene, cam, meta, cfg: RenderConfig, origin, direction, time,
           px, py, sample_idx, with_stats: bool = False):
     """Estimate Li for a batch of camera rays. Returns radiance [N,3];
@@ -246,9 +499,6 @@ def trace(scene, cam, meta, cfg: RenderConfig, origin, direction, time,
     rays actually traced (closest-hit rays per live bounce + NEE shadow
     rays) — the rays/sec numerator of the BASELINE metric."""
     n = origin.shape[0]
-    simple = cfg.integrator == "simple"
-    volumetric = cfg.integrator == "volpath"
-    s = cfg.sampler
 
     state = dict(
         o=origin, d=direction,
@@ -262,224 +512,9 @@ def trace(scene, cam, meta, cfg: RenderConfig, origin, direction, time,
         n_rays=jnp.zeros((), jnp.float32),
     )
 
-    def dim(b, off):
-        return _DIM_BASE + b * _DIM_STRIDE + off
-
-    def bounce_for(px, py, time, n):
-        """Bounce step bound to one lane set: the tail-
-        compaction path rebinds (px, py, time) to a gathered
-        subset at a narrower static width."""
-        def bounce(state, b):
-            alive = state["alive"]
-            o, d = state["o"], state["d"]
-            tput = state["tput"]
-            radiance = state["radiance"]
-            n_rays = state["n_rays"] + jnp.sum(alive.astype(jnp.float32))
-
-            # dead lanes get t_max=0: they miss immediately, and after the
-            # Morton sort clusters them the pallas kernel's whole-tile early
-            # exit skips their traversal work entirely
-            hit = intersect(scene, meta, o, d,
-                            jnp.where(alive, BIG_F32, 0.0), time=time)
-            it = make_interaction(scene, meta, o, d, hit, time=time)
-            missed = alive & ~hit["valid"]
-
-            # ---- escaped rays: infinite lights (Integrators.cpp:196-208)
-            for i in range(meta.n_inf):
-                lid = scene["inf_idx"][i]
-                le = L.infinite_le(scene, meta, jnp.full((n,), lid, jnp.int32),
-                                   d)
-                lpmf = L.light_pmf(scene, meta, jnp.full((n,), lid, jnp.int32))
-                lpdf = lpmf * L.infinite_light_mis_pdf(
-                    scene, meta, jnp.full((n,), lid, jnp.int32), d)
-                pp = state["prev_pdf"]
-                w = jnp.where(state["spec"], 1.0,
-                              jnp.where(pp > 0,
-                                        pp * pp / jnp.maximum(
-                                            pp * pp + lpdf * lpdf, 1e-18), 0.0))
-                if simple:
-                    w = jnp.ones_like(w)
-                radiance = radiance + jnp.where(missed[:, None],
-                                                tput * le * w[:, None], 0.0)
-            alive = alive & hit["valid"]
-
-            # ---- participating medium segment (VolPath, Integrators.cpp:340-344)
-            med_scatter = jnp.zeros((n,), bool)
-            if volumetric and meta.n_media:
-                med = state["medium"]
-                if meta.scene_medium >= 0:
-                    med = jnp.where(med < 0, meta.scene_medium, med)
-                in_medium = alive & (med >= 0)
-                mi = jnp.clip(med, 0, scene["med_sigma_t"].shape[0] - 1)
-                sig_t = scene["med_sigma_t"][mi]
-                sig_s = scene["med_sigma_s"][mi]
-                u_ch = sample_1d(s, px, py, sample_idx, dim(b, _D_MED_CHANNEL))
-                u_dist = sample_1d(s, px, py, sample_idx, dim(b, _D_MED_DIST))
-                scat, t_scat, w_med = medium_sample(sig_t, sig_s, hit["t"],
-                                                    u_ch, u_dist)
-                tput = jnp.where(in_medium[:, None], tput * w_med, tput)
-                med_scatter = in_medium & scat
-                state = dict(state, medium=med)
-
-            # ---- per-bounce randoms (Integrators.cpp:210-215)
-            uv_scatter = sample_2d(s, px, py, sample_idx, dim(b, _D_SCATTER_UV))
-            uv_light = sample_2d(s, px, py, sample_idx, dim(b, _D_LIGHT_UV))
-            u_scatter = sample_1d(s, px, py, sample_idx, dim(b, _D_SCATTER_U))
-            u_select = sample_1d(s, px, py, sample_idx, dim(b, _D_LIGHT_SELECT))
-            u_rr = sample_1d(s, px, py, sample_idx, dim(b, _D_RR))
-            u_cell = rngmod.hash_float(px, py, sample_idx, dim(b, _D_ENV_CELL),
-                                       s.seed)
-            alpha_salt = rngmod.hash_u32(sample_idx, b, s.seed)
-
-            mat = resolve_material(scene, meta, it)
-            mi = jnp.clip(state["medium"], 0, scene["med_g"].shape[0] - 1)
-            g_lanes = scene["med_g"][mi]
-
-            # ---- emitter hit (Integrators.cpp:217-226)
-            surf = alive & ~med_scatter
-            emit_l = L.area_light_L(scene, meta, it["light_id"], it["n"],
-                                    it["uv"], d)
-            has_emit = surf & (it["light_id"] >= 0) \
-                & jnp.any(emit_l != 0.0, axis=-1)
-            lpmf_hit = L.light_pmf(scene, meta,
-                                   jnp.clip(it["light_id"], 0,
-                                            max(meta.n_lights - 1, 0)))
-            lpdf_hit = lpmf_hit * L.area_light_hit_pdf(
-                scene, meta, it["light_id"], o, it["p_raw"], it["n"], d)
-            pp = state["prev_pdf"]
-            w_emit = jnp.where(state["spec"], 1.0,
-                               jnp.where(pp > 0, pp * pp / jnp.maximum(
-                                   pp * pp + lpdf_hit * lpdf_hit, 1e-18), 0.0))
-            if simple:
-                w_emit = jnp.ones_like(w_emit)
-            radiance = radiance + jnp.where(has_emit[:, None],
-                                            tput * emit_l * w_emit[:, None],
-                                            0.0)
-
-            # ---- medium scatter vertex (Integrators.cpp:356-362)
-            if volumetric and meta.n_media:
-                uv_phase = sample_2d(s, px, py, sample_idx, dim(b, _D_PHASE))
-                scat_p = o + t_scat[:, None] * d
-                it_med = dict(it, p=scat_p, p_raw=scat_p)
-                nee_med = sample_ld(scene, meta, cfg, d, it_med, mat,
-                                    jnp.ones((n,), bool), state["medium"],
-                                    g_lanes, u_select, uv_light, u_cell,
-                                    alpha_salt, med_scatter, volumetric,
-                                    time=time)
-                radiance = radiance + jnp.where(med_scatter[:, None],
-                                                tput * nee_med, 0.0)
-                n_rays = n_rays + jnp.sum(med_scatter.astype(jnp.float32))
-                mle = scene["med_le"][mi]
-                radiance = radiance + jnp.where(med_scatter[:, None],
-                                                tput * mle, 0.0)
-                new_dir_med, _ = hg_sample(d, g_lanes, uv_phase)
-
-            # ---- alpha transparency (Material.hpp:330-353): a failed
-            # stochastic-blend or mask test means the ray passes through the
-            # surface as if it weren't there (handled below like a
-            # material-less boundary)
-            boundary = surf & (it["mat_id"] < 0)
-            can_scatter = surf & (it["mat_id"] >= 0)
-            if meta.has_alpha:
-                mid_a = jnp.clip(it["mat_id"], 0, scene["mat_type"].shape[0] - 1)
-                mode_a = scene["mat_alpha_mode"][mid_a]
-                cutoff_a = scene["mat_alpha_cutoff"][mid_a]
-                atex = scene["mat_tex"][mid_a, 4]
-                btex = scene["mat_tex"][mid_a, 0]
-                from ..scene.textures import texture_alpha
-                a_val = texture_alpha(scene, jnp.where(atex >= 0, atex, btex),
-                                      it["uv"])
-                a_val = jnp.where(atex >= 0,
-                                  texture_eval(scene, atex, it["uv"])[:, 0],
-                                  a_val)
-                u_alpha = sample_1d(s, px, py, sample_idx, dim(b, _D_ALPHA))
-                solid = jnp.where(mode_a == 1, u_alpha < a_val,      # BLEND
-                                  jnp.where(mode_a == 2,
-                                            a_val > cutoff_a, True))  # MASK
-                see_through = can_scatter & ~solid
-                boundary = boundary | see_through
-                can_scatter = can_scatter & solid
-            wi, f, pdf, flags, bvalid, new_origin = bsdf_sample(
-                mat, d, it, u_scatter, uv_scatter,
-                present=getattr(meta, "mats_present", (1, 1, 1, 1)))
-            absorbed = can_scatter & ~bvalid
-            scattered = can_scatter & bvalid
-            new_spec = (flags & FLAG_SPECULAR) > 0
-            transmissive = (flags & FLAG_TRANSMISSIVE) > 0
-
-            # ---- NEE from surface (Integrators.cpp:243-245)
-            if not simple:
-                nee_active = scattered & ~new_spec
-                nee = sample_ld(scene, meta, cfg, d, it, mat,
-                                jnp.zeros((n,), bool), state["medium"], g_lanes,
-                                u_select, uv_light, u_cell, alpha_salt,
-                                nee_active, volumetric, time=time)
-                radiance = radiance + jnp.where(nee_active[:, None],
-                                                tput * nee, 0.0)
-                n_rays = n_rays + jnp.sum(nee_active.astype(jnp.float32))
-                _, pdf_mis = bsdf_eval_pdf(
-                    mat, d, it, wi,
-                    present=getattr(meta, "mats_present", (1, 1, 1, 1)))
-                new_prev_pdf = jnp.where(scattered & ~new_spec, pdf_mis,
-                                         state["prev_pdf"])
-            else:
-                new_prev_pdf = state["prev_pdf"]
-
-            # ---- throughput update (Integrators.cpp:247)
-            cos_wi = jnp.abs(it["ns"][:, 0] * wi[:, 0]
-                             + it["ns"][:, 1] * wi[:, 1]
-                             + it["ns"][:, 2] * wi[:, 2])
-            tput_new = tput * f * (cos_wi / jnp.maximum(pdf, 1e-18))[:, None]
-            tput = jnp.where(scattered[:, None], tput_new, tput)
-
-            # ---- medium handoff (VolPath, Integrators.cpp:393-399)
-            if volumetric:
-                going_in = vdot(wi, it["n"]) < 0.0
-                med_next = jnp.where(going_in, it["med_id"], -1)
-                carry = ~transmissive & (vdot(d, it["ns"]) <= 0.0)
-                med_next = jnp.where(carry, state["medium"], med_next)
-                med_boundary = jnp.where(vdot(d, it["n"]) < 0.0, it["med_id"],
-                                         -1)
-                medium = jnp.where(scattered, med_next,
-                                   jnp.where(boundary, med_boundary,
-                                             state["medium"]))
-            else:
-                medium = state["medium"]
-
-            # ---- next ray state
-            o_next = jnp.where(scattered[:, None], new_origin,
-                               jnp.where(boundary[:, None], it["p_raw"], o))
-            d_next = jnp.where(scattered[:, None], wi, d)
-            spec = jnp.where(scattered, new_spec,
-                             jnp.where(boundary,
-                                       False if volumetric else True,
-                                       state["spec"]))
-            if volumetric and meta.n_media:
-                # medium scatter overrides surface results
-                o_next = jnp.where(med_scatter[:, None], scat_p, o_next)
-                d_next = jnp.where(med_scatter[:, None], new_dir_med, d_next)
-                spec = jnp.where(med_scatter, False, spec)
-
-            # ---- Russian roulette (Integrators.cpp:249-253)
-            did_scatter = scattered | med_scatter
-            rr_depth = state["rr_depth"] + did_scatter.astype(jnp.int32)
-            rr_on = did_scatter & (rr_depth > cfg.rr_start)
-            rr_prob = jnp.minimum(0.95, jnp.max(tput, axis=-1))
-            rr_kill = rr_on & (u_rr >= rr_prob)
-            tput = jnp.where((rr_on & ~rr_kill)[:, None],
-                             tput / jnp.maximum(rr_prob, 1e-18)[:, None], tput)
-
-            alive = alive & ~absorbed & ~rr_kill
-            alive = alive & (did_scatter | boundary)
-            alive = alive & (jnp.sum(tput, axis=-1) > 0.0)
-
-            # every per-lane update above is masked by an `alive`-derived mask,
-            # so dead lanes carry their state forward unchanged
-            return dict(o=o_next, d=d_next, tput=tput, radiance=radiance,
-                        prev_pdf=new_prev_pdf, spec=spec, alive=alive,
-                        medium=medium, rr_depth=rr_depth, n_rays=n_rays)
-
-        return bounce
+    def bounce_for(px_, py_, time_, n_):
+        return _make_bounce(scene, meta, cfg, px_, py_, time_,
+                            sample_idx, n_)
 
     bounce = bounce_for(px, py, time, n)
 
@@ -553,6 +588,123 @@ def trace(scene, cam, meta, cfg: RenderConfig, origin, direction, time,
     if with_stats:
         return state["radiance"], dict(n_rays=state["n_rays"])
     return state["radiance"]
+
+
+# ---------------------------------------------------------------------------
+# Persistent wavefront (ray regeneration)
+# ---------------------------------------------------------------------------
+
+def trace_regen(scene, cam, meta, cfg: RenderConfig, pixel_idx, waves: int,
+                sample_offset, with_stats: bool = False):
+    """Persistent-wavefront estimator: drain a (pixel x sample) queue.
+
+    The reference keeps every CPU thread busy by looping whole pixels per
+    thread (Integrators.cpp:55-90); the TPU analog keeps every LANE busy.
+    A queue of camera samples — `waves` consecutive sample indices for
+    each entry of `pixel_idx` — is drained by a fixed lane batch: a lane
+    whose path terminates flushes its radiance and is refilled with the
+    next queue entry in the same iteration, so dead lanes exist only in
+    the final drain-down, not for (max_depth - path_length) iterations
+    per sample wave as in `trace`.
+
+    Exactness: each sample's radiance is a pure function of (pixel,
+    sample_idx, per-sample bounce index) — identical RNG streams, camera
+    rays (sensor.camera.camera_lanes), and estimator maths as the
+    wave-by-wave path — so results match `trace` to float precision.
+    Two documented exceptions, shared with tail compaction: lane
+    regrouping can flip traversal tie-breaks (~1 ULP on isolated
+    pixels), and stochastic alpha-BLEND occlusion keys on the lane
+    index (intersect.occluded), which regrouping changes (unbiased
+    either way).
+
+    Returns radiance [waves * n_pixels, 3], wave-major: entry
+    q = s * n_pixels + i is sample `sample_offset + s` of pixel
+    `pixel_idx[i]`.  with_stats adds {"n_rays": scalar}.
+    """
+    from ..sensor.camera import camera_lanes
+    k = pixel_idx.shape[0]
+    q_total = k * waves
+    w = cam["resolution"][0]
+    offset = jnp.asarray(sample_offset, jnp.uint32)
+
+    def fresh(qi):
+        """Camera state for queue entries `qi` (garbage for lanes whose
+        qi is stale — callers mask with `take`)."""
+        pix = pixel_idx[qi % k]
+        px = pix % w
+        py = pix // w
+        sidx = offset + (qi // k).astype(jnp.uint32)
+        o, d, t, _ = camera_lanes(cam, cfg.sampler, px, py, sidx)
+        return px, py, sidx, o, d, t
+
+    qi0 = jnp.arange(k, dtype=jnp.int32)
+    px0, py0, sidx0, o0, d0, t0 = fresh(qi0)
+    carry = dict(
+        st=dict(o=o0, d=d0,
+                tput=jnp.ones((k, 3), jnp.float32),
+                radiance=jnp.zeros((k, 3), jnp.float32),
+                prev_pdf=jnp.ones((k,), jnp.float32),
+                spec=jnp.ones((k,), bool),
+                alive=jnp.ones((k,), bool),
+                medium=jnp.full((k,), meta.camera_medium, jnp.int32),
+                rr_depth=jnp.zeros((k,), jnp.int32),
+                n_rays=jnp.zeros((), jnp.float32)),
+        qi=qi0, head=jnp.asarray(k, jnp.int32),
+        b=jnp.zeros((k,), jnp.int32),
+        px=px0, py=py0, sidx=sidx0, time=t0,
+        out=jnp.zeros((q_total, 3), jnp.float32))
+
+    def cond(c):
+        return jnp.any(c["st"]["alive"])
+
+    def body(c):
+        bounce = _make_bounce(scene, meta, cfg, c["px"], c["py"],
+                              c["time"], c["sidx"], k)
+        st = bounce(c["st"], c["b"])
+        b = c["b"] + 1
+        alive = st["alive"] & (b < cfg.max_depth)
+        # flush every sample exactly once, the iteration its path ends
+        # (dead-from-before lanes have alive==False on both sides)
+        finished = c["st"]["alive"] & ~alive
+        rad = jnp.where(jnp.isfinite(st["radiance"]), st["radiance"], 0.0)
+        out = c["out"].at[c["qi"]].add(
+            jnp.where(finished[:, None], rad, 0.0))
+
+        # refill finished lanes from the queue head, in lane order; the
+        # scatter above + this gather are O(k) work per iteration — tiny
+        # next to a bounce — and the queue never refills, so lanes idle
+        # only once it has drained
+        ranks = jnp.cumsum(finished.astype(jnp.int32)) - 1
+        cand = c["head"] + ranks
+        take = finished & (cand < q_total)
+        qi = jnp.where(take, cand, c["qi"])
+        head = jnp.minimum(
+            c["head"] + jnp.sum(finished.astype(jnp.int32)), q_total)
+        pxn, pyn, sidxn, on, dn, tn = fresh(qi)
+        tk = take[:, None]
+        st = dict(
+            o=jnp.where(tk, on, st["o"]),
+            d=jnp.where(tk, dn, st["d"]),
+            tput=jnp.where(tk, 1.0, st["tput"]),
+            radiance=jnp.where(tk, 0.0, st["radiance"]),
+            prev_pdf=jnp.where(take, 1.0, st["prev_pdf"]),
+            spec=jnp.where(take, True, st["spec"]),
+            alive=alive | take,
+            medium=jnp.where(take, meta.camera_medium, st["medium"]),
+            rr_depth=jnp.where(take, 0, st["rr_depth"]),
+            n_rays=st["n_rays"])
+        return dict(st=st, qi=qi, head=head,
+                    b=jnp.where(take, 0, b),
+                    px=jnp.where(take, pxn, c["px"]),
+                    py=jnp.where(take, pyn, c["py"]),
+                    sidx=jnp.where(take, sidxn, c["sidx"]),
+                    time=jnp.where(take, tn, c["time"]),
+                    out=out)
+
+    carry = jax.lax.while_loop(cond, body, carry)
+    if with_stats:
+        return carry["out"], dict(n_rays=carry["st"]["n_rays"])
+    return carry["out"]
 
 
 # ---------------------------------------------------------------------------

@@ -14,10 +14,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..core.rng import sample_1d, sample_2d
-from ..sensor.camera import generate_ray
+from ..sensor.camera import camera_lanes, film_position
 from ..sensor import film as filmmod
-from .path import RenderConfig, trace
+from .path import RenderConfig, trace, trace_regen
 
 
 def _sample_wave(scene, cam, meta, cfg: RenderConfig, film, pixel_idx,
@@ -30,13 +29,8 @@ def _sample_wave(scene, cam, meta, cfg: RenderConfig, film, pixel_idx,
     w, h = cam["resolution"]
     px = pixel_idx % w
     py = pixel_idx // w
-    s = cfg.sampler
-    p_jitter = sample_2d(s, px, py, sample_idx, 0)       # getPixel2D
-    time_u = sample_1d(s, px, py, sample_idx, 2)         # shutter time
-    lens_uv = sample_2d(s, px, py, sample_idx, 3)        # lens sample
-    p = jnp.stack([px.astype(jnp.float32), py.astype(jnp.float32)],
-                  axis=-1) + p_jitter
-    origin, direction, time = generate_ray(cam, p, time_u, lens_uv)
+    origin, direction, time, p = camera_lanes(cam, cfg.sampler, px, py,
+                                              sample_idx)
     color = trace(scene, cam, meta, cfg, origin, direction, time,
                   px, py, sample_idx)
     color = jnp.where(jnp.isfinite(color), color, 0.0)   # NaN guard
@@ -67,6 +61,27 @@ def render_tile(scene, cam, meta, cfg: RenderConfig, film, pixel_idx,
     return film
 
 
+@partial(jax.jit, static_argnames=("meta", "cfg", "waves", "rows"))
+def render_tile_regen(scene, cam, meta, cfg: RenderConfig, film,
+                      pixel_idx, waves: int, sample_offset, rows: int,
+                      row0):
+    """Regenerative render of `waves` consecutive sample indices for one
+    row-aligned pixel batch: one persistent-wavefront queue drain
+    (path.trace_regen), then per-wave dense row splats — the same film
+    contract as render_tile."""
+    w, h = cam["resolution"]
+    px = pixel_idx % w
+    py = pixel_idx // w
+    offset = jnp.asarray(sample_offset, jnp.uint32)
+    out = trace_regen(scene, cam, meta, cfg, pixel_idx, waves, offset)
+    k = pixel_idx.shape[0]
+    for s_w in range(waves):
+        p = film_position(cfg.sampler, px, py, offset + jnp.uint32(s_w))
+        film = filmmod.splat_rows(film, cfg.filter, cam["resolution"],
+                                  row0, rows, p, out[s_w * k:(s_w + 1) * k])
+    return film
+
+
 def render(scene, cam, meta, cfg: RenderConfig, film=None, spp=None,
            sample_offset: int = 0, progress=None):
     """Full-frame render. Returns the film dict (rgb + weight)."""
@@ -79,14 +94,28 @@ def render(scene, cam, meta, cfg: RenderConfig, film=None, spp=None,
     n_tiles = -(-h // rows_per)
     if film is None:
         film = filmmod.new_film(cam["resolution"])
+    use_regen = cfg.regenerate and not cfg.differentiable
+    # queue-group size: enough waves that the drain tail amortizes, small
+    # enough that the per-iteration O(queue) flush scatter stays noise
+    wpg = max(1, min(spp, (1 << 18) // batch)) if use_regen else 0
     for t in range(n_tiles):
         row0 = t * rows_per
         rows = min(rows_per, h - row0)
         pixel_idx = jnp.arange(row0 * w, (row0 + rows) * w,
                                dtype=jnp.int32)
-        film = render_tile(scene, cam, meta, cfg, film, pixel_idx, spp,
-                           sample_offset, rows=rows,
-                           row0=jnp.asarray(row0, jnp.int32))
+        if use_regen:
+            done = 0
+            while done < spp:
+                waves = min(wpg, spp - done)
+                film = render_tile_regen(scene, cam, meta, cfg, film,
+                                         pixel_idx, waves,
+                                         sample_offset + done, rows,
+                                         jnp.asarray(row0, jnp.int32))
+                done += waves
+        else:
+            film = render_tile(scene, cam, meta, cfg, film, pixel_idx,
+                               spp, sample_offset, rows=rows,
+                               row0=jnp.asarray(row0, jnp.int32))
         if progress:
             progress(t + 1, n_tiles)
     return film

@@ -778,7 +778,10 @@ def occluded(scene, meta, origin, direction, t_max, rand_key=None,
 
     def body(st):
         o, t_rem, occ, live, it_ = st
-        h = chain_isect(o, t_rem)
+        # finished lanes trace ZERO-length rays (sorted last, tile early
+        # exit) — without the mask every restart iteration re-traced the
+        # full shadow ray for every already-resolved lane
+        h = chain_isect(o, jnp.where(live, t_rem, 0.0))
         inter = make_interaction(scene, meta, o, direction, h, time=time)
         mat_ids = jnp.clip(inter["mat_id"], 0, scene["mat_type"].shape[0] - 1)
         mode = scene["mat_alpha_mode"][mat_ids]

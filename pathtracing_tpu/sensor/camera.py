@@ -5,6 +5,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.math import safe_normalize, in_unit_disk
+from ..core.rng import sample_1d, sample_2d
 
 
 def generate_ray(cam, p, time_u, lens_uv):
@@ -36,3 +37,25 @@ def generate_ray(cam, p, time_u, lens_uv):
     return (jax.lax.stop_gradient(origin),
             jax.lax.stop_gradient(direction),
             jax.lax.stop_gradient(t))
+
+
+def film_position(sampler, px, py, sample_idx):
+    """Jittered film-plane sample position for (pixel, sample): dim 0 is
+    the pixel jitter (getPixel2D) — the layout every render path shares
+    so film splats and camera rays always agree."""
+    p_jitter = sample_2d(sampler, px, py, sample_idx, 0)
+    return jnp.stack([px.astype(jnp.float32), py.astype(jnp.float32)],
+                     axis=-1) + p_jitter
+
+
+def camera_lanes(cam, sampler, px, py, sample_idx):
+    """Full per-lane camera sample: film jitter (dim 0), shutter time
+    (dim 2), lens uv (dim 3).  Returns (origin, direction, time, p).
+    Shared by the wave driver (render._sample_wave) and the regenerative
+    wavefront (path.trace_regen) so both produce identical rays for any
+    (pixel, sample_idx)."""
+    time_u = sample_1d(sampler, px, py, sample_idx, 2)
+    lens_uv = sample_2d(sampler, px, py, sample_idx, 3)
+    p = film_position(sampler, px, py, sample_idx)
+    origin, direction, time = generate_ray(cam, p, time_u, lens_uv)
+    return origin, direction, time, p

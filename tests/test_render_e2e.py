@@ -153,3 +153,32 @@ def test_tail_compaction_matches_full_width():
     r0 = np.asarray(f0["rgb"])
     r1 = np.asarray(f1["rgb"])
     np.testing.assert_allclose(r1, r0, atol=1e-5, rtol=1e-5)
+
+    # ray regeneration drains a 2-wave queue with refilled lanes; per-
+    # sample RNG keys make it match the wave-by-wave render to float
+    # precision on the same scene (same caveat on traversal tie-breaks)
+    cfg2 = dataclasses.replace(cfg, spp=2, regenerate=True)
+    f2 = render(scene, cam, meta, dataclasses.replace(cfg, spp=2))
+    f3 = render(scene, cam, meta, cfg2)
+    np.testing.assert_allclose(np.asarray(f3["rgb"]),
+                               np.asarray(f2["rgb"]),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_regeneration_matches_waves_volpath():
+    """trace_regen refills lanes mid-queue; medium state, per-lane bounce
+    RNG dims, and the camera-medium reset must all match the standard
+    wave render on a volumetric scene."""
+    import dataclasses
+    from pathtracing_tpu import scenes
+
+    scene, cam, meta = scenes.spheres_medium(resolution=(32, 32))
+    cfg = RenderConfig(spp=4, max_depth=6, integrator="volpath",
+                       sampler=SamplerConfig(x_samples=2, y_samples=2,
+                                             seed=3))
+    f0 = render(scene, cam, meta, cfg)
+    f1 = render(scene, cam, meta,
+                dataclasses.replace(cfg, regenerate=True))
+    np.testing.assert_allclose(np.asarray(f1["rgb"]),
+                               np.asarray(f0["rgb"]),
+                               atol=1e-5, rtol=1e-5)
