@@ -29,8 +29,9 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..integrators.path import RenderConfig, trace
+from ..integrators.path import RenderConfig, trace, trace_regen
 from ..integrators.render import _sample_wave
+from ..sensor.camera import film_position
 from ..sensor import film as filmmod
 
 
@@ -83,24 +84,57 @@ def render_sharded(scene, cam, meta, cfg: RenderConfig, mesh: Mesh | None
 
     cam_arrays = {k: v for k, v in cam.items() if k != "resolution"}
 
+    use_regen = cfg.regenerate and not cfg.differentiable
+    # regenerative queue-group size: see integrators.render.render
+    wpg = max(1, min(spp_local, (1 << 18) // batch)) if use_regen else 0
+
     def worker(scene, cam_arrays, pix_local, wave0):
         cam_l = dict(cam_arrays, resolution=cam["resolution"])
         film = filmmod.new_film((w, h))
         offset = jnp.asarray(sample_offset, jnp.uint32) \
             + wave0[0].astype(jnp.uint32)
 
-        def wave_body(film, s_idx):
+        if use_regen:
+            # persistent wavefront per tile: drain the tile's
+            # (pixel x local-sample) queue with every lane busy, then
+            # splat each wave (shard pixel blocks are not row-aligned,
+            # so this uses the scatter splat like _sample_wave)
             def tile_body(film, t):
                 idx = jax.lax.dynamic_slice_in_dim(pix_local, t * batch,
                                                    batch)
-                return _sample_wave(scene, cam_l, meta, cfg, film, idx,
-                                    s_idx + offset), None
+                px = idx % w
+                py = idx // w
+                done = 0
+                while done < spp_local:
+                    waves = min(wpg, spp_local - done)
+                    out = trace_regen(scene, cam_l, meta, cfg, idx,
+                                      waves, offset + jnp.uint32(done))
+                    for s_w in range(waves):
+                        p = film_position(cfg.sampler, px, py,
+                                          offset + jnp.uint32(done + s_w))
+                        p = jnp.where((idx < npix)[:, None], p,
+                                      jnp.full_like(p, -1e6))
+                        film = filmmod.splat(
+                            film, cfg.filter, cam["resolution"], p,
+                            out[s_w * batch:(s_w + 1) * batch])
+                    done += waves
+                return film, None
+
             film, _ = jax.lax.scan(tile_body, film,
                                    jnp.arange(n_tiles, dtype=jnp.int32))
-            return film, None
+        else:
+            def wave_body(film, s_idx):
+                def tile_body(film, t):
+                    idx = jax.lax.dynamic_slice_in_dim(pix_local,
+                                                       t * batch, batch)
+                    return _sample_wave(scene, cam_l, meta, cfg, film,
+                                        idx, s_idx + offset), None
+                film, _ = jax.lax.scan(tile_body, film,
+                                       jnp.arange(n_tiles, dtype=jnp.int32))
+                return film, None
 
-        film, _ = jax.lax.scan(wave_body, film,
-                               jnp.arange(spp_local, dtype=jnp.uint32))
+            film, _ = jax.lax.scan(wave_body, film,
+                                   jnp.arange(spp_local, dtype=jnp.uint32))
         return jax.tree.map(lambda x: jax.lax.psum(x, axes), film)
 
     wave0 = jnp.repeat(jnp.arange(sp, dtype=jnp.int32) * spp_local, dp)

@@ -38,6 +38,25 @@ def test_sharded_render_device_count_invariance():
     np.testing.assert_allclose(imgs[0], imgs[2], rtol=2e-4, atol=2e-5)
 
 
+def test_sharded_regeneration_matches_unsharded():
+    """render_sharded with regenerate=True: each shard drains its own
+    (pixel x local-sample) queue; result must match the plain unsharded
+    wave render (identical per-sample RNG streams, psum summation
+    order aside)."""
+    import dataclasses
+    scene, cam, meta = cornell_box(resolution=(32, 32))
+    cfg = RenderConfig(spp=4, max_depth=3, rays_per_batch=1024,
+                       regenerate=True)
+    ref = finalize(render(scene, cam, meta,
+                          dataclasses.replace(cfg, regenerate=False)))
+    for n, sp in ((8, 1), (8, 2)):
+        film = render_sharded(scene, cam, meta, cfg,
+                              mesh=make_mesh(n, sp=sp))
+        np.testing.assert_allclose(np.asarray(finalize(film)),
+                                   np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_train_step_sharded_gradients_flow():
     scene, cam, meta = cornell_box(resolution=(16, 16))
     cfg = RenderConfig(spp=2, max_depth=3, rays_per_batch=256,
