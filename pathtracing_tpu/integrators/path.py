@@ -595,7 +595,8 @@ def trace(scene, cam, meta, cfg: RenderConfig, origin, direction, time,
 # ---------------------------------------------------------------------------
 
 def trace_regen(scene, cam, meta, cfg: RenderConfig, pixel_idx, waves: int,
-                sample_offset, with_stats: bool = False):
+                sample_offset, lanes: int | None = None,
+                with_stats: bool = False):
     """Persistent-wavefront estimator: drain a (pixel x sample) queue.
 
     The reference keeps every CPU thread busy by looping whole pixels per
@@ -606,6 +607,11 @@ def trace_regen(scene, cam, meta, cfg: RenderConfig, pixel_idx, waves: int,
     next queue entry in the same iteration, so dead lanes exist only in
     the final drain-down, not for (max_depth - path_length) iterations
     per sample wave as in `trace`.
+
+    `lanes` decouples the in-flight batch width from the queue length
+    (default: one lane per pixel).  At spp=1 the queue must span SEVERAL
+    pixel tiles for regeneration to do anything — the render driver
+    passes a multi-tile pixel_idx with lanes=rays_per_batch.
 
     Exactness: each sample's radiance is a pure function of (pixel,
     sample_idx, per-sample bounce index) — identical RNG streams, camera
@@ -622,18 +628,19 @@ def trace_regen(scene, cam, meta, cfg: RenderConfig, pixel_idx, waves: int,
     `pixel_idx[i]`.  with_stats adds {"n_rays": scalar}.
     """
     from ..sensor.camera import camera_lanes
-    k = pixel_idx.shape[0]
-    q_total = k * waves
+    n_pix = pixel_idx.shape[0]
+    q_total = n_pix * waves
+    k = min(lanes, q_total) if lanes else n_pix
     w = cam["resolution"][0]
     offset = jnp.asarray(sample_offset, jnp.uint32)
 
     def fresh(qi):
         """Camera state for queue entries `qi` (garbage for lanes whose
         qi is stale — callers mask with `take`)."""
-        pix = pixel_idx[qi % k]
+        pix = pixel_idx[qi % n_pix]
         px = pix % w
         py = pix // w
-        sidx = offset + (qi // k).astype(jnp.uint32)
+        sidx = offset + (qi // n_pix).astype(jnp.uint32)
         o, d, t, _ = camera_lanes(cam, cfg.sampler, px, py, sidx)
         return px, py, sidx, o, d, t
 

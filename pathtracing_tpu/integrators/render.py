@@ -61,19 +61,23 @@ def render_tile(scene, cam, meta, cfg: RenderConfig, film, pixel_idx,
     return film
 
 
-@partial(jax.jit, static_argnames=("meta", "cfg", "waves", "rows"))
+@partial(jax.jit, static_argnames=("meta", "cfg", "waves", "rows",
+                                   "lanes"))
 def render_tile_regen(scene, cam, meta, cfg: RenderConfig, film,
                       pixel_idx, waves: int, sample_offset, rows: int,
-                      row0):
+                      row0, lanes: int | None = None):
     """Regenerative render of `waves` consecutive sample indices for one
     row-aligned pixel batch: one persistent-wavefront queue drain
-    (path.trace_regen), then per-wave dense row splats — the same film
-    contract as render_tile."""
+    (path.trace_regen) by `lanes` in-flight lanes, then per-wave dense
+    row splats — the same film contract as render_tile.  The pixel batch
+    may span SEVERAL rays_per_batch tiles (that is what gives
+    regeneration a queue to drain at spp=1)."""
     w, h = cam["resolution"]
     px = pixel_idx % w
     py = pixel_idx // w
     offset = jnp.asarray(sample_offset, jnp.uint32)
-    out = trace_regen(scene, cam, meta, cfg, pixel_idx, waves, offset)
+    out = trace_regen(scene, cam, meta, cfg, pixel_idx, waves, offset,
+                      lanes=lanes)
     k = pixel_idx.shape[0]
     for s_w in range(waves):
         p = film_position(cfg.sampler, px, py, offset + jnp.uint32(s_w))
@@ -95,27 +99,43 @@ def render(scene, cam, meta, cfg: RenderConfig, film=None, spp=None,
     if film is None:
         film = filmmod.new_film(cam["resolution"])
     use_regen = cfg.regenerate and not cfg.differentiable
-    # queue-group size: enough waves that the drain tail amortizes, small
-    # enough that the per-iteration O(queue) flush scatter stays noise
-    wpg = max(1, min(spp, (1 << 18) // batch)) if use_regen else 0
-    for t in range(n_tiles):
-        row0 = t * rows_per
-        rows = min(rows_per, h - row0)
-        pixel_idx = jnp.arange(row0 * w, (row0 + rows) * w,
-                               dtype=jnp.int32)
-        if use_regen:
+    if use_regen:
+        # queue-group size: ~4 lane-batches of samples per drain, built
+        # from (consecutive row tiles) x (consecutive sample waves) —
+        # enough queue that the drain tail amortizes and spp=1 renders
+        # still regenerate across tiles, small enough that the
+        # per-iteration O(queue) flush scatter stays noise
+        budget = max(1, (1 << 18) // batch)
+        g_tiles = min(n_tiles, max(1, budget // spp)) or 1
+        wpg = max(1, budget // g_tiles)
+        t = 0
+        while t < n_tiles:
+            g = min(g_tiles, n_tiles - t)
+            row0 = t * rows_per
+            rows = min(g * rows_per, h - row0)
+            pixel_idx = jnp.arange(row0 * w, (row0 + rows) * w,
+                                   dtype=jnp.int32)
             done = 0
             while done < spp:
                 waves = min(wpg, spp - done)
                 film = render_tile_regen(scene, cam, meta, cfg, film,
                                          pixel_idx, waves,
                                          sample_offset + done, rows,
-                                         jnp.asarray(row0, jnp.int32))
+                                         jnp.asarray(row0, jnp.int32),
+                                         lanes=batch)
                 done += waves
-        else:
-            film = render_tile(scene, cam, meta, cfg, film, pixel_idx,
-                               spp, sample_offset, rows=rows,
-                               row0=jnp.asarray(row0, jnp.int32))
+            t += g
+            if progress:
+                progress(t, n_tiles)
+        return film
+    for t in range(n_tiles):
+        row0 = t * rows_per
+        rows = min(rows_per, h - row0)
+        pixel_idx = jnp.arange(row0 * w, (row0 + rows) * w,
+                               dtype=jnp.int32)
+        film = render_tile(scene, cam, meta, cfg, film, pixel_idx, spp,
+                           sample_offset, rows=rows,
+                           row0=jnp.asarray(row0, jnp.int32))
         if progress:
             progress(t + 1, n_tiles)
     return film

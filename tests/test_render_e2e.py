@@ -164,6 +164,42 @@ def test_tail_compaction_matches_full_width():
                                np.asarray(f2["rgb"]),
                                atol=1e-5, rtol=1e-5)
 
+    # at spp=1 the queue spans several pixel tiles (lanes < queue): the
+    # render driver groups consecutive row tiles into one drain
+    cfg3 = dataclasses.replace(cfg, rays_per_batch=2048)
+    f4 = render(scene, cam, meta, cfg3)
+    f5 = render(scene, cam, meta,
+                dataclasses.replace(cfg3, regenerate=True))
+    np.testing.assert_allclose(np.asarray(f5["rgb"]),
+                               np.asarray(f4["rgb"]),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_regeneration_ray_count_invariant():
+    """Regeneration reorders WHEN each sample's bounces run, never how
+    many: total traced segments (closest-hit per live bounce + NEE rays)
+    must equal the wave-by-wave form exactly."""
+    import jax.numpy as jnp
+    from pathtracing_tpu import scenes
+    from pathtracing_tpu.integrators.path import trace, trace_regen
+    from pathtracing_tpu.sensor.camera import camera_lanes
+
+    scene, cam, meta = scenes.cornell_box(resolution=(16, 16))
+    cfg = RenderConfig(spp=2, max_depth=4, integrator="path",
+                       sampler=SamplerConfig(x_samples=2, y_samples=1))
+    pixel_idx = jnp.arange(256, dtype=jnp.int32)
+    px, py = pixel_idx % 16, pixel_idx // 16
+    n_waves = 0.0
+    for s in range(2):
+        sidx = jnp.asarray(s, jnp.uint32)
+        o, d, t, _ = camera_lanes(cam, cfg.sampler, px, py, sidx)
+        _, st = trace(scene, cam, meta, cfg, o, d, t, px, py, sidx,
+                      with_stats=True)
+        n_waves += float(st["n_rays"])
+    _, st = trace_regen(scene, cam, meta, cfg, pixel_idx, 2, 0,
+                        lanes=64, with_stats=True)
+    assert float(st["n_rays"]) == n_waves
+
 
 def test_regeneration_matches_waves_volpath():
     """trace_regen refills lanes mid-queue; medium state, per-lane bounce
