@@ -1,12 +1,13 @@
-"""A/B the tail-compaction knob (RenderConfig.compact_after) end-to-end.
+"""A/B wavefront scheduling end-to-end: compaction AND regeneration.
 
 Builds the 10.5M-tri mesh bench scene ONCE, then times full forward
-frames (1080p unless FAST, path integrator) for each compact_after
-value given on the command line (use 'off' for None).  Also accepts a
-DEPTHS env var (comma list) to A/B max_depth in the same process.
+frames (1080p unless FAST, path integrator) for each mode given on the
+command line: 'off' (plain waves), an integer (compact_after value), or
+'regen' (persistent wavefront).  A DEPTHS env var (comma list) A/Bs
+max_depth in the same process.
 
-  python tools/bench_compact.py off 6 10
-  DEPTHS=32,64 python tools/bench_compact.py off 6
+  python tools/bench_compact.py off 6 regen
+  DEPTHS=32,64 python tools/bench_compact.py off 6 regen
 """
 from __future__ import annotations
 
@@ -32,8 +33,8 @@ def main():
         res = tuple(int(x) for x in os.environ["RES"].split(","))
     depths = [int(x) for x in
               os.environ.get("DEPTHS", "8" if fast else "32").split(",")]
-    compacts = [None if a in ("off", "none") else int(a)
-                for a in (sys.argv[1:] or ["off", "6"])]
+    modes = [a if a in ("off", "none", "regen") else int(a)
+             for a in (sys.argv[1:] or ["off", "6", "regen"])]
 
     from pathtracing_tpu.scenes import sanmiguel_analog
     from pathtracing_tpu.integrators.path import RenderConfig
@@ -48,11 +49,13 @@ def main():
     spp = 1
 
     for depth in depths:
-        for ca in compacts:
+        for mode in modes:
+            regen = mode == "regen"
+            ca = mode if isinstance(mode, int) else None
             cfg = RenderConfig(spp=spp, max_depth=depth,
                                integrator="path",
                                rays_per_batch=1 << 16,
-                               compact_after=ca)
+                               compact_after=ca, regenerate=regen)
             t0 = time.perf_counter()
             film = render(scene, cam, meta, cfg, spp=spp)
             jax.device_get(film["weight"][0])
@@ -63,8 +66,8 @@ def main():
             jax.device_get(film["weight"][0])
             timed = time.perf_counter() - t0
             rate = w * h * spp / timed
-            print(f"depth={depth:2d} compact="
-                  f"{'off' if ca is None else ca:>3} "
+            label = mode if isinstance(mode, int) else mode[:5]
+            print(f"depth={depth:2d} mode={label:>5} "
                   f"warm {warm:6.1f}s  timed {timed:6.1f}s  "
                   f"{rate/1e3:8.1f} Ksamp/s", flush=True)
 
