@@ -677,10 +677,12 @@ def trace_regen(scene, cam, meta, cfg: RenderConfig, pixel_idx, waves: int,
         out = c["out"].at[c["qi"]].add(
             jnp.where(finished[:, None], rad, 0.0))
 
-        # refill finished lanes from the queue head, in lane order; the
-        # scatter above + this gather are O(k) work per iteration — tiny
-        # next to a bounce — and the queue never refills, so lanes idle
-        # only once it has drained
+        # refill finished lanes from the queue head, in lane order.  The
+        # flush scatter above costs O(q_total) operand rows per
+        # iteration (CLAUDE.md: TPU scatter cost follows operand size) —
+        # the drivers keep q_total to a few lane-batches
+        # (render.regen_schedule) so it stays noise next to a bounce.
+        # The queue never refills, so lanes idle only once it drains.
         ranks = jnp.cumsum(finished.astype(jnp.int32)) - 1
         cand = c["head"] + ranks
         take = finished & (cand < q_total)

@@ -86,6 +86,27 @@ def render_tile_regen(scene, cam, meta, cfg: RenderConfig, film,
     return film
 
 
+REGEN_QUEUE_BATCHES = 4
+
+
+def regen_schedule(n_tiles: int, spp: int, divisor: bool = False):
+    """(g_tiles, waves_per_group) for a regenerative drain.
+
+    Target queue size: REGEN_QUEUE_BATCHES lane-batches of samples per
+    drain — enough that the drain tail amortizes and spp=1 renders
+    regenerate across tiles, small enough that the per-iteration
+    O(queue)-row flush scatter (CLAUDE.md: scatter cost follows the
+    OPERAND size) stays noise next to a lane-batch bounce at any batch
+    width.  divisor=True restricts g_tiles to divisors of n_tiles
+    (the sharded worker scans equal-size groups)."""
+    budget = REGEN_QUEUE_BATCHES
+    g_tiles = min(n_tiles, max(1, budget // spp))
+    if divisor:
+        while n_tiles % g_tiles:
+            g_tiles -= 1
+    return g_tiles, max(1, budget // g_tiles)
+
+
 def render(scene, cam, meta, cfg: RenderConfig, film=None, spp=None,
            sample_offset: int = 0, progress=None):
     """Full-frame render. Returns the film dict (rgb + weight)."""
@@ -100,14 +121,8 @@ def render(scene, cam, meta, cfg: RenderConfig, film=None, spp=None,
         film = filmmod.new_film(cam["resolution"])
     use_regen = cfg.regenerate and not cfg.differentiable
     if use_regen:
-        # queue-group size: ~4 lane-batches of samples per drain, built
-        # from (consecutive row tiles) x (consecutive sample waves) —
-        # enough queue that the drain tail amortizes and spp=1 renders
-        # still regenerate across tiles, small enough that the
-        # per-iteration O(queue) flush scatter stays noise
-        budget = max(1, (1 << 18) // batch)
-        g_tiles = min(n_tiles, max(1, budget // spp)) or 1
-        wpg = max(1, budget // g_tiles)
+        # queue groups of (consecutive row tiles) x (sample waves)
+        g_tiles, wpg = regen_schedule(n_tiles, spp)
         t = 0
         while t < n_tiles:
             g = min(g_tiles, n_tiles - t)

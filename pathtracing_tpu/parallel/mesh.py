@@ -85,8 +85,13 @@ def render_sharded(scene, cam, meta, cfg: RenderConfig, mesh: Mesh | None
     cam_arrays = {k: v for k, v in cam.items() if k != "resolution"}
 
     use_regen = cfg.regenerate and not cfg.differentiable
-    # regenerative queue-group size: see integrators.render.render
-    wpg = max(1, min(spp_local, (1 << 18) // batch)) if use_regen else 0
+    if use_regen:
+        # queue groups of (consecutive tiles) x (local sample waves),
+        # same schedule as the unsharded driver (g_tiles restricted to
+        # divisors of n_tiles: the worker scans equal-size groups)
+        from ..integrators.render import regen_schedule
+        g_tiles, wpg = regen_schedule(n_tiles, spp_local, divisor=True)
+        gbatch = g_tiles * batch
 
     def worker(scene, cam_arrays, pix_local, wave0):
         cam_l = dict(cam_arrays, resolution=cam["resolution"])
@@ -95,20 +100,21 @@ def render_sharded(scene, cam, meta, cfg: RenderConfig, mesh: Mesh | None
             + wave0[0].astype(jnp.uint32)
 
         if use_regen:
-            # persistent wavefront per tile: drain the tile's
-            # (pixel x local-sample) queue with every lane busy, then
+            # persistent wavefront per tile group: drain the group's
+            # (pixel x local-sample) queue with batch-wide lanes, then
             # splat each wave (shard pixel blocks are not row-aligned,
             # so this uses the scatter splat like _sample_wave)
-            def tile_body(film, t):
-                idx = jax.lax.dynamic_slice_in_dim(pix_local, t * batch,
-                                                   batch)
+            def group_body(film, t):
+                idx = jax.lax.dynamic_slice_in_dim(pix_local, t * gbatch,
+                                                   gbatch)
                 px = idx % w
                 py = idx // w
                 done = 0
                 while done < spp_local:
                     waves = min(wpg, spp_local - done)
                     out = trace_regen(scene, cam_l, meta, cfg, idx,
-                                      waves, offset + jnp.uint32(done))
+                                      waves, offset + jnp.uint32(done),
+                                      lanes=batch)
                     for s_w in range(waves):
                         p = film_position(cfg.sampler, px, py,
                                           offset + jnp.uint32(done + s_w))
@@ -116,12 +122,13 @@ def render_sharded(scene, cam, meta, cfg: RenderConfig, mesh: Mesh | None
                                       jnp.full_like(p, -1e6))
                         film = filmmod.splat(
                             film, cfg.filter, cam["resolution"], p,
-                            out[s_w * batch:(s_w + 1) * batch])
+                            out[s_w * gbatch:(s_w + 1) * gbatch])
                     done += waves
                 return film, None
 
-            film, _ = jax.lax.scan(tile_body, film,
-                                   jnp.arange(n_tiles, dtype=jnp.int32))
+            film, _ = jax.lax.scan(group_body, film,
+                                   jnp.arange(n_tiles // g_tiles,
+                                              dtype=jnp.int32))
         else:
             def wave_body(film, s_idx):
                 def tile_body(film, t):
