@@ -154,10 +154,6 @@ def cmd_render(args):
             from .parallel.mesh import render_sharded
             film = render_sharded(scene, cam, meta, cfg)
         elif args.adaptive:
-            if args.regen:
-                print("[render] note: --adaptive drives its own per-wave "
-                      "pixel gather; --regen is ignored with it",
-                      file=sys.stderr)
             from .utils.adaptive import render_adaptive
             film, stats = render_adaptive(
                 scene, cam, meta, cfg, base_spp=max(args.spp // 8, 4),

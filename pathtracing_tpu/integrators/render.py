@@ -64,14 +64,17 @@ def render_tile(scene, cam, meta, cfg: RenderConfig, film, pixel_idx,
 @partial(jax.jit, static_argnames=("meta", "cfg", "waves", "rows",
                                    "lanes"))
 def render_tile_regen(scene, cam, meta, cfg: RenderConfig, film,
-                      pixel_idx, waves: int, sample_offset, rows: int,
-                      row0, lanes: int | None = None):
+                      pixel_idx, waves: int, sample_offset,
+                      rows: int | None = None, row0=None,
+                      lanes: int | None = None):
     """Regenerative render of `waves` consecutive sample indices for one
-    row-aligned pixel batch: one persistent-wavefront queue drain
-    (path.trace_regen) by `lanes` in-flight lanes, then per-wave dense
-    row splats — the same film contract as render_tile.  The pixel batch
-    may span SEVERAL rays_per_batch tiles (that is what gives
-    regeneration a queue to drain at spp=1)."""
+    pixel batch: one persistent-wavefront queue drain (path.trace_regen)
+    by `lanes` in-flight lanes, then per-wave splats — the same film
+    contract as render_tile (dense row splats when the batch covers
+    whole rows [row0, row0+rows), scatter splats with out-of-range
+    padding dropped otherwise).  The pixel batch may span SEVERAL
+    rays_per_batch tiles (that is what gives regeneration a queue to
+    drain at spp=1)."""
     w, h = cam["resolution"]
     px = pixel_idx % w
     py = pixel_idx // w
@@ -81,8 +84,16 @@ def render_tile_regen(scene, cam, meta, cfg: RenderConfig, film,
     k = pixel_idx.shape[0]
     for s_w in range(waves):
         p = film_position(cfg.sampler, px, py, offset + jnp.uint32(s_w))
-        film = filmmod.splat_rows(film, cfg.filter, cam["resolution"],
-                                  row0, rows, p, out[s_w * k:(s_w + 1) * k])
+        color = out[s_w * k:(s_w + 1) * k]
+        if rows is not None:
+            film = filmmod.splat_rows(film, cfg.filter,
+                                      cam["resolution"], row0, rows, p,
+                                      color)
+        else:
+            p = jnp.where((pixel_idx < w * h)[:, None], p,
+                          jnp.full_like(p, -1e6))
+            film = filmmod.splat(film, cfg.filter, cam["resolution"], p,
+                                 color)
     return film
 
 

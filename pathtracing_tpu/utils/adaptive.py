@@ -96,9 +96,19 @@ def render_adaptive(scene, cam, meta, cfg, base_spp: int | None = None,
         pixel_idx[:n_active] = idx_active
         traced += cap * base_spp
         scratch = new_film(cam["resolution"])
-        scratch = render_tile(scene, cam, meta, cfg, scratch,
-                              jnp.asarray(pixel_idx), base_spp,
-                              sample_offset=wave * base_spp)
+        if cfg.regenerate and not cfg.differentiable:
+            # the active-pixel bucket x base_spp waves IS a queue: drain
+            # it with lane-batch-wide regeneration instead of scanning
+            # base_spp full-depth waves
+            from ..integrators.render import render_tile_regen
+            scratch = render_tile_regen(
+                scene, cam, meta, cfg, scratch, jnp.asarray(pixel_idx),
+                base_spp, wave * base_spp,
+                lanes=min(cfg.rays_per_batch, cap))
+        else:
+            scratch = render_tile(scene, cam, meta, cfg, scratch,
+                                  jnp.asarray(pixel_idx), base_spp,
+                                  sample_offset=wave * base_spp)
         amask = jnp.asarray(active)
         val = scratch["rgb"] / jnp.maximum(scratch["weight"], 1e-12)[:, None]
         est = welford_add(est, val, amask)

@@ -77,6 +77,26 @@ def test_adaptive_saves_compute():
     assert np.isfinite(img).all()
 
 
+def test_adaptive_with_regeneration_matches():
+    """Adaptive + ray regeneration: each active-pixel bucket drains as a
+    (pixel x base_spp) queue.  Per-sample values match the wave form, so
+    the Welford stop decisions — and the final film — are identical."""
+    import dataclasses
+    from pathtracing_tpu.sensor.film import finalize
+    scene, cam, meta = scenes.cornell_box(resolution=(24, 24))
+    cfg = RenderConfig(spp=4, max_depth=3, rays_per_batch=256)
+    f0, s0 = render_adaptive(scene, cam, meta, cfg, base_spp=4,
+                             target=1.5, max_factor=4, bucket_floor=64)
+    f1, s1 = render_adaptive(scene, cam, meta,
+                             dataclasses.replace(cfg, regenerate=True),
+                             base_spp=4, target=1.5, max_factor=4,
+                             bucket_floor=64)
+    assert s0["mean_spp"] == s1["mean_spp"]
+    np.testing.assert_allclose(np.asarray(finalize(f1)),
+                               np.asarray(finalize(f0)),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_cli_model_import_uses_pallas_kernel(tmp_path):
     """--accel defaults to auto, so a >4K-tri imported model must reach
     the production Pallas kernel (round-1 verdict: the CLI topped out at
