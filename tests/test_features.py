@@ -37,6 +37,22 @@ def test_motion_blur_smears():
     assert not np.allclose(static, moving, atol=1e-3)
 
 
+def test_motion_blur_with_regeneration():
+    """Refilled lanes must carry their own shutter-lerped ray time: a
+    regenerative render of a moving sphere matches the wave form."""
+    import dataclasses
+    from pathtracing_tpu.integrators.render import render
+    scene, cam, meta = _moving_sphere_scene((2.5, 0, 0), (0.0, 1.0))
+    cfg = RenderConfig(spp=4, max_depth=3, rays_per_batch=256,
+                       sampler=SamplerConfig(x_samples=2, y_samples=2))
+    f0 = render(scene, cam, meta, cfg)
+    f1 = render(scene, cam, meta, dataclasses.replace(cfg,
+                                                      regenerate=True))
+    np.testing.assert_allclose(np.asarray(f1["rgb"]),
+                               np.asarray(f0["rgb"]),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_zero_shutter_matches_static():
     cfg = RenderConfig(spp=4, max_depth=2)
     a = np.asarray(render_image(*_moving_sphere_scene((0, 0, 0),
