@@ -20,6 +20,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..core.math import (vdot, vdot_k, safe_normalize, BIG_F32,
                          SHADOW_EPS, offset_ray)
@@ -238,6 +239,9 @@ def sample_ld(scene, meta, cfg, ray_dir, it, mat, is_medium_vertex,
     else:
         occ = occluded(scene, meta, ref_p, sdir, t_shadow,
                        rand_key=alpha_salt, time=time)
+        # saved by the remat policy like the closest hit: shadow
+        # traversals don't re-run in the backward pass
+        occ = checkpoint_name(occ, "traversal")
         vis = ~occ
         tr = jnp.ones_like(f)
 
@@ -290,6 +294,12 @@ def _make_bounce(scene, meta, cfg, px, py, time, sample_idx, n):
         # exit skips their traversal work entirely
         hit = intersect(scene, meta, o, d,
                         jnp.where(alive, BIG_F32, 0.0), time=time)
+        # hit records are tiny and fully detached (make_interaction
+        # stop-gradients geometry): naming them lets the per-bounce remat
+        # policy SAVE them, so the backward pass never re-runs the
+        # traversal kernels — only the cheap shade math is recomputed
+        hit = {k: checkpoint_name(v, "traversal")
+               for k, v in hit.items()}
         it = make_interaction(scene, meta, o, d, hit, time=time)
         missed = alive & ~hit["valid"]
 
@@ -523,8 +533,17 @@ def trace(scene, cam, meta, cfg: RenderConfig, origin, direction, time,
         # bounce from its carried ray state instead of saving every
         # intermediate of the bounce body (traversal candidates, NEE
         # temporaries, BSDF terms) — the memory that made deep
-        # differentiable renders spill
-        bounce_fn = jax.checkpoint(bounce) if cfg.remat else bounce
+        # differentiable renders spill.  The policy SAVES the named
+        # traversal outputs (hit records + shadow visibility: ~20 B/lane/
+        # bounce, detached from AD), so rematerialisation re-runs only
+        # the shade math, never the traversal kernels — without it the
+        # backward pass paid the full traversal cost a second time.
+        if cfg.remat:
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "traversal")
+            bounce_fn = jax.checkpoint(bounce, policy=policy)
+        else:
+            bounce_fn = bounce
 
         def scan_body(st, b):
             return bounce_fn(st, b), None
