@@ -29,8 +29,30 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..core.math import BIG_F32, SHADOW_EPS
+
+_MAGIC_2P23 = 8388608.0  # 2^23
+
+
+def itof_exact(x):
+    """Exact i32 -> f32 for 0 <= x < 2^24, without sitofp.
+
+    Mosaic on this toolchain fails to legalize VECTOR int->float
+    conversion ("failed to legalize operation 'arith.sitofp'" on
+    vector<8x128xi32>), so hit-slot recording cannot use astype.
+    Magic-number bitcast instead: OR each 16-bit half into the mantissa
+    of 2^23 and subtract; both halves and their recombination are exact
+    in f32 for x < 2^24 (the hit-record components are < 2^24 by
+    design — see pallas_trace2.test_l2)."""
+    x = x.astype(jnp.int32)
+    lo = jnp.bitwise_and(x, 0xFFFF)
+    hi = jnp.right_shift(x, 16)
+    magic = jnp.int32(0x4B000000)
+    flo = pltpu.bitcast(jnp.bitwise_or(lo, magic), jnp.float32)
+    fhi = pltpu.bitcast(jnp.bitwise_or(hi, magic), jnp.float32)
+    return (fhi - _MAGIC_2P23) * 65536.0 + (flo - _MAGIC_2P23)
 
 
 def inv_guard(c):

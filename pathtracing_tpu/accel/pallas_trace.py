@@ -381,7 +381,7 @@ def _kernel(boxT_hbm, ox_ref, oy_ref, oz_ref,
                 best_t = jnp.where(better, tbest, best_t)
                 best_slot = jnp.where(
                     better,
-                    (b * K + sub * SUB + kbest).astype(jnp.float32),
+                    kc.itof_exact(b * K + sub * SUB + kbest),
                     best_slot)
             return best_t, best_slot
 

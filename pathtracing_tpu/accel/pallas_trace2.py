@@ -434,7 +434,7 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
                                  jnp.asarray(blk_val, jnp.float32),
                                  best_blk)
             best_off = jnp.where(better,
-                                 (off_base + kbest).astype(jnp.float32),
+                                 kc.itof_exact(off_base + kbest),
                                  best_off)
             return best_t, best_blk, best_off
 
