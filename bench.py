@@ -45,8 +45,15 @@ def bench_mesh_forward(scene, cam, meta, res, spp, depth):
     from pathtracing_tpu.integrators.render import render
     from pathtracing_tpu.sensor import film as filmmod
 
+    # ray regeneration (persistent wavefront) is the measured-best
+    # scheduling form for the forward pass: 160.2 Ksamp/s vs 139.5
+    # (compact_after=6) vs 104.4 (plain waves) on this workload at
+    # depth 32 (tools/bench_compact.py, 2026-08-19).  BENCH_REGEN=0
+    # reverts to plain waves for A/Bs.
     compact = int(os.environ.get("BENCH_COMPACT", "0")) or None
-    regen = bool(int(os.environ.get("BENCH_REGEN", "0")))
+    regen = bool(int(os.environ.get("BENCH_REGEN", "1")))
+    if compact:
+        regen = False
     cfg = RenderConfig(spp=spp, max_depth=depth, integrator="path",
                        rays_per_batch=1 << 16, compact_after=compact,
                        regenerate=regen)
