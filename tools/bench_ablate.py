@@ -5,7 +5,7 @@ rays under (a) Morton-sorted vs first-entered-block-sorted ray order and
 (b) re-cull cadence in {off, 8, 16, 32}, plus in-kernel visit counters
 for the extremes.  Usage:
 
-  python tools/bench_ablate.py [n_tris] [n_rays]
+  python tools/bench_ablate.py [n_tris] [n_rays] [k2] [g]
 """
 from __future__ import annotations
 
@@ -36,11 +36,14 @@ def main():
     from pathtracing_tpu.scene.intersect import (_morton_key,
                                                  _first_block_key)
 
+    k2_arg = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    g = int(sys.argv[4]) if len(sys.argv) > 4 else G_DEFAULT
+
     tri = heightfield(n_tris)
-    print(f"tris={len(tri):,} rays={n_rays:,} "
+    print(f"tris={len(tri):,} rays={n_rays:,} g={g} "
           f"backend={jax.default_backend()}", flush=True)
     t0 = time.perf_counter()
-    arrays, k2 = build_tri_blocks2(tri)
+    arrays, k2 = build_tri_blocks2(tri, k2=k2_arg, g=g)
     scene = {k: jnp.asarray(v) for k, v in arrays.items()}
     print(f"build {time.perf_counter()-t0:.0f}s k2={k2} "
           f"m1={arrays['pk_blk_lo'].shape[0]}", flush=True)
@@ -65,7 +68,7 @@ def main():
 
     def run(o, d, recull_every, iters=3):
         fn = lambda: pallas_tri_intersect2(scene, o, d, t_max, k2,
-                                           recull_every=recull_every)
+                                           g=g, recull_every=recull_every)
         jax.device_get(fn()["t"])
         t0 = time.perf_counter()
         for _ in range(iters):
@@ -87,7 +90,7 @@ def main():
     for how in ("morton", "firstblk"):
         os_, ds_ = order(ob, db, how)
         for rc in (OFF, 16):
-            r = pallas_tri_intersect2(scene, os_, ds_, t_max, k2,
+            r = pallas_tri_intersect2(scene, os_, ds_, t_max, k2, g=g,
                                       counters=True, recull_every=rc)
             nl1 = np.asarray(r["n_l1_visited"])
             nch = np.asarray(r["n_children_tested"])
