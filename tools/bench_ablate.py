@@ -76,10 +76,12 @@ def main():
         return (time.perf_counter() - t0) / iters * 1e3 - base
 
     OFF = 1 << 30
-    for label, o, d in [("coherent", oc, dc), ("bounce", ob, db)]:
-        for how in ("morton", "firstblk"):
+    # bounce/firstblk first: the decision-relevant rows come out early
+    # even if a sweep run is cut short
+    for label, o, d in [("bounce", ob, db), ("coherent", oc, dc)]:
+        for how in ("firstblk", "morton"):
             os_, ds_ = order(o, d, how)
-            for rc in (OFF, 32, 16, 8):
+            for rc in (16, OFF, 32, 8):
                 ms = run(os_, ds_, rc)
                 rcs = "off" if rc == OFF else str(rc)
                 print(f"{label:9s} sort={how:8s} recull={rcs:>3s} "
