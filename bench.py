@@ -34,7 +34,28 @@ import jax.numpy as jnp
 BASELINE_SAMPLES_PER_S = 1920 * 1080 * 100 / 349.0  # reference main.cpp:332
 
 
-def bench_mesh_forward(scene, cam, meta, res, spp, depth):
+def scheduling_form():
+    """(compact_after, regenerate) for the forward metric.
+
+    Ray regeneration (persistent wavefront) is the measured-best
+    scheduling form for the forward pass: 160.2 Ksamp/s vs 139.5
+    (compact_after=6) vs 104.4 (plain waves) on this workload at
+    depth 32 (tools/bench_compact.py, 2026-08-19).  BENCH_REGEN=0
+    reverts to plain waves for A/Bs; BENCH_COMPACT=n selects tail
+    compaction, which is exclusive with regeneration."""
+    compact = int(os.environ.get("BENCH_COMPACT", "0")) or None
+    regen_env = os.environ.get("BENCH_REGEN")
+    regen = bool(int(regen_env)) if regen_env is not None else True
+    if compact and regen:
+        if regen_env is not None:
+            print("[bench] NOTE: BENCH_COMPACT overrides the explicit "
+                  "BENCH_REGEN=1 request — running COMPACTION, not "
+                  "regeneration", flush=True)
+        regen = False
+    return compact, regen
+
+
+def bench_mesh_forward(scene, cam, meta, res, spp, depth, compact, regen):
     """Full-frame forward render; returns (samples/s, film).
 
     A first frame warms every tile-shape compile; the timed frame then
@@ -45,15 +66,6 @@ def bench_mesh_forward(scene, cam, meta, res, spp, depth):
     from pathtracing_tpu.integrators.render import render
     from pathtracing_tpu.sensor import film as filmmod
 
-    # ray regeneration (persistent wavefront) is the measured-best
-    # scheduling form for the forward pass: 160.2 Ksamp/s vs 139.5
-    # (compact_after=6) vs 104.4 (plain waves) on this workload at
-    # depth 32 (tools/bench_compact.py, 2026-08-19).  BENCH_REGEN=0
-    # reverts to plain waves for A/Bs.
-    compact = int(os.environ.get("BENCH_COMPACT", "0")) or None
-    regen = bool(int(os.environ.get("BENCH_REGEN", "1")))
-    if compact:
-        regen = False
     cfg = RenderConfig(spp=spp, max_depth=depth, integrator="path",
                        rays_per_batch=1 << 16, compact_after=compact,
                        regenerate=regen)
@@ -72,35 +84,69 @@ def bench_mesh_forward(scene, cam, meta, res, spp, depth):
     return timed_samples / timed, film
 
 
-def bench_mesh_rays(scene, cam, meta, depth):
-    """Average rays per camera sample + raw trace rate on one 64K batch."""
-    from pathtracing_tpu.integrators.path import RenderConfig, trace
+def bench_mesh_rays(scene, cam, meta, depth, regen):
+    """Average rays per camera sample + raw trace rate.
+
+    Measured under the SAME scheduling form as the forward metric (a
+    regenerative drain when the fwd frame regenerates, plain waves
+    otherwise) over a whole-frame-representative population: the queue's
+    row tiles are spread evenly across the frame height instead of the
+    old mid-frame-only rows, so the derived rays_per_sec_mesh10M =
+    fwd_rate * rays_per_sample no longer mixes scheduling forms or ray
+    populations (round-2 advisor finding)."""
+    from pathtracing_tpu.integrators.path import (RenderConfig, trace,
+                                                  trace_regen)
+    from pathtracing_tpu.integrators.render import regen_schedule
     from pathtracing_tpu.core.rng import sample_1d, sample_2d
     from pathtracing_tpu.sensor.camera import generate_ray
     from functools import partial
 
+    lanes = 1 << 16
     cfg = RenderConfig(spp=1, max_depth=depth, integrator="path",
-                       rays_per_batch=1 << 16)
+                       rays_per_batch=lanes, regenerate=regen)
     w, h = cam["resolution"]
-    # central rows: the top rows of the frame see mostly sky and would
-    # report ~1 ray/sample
-    mid = (h // 2) * w
-    pixel_idx = mid + jnp.arange(1 << 16, dtype=jnp.int32)
+    rows_per = max(1, lanes // w)
+    n_tiles = -(-h // rows_per)
+    g_tiles, _ = regen_schedule(n_tiles, 1)
+    # g_tiles row tiles spread evenly over the frame (the fwd frame
+    # drains groups of CONSECUTIVE tiles; spreading them samples the
+    # whole frame's ray population in one queue)
+    picks = sorted({int(round(i * (n_tiles - 1) / max(1, g_tiles - 1)))
+                    for i in range(g_tiles)})
+    row_starts = [min(t * rows_per, h - rows_per) for t in picks]
+    pixel_idx = jnp.concatenate(
+        [jnp.arange(r0 * w, (r0 + rows_per) * w, dtype=jnp.int32)
+         for r0 in row_starts])
+    q_total = pixel_idx.shape[0]
 
-    @partial(jax.jit, static_argnames=())
-    def run(scene, cam, sample_idx):
-        px = pixel_idx % w
-        py = pixel_idx // w
-        s = cfg.sampler
-        pj = sample_2d(s, px, py, sample_idx, 0)
-        tu = sample_1d(s, px, py, sample_idx, 2)
-        lu = sample_2d(s, px, py, sample_idx, 3)
-        p = jnp.stack([px.astype(jnp.float32), py.astype(jnp.float32)],
-                      -1) + pj
-        o, d, tm = generate_ray(cam, p, tu, lu)
-        color, stats = trace(scene, cam, meta, cfg, o, d, tm, px, py,
-                             sample_idx, with_stats=True)
-        return jnp.sum(color), stats["n_rays"]
+    if regen:
+        @jax.jit
+        def run(scene, cam, sample_offset):
+            out, stats = trace_regen(scene, cam, meta, cfg, pixel_idx, 1,
+                                     sample_offset, lanes=lanes,
+                                     with_stats=True)
+            return jnp.sum(out), stats["n_rays"]
+    else:
+        @jax.jit
+        def run(scene, cam, sample_offset):
+            total = jnp.zeros((), jnp.float32)
+            n_rays = jnp.zeros((), jnp.float32)
+            for b0 in range(0, q_total, lanes):
+                px = pixel_idx[b0:b0 + lanes] % w
+                py = pixel_idx[b0:b0 + lanes] // w
+                s = cfg.sampler
+                sidx = sample_offset
+                pj = sample_2d(s, px, py, sidx, 0)
+                tu = sample_1d(s, px, py, sidx, 2)
+                lu = sample_2d(s, px, py, sidx, 3)
+                p = jnp.stack([px.astype(jnp.float32),
+                               py.astype(jnp.float32)], -1) + pj
+                o, d, tm = generate_ray(cam, p, tu, lu)
+                color, stats = trace(scene, cam, meta, cfg, o, d, tm,
+                                     px, py, sidx, with_stats=True)
+                total = total + jnp.sum(color)
+                n_rays = n_rays + stats["n_rays"]
+            return total, n_rays
 
     zero = jnp.asarray(0, jnp.uint32)
     _, n_rays = run(scene, cam, zero)                  # warm-up/compile
@@ -109,7 +155,7 @@ def bench_mesh_rays(scene, cam, meta, depth):
     _, n2 = run(scene, cam, jnp.asarray(1, jnp.uint32))
     n2 = float(jax.device_get(n2))                     # the timed run's count
     dt = time.perf_counter() - t0
-    rays_per_sample = n2 / (1 << 16)
+    rays_per_sample = n2 / q_total
     return rays_per_sample, n2 / dt
 
 
@@ -181,8 +227,11 @@ def main():
     print(f"[bench] scene: {meta.n_tri:,} tris, accel={meta.accel}, "
           f"build {time.perf_counter()-t0:.0f}s", flush=True)
 
-    fwd_rate, _ = bench_mesh_forward(scene, cam, meta, res, spp, depth)
-    rays_per_sample, rays_rate = bench_mesh_rays(scene, cam, meta, depth)
+    compact, regen = scheduling_form()
+    fwd_rate, _ = bench_mesh_forward(scene, cam, meta, res, spp, depth,
+                                     compact, regen)
+    rays_per_sample, rays_rate = bench_mesh_rays(scene, cam, meta, depth,
+                                                 regen)
     fb_rate = bench_mesh_fwd_bwd(scene, cam, meta,
                                  res=(256, 256) if fast else (512, 512),
                                  depth=8)
@@ -196,7 +245,7 @@ def main():
         "secondary": {
             "rays_per_sec_mesh10M": round(fwd_rate * rays_per_sample, 1),
             "rays_per_camera_sample": round(rays_per_sample, 2),
-            "trace_rays_per_sec_64k_batch": round(rays_rate, 1),
+            "trace_rays_per_sec_frame_sampled": round(rays_rate, 1),
             "fwd_bwd_samples_per_sec_mesh10M_512_d8": round(fb_rate, 1),
             "camera_samples_per_sec_cornell_512_path_d8":
                 round(cornell_rate, 1),

@@ -16,13 +16,19 @@ Latency structure (this is where the first version lost 10x):
   * TPS tiles are folded into each grid step — pallas pays ~70us of
     pipeline overhead per grid step, so 1 tile/step burned ~36ms per
     64K rays on overhead alone;
-  * the child-box row of the NEXT selected L1 is DMA'd (double
-    buffered) while the current L1's children are tested, so the
-    serial per-L1 loop never stalls on the box fetch;
-  * entered children are drained by a popcount loop over a bitmask
-    (iterations = number entered) instead of a chain of G conds, and
-    every entered child's triangle DMA is launched before the first
-    child test so fetches overlap compute.
+  * the child-box row AND the whole [16, G*K2] triangle row of the
+    NEXT selected L1 are DMA'd (double buffered) while the current
+    L1's children are tested, so the serial per-L1 loop never stalls
+    on a fetch;
+  * the child drain is fully VECTORIZED (round 3): per-child entries
+    stay a [1,128] lane vector popped by the same min + iota-min trick
+    as the L1 selection, each popped child is tested unconditionally,
+    and after every test the remaining children are re-culled against
+    the post-test per-ray best_t.  The previous form extracted 16
+    child entries to scalars, built a bitmask, ran 16 conditional
+    per-child DMA starts and a 16-step scalar selection chain per
+    pop — ~2us/visit of scalar-pipeline serialization (measured,
+    tools/bench_mxu_leaf.py), which dominated bounce traversal.
 """
 from __future__ import annotations
 
@@ -85,6 +91,13 @@ def build_tri_blocks2(tri_v: np.ndarray, k2: int | None = None,
         while -(-n // (k2 * G)) > 4096:
             k2 += 128
     m2 = -(-n // k2)
+    nb_data = m2
+    # pad the block count to a whole number of G-groups: the kernel DMAs
+    # each visited L1's children as ONE [16, G*K2] row, which must stay
+    # in-bounds even for the last group.  Padded slots are ZERO columns
+    # (e1 = e2 = 0 => det == 0 => can never hit) under empty far-point
+    # child boxes (never entered)
+    m2 = -(-m2 // G) * G
     pad = m2 * k2 - n
     ord_pad = np.concatenate([order, np.repeat(order[-1:], pad)])
     v = tri_v[ord_pad]
@@ -95,8 +108,13 @@ def build_tri_blocks2(tri_v: np.ndarray, k2: int | None = None,
                 else np.zeros((3, len(v)), np.float32))
     tri9 = np.concatenate([v0.T, e1.T, e2.T, vel_rows,
                            np.zeros((4, len(v)), np.float32)], 0)
+    if pad:
+        tri9[:, n:] = 0.0
     l2lo = lo[ord_pad].reshape(m2, k2, 3).min(1)
     l2hi = hi[ord_pad].reshape(m2, k2, 3).max(1)
+    if m2 > nb_data:
+        l2lo[nb_data:] = 3e37      # degenerate far-point empty boxes
+        l2hi[nb_data:] = 3e37
 
     # Fixed consecutive groups of G blocks.  MEASURED DEAD END: cutting
     # L1 groups at SAH-subtree boundaries (variable-size treelets,
@@ -127,8 +145,12 @@ def build_tri_blocks2(tri_v: np.ndarray, k2: int | None = None,
         w = e - b
         l2box[i, 0:3, :w] = l2lo[b:e].T
         l2box[i, 3:6, :w] = l2hi[b:e].T
-        l1lo[i] = l2lo[b:e].min(0)
-        l1hi[i] = l2hi[b:e].max(0)
+        # L1 bounds span only DATA blocks (padded far-point blocks would
+        # blow the box up to 3e37 and pin this L1 first in every entry
+        # order)
+        wd = max(1, min(e, nb_data) - b)
+        l1lo[i] = l2lo[b:b + wd].min(0)
+        l1hi[i] = l2hi[b:b + wd].max(0)
     slot2tri = ord_pad.astype(np.int32)
     if pad:
         slot2tri[n:] = -1
@@ -244,8 +266,14 @@ def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
         box[:, 0:3, :G] = l2lo.reshape(m1, G, 3).transpose(0, 2, 1)
         box[:, 3:6, :G] = l2hi.reshape(m1, G, 3).transpose(0, 2, 1)
         l2boxes.append(box)
-        l1lo = l2lo.reshape(m1, G, 3).min(1)
-        l1hi = l2hi.reshape(m1, G, 3).max(1)
+        # L1 bounds span only DATA blocks: padded far-point (3e37) blocks
+        # would blow the last group's box up so it tests as
+        # entered-first for every ray (and its world corners overflow
+        # through the instance transform)
+        l2lo_d = np.where(l2lo >= 3e37, np.inf, l2lo)
+        l2hi_d = np.where(l2hi >= 3e37, -np.inf, l2hi)
+        l1lo = l2lo_d.reshape(m1, G, 3).min(1)
+        l1hi = l2hi_d.reshape(m1, G, 3).max(1)
         src = np.arange(phys_l1, phys_l1 + m1, dtype=np.int32)
         l1_bases.append(phys_blocks + np.arange(m1, dtype=np.int32) * G)
         phys_l1 += m1
@@ -301,7 +329,10 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
              g: int = G_DEFAULT, instanced: bool = False,
              motion: bool = False, counters: bool = False,
              use_recull: bool = True,
-             recull_every: int = RECULL_EVERY):
+             recull_every: int = RECULL_EVERY,
+             drain_cull: bool = True,
+             max_visits: int | None = None,
+             frontier: bool = False):
     """Two-level traversal, RAYS-IN-SUBLANES layout.
 
     Everything per-ray lives in [128, 1] columns (sublane = ray), so the
@@ -340,10 +371,12 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
     if motion:
         time_ref = rest[0]
         rest = rest[1:]
+    out_t_ref, out_blk_ref, out_off_ref, *rest = rest
+    out_en_ref = out_bn_ref = out_cnt_ref = None
+    if frontier:
+        out_en_ref, out_bn_ref, *rest = rest
     if counters:
-        out_t_ref, out_blk_ref, out_off_ref, out_cnt_ref, *rest = rest
-    else:
-        out_t_ref, out_blk_ref, out_off_ref, *rest = rest
+        out_cnt_ref, *rest = rest
     if use_recull:
         scratch, sem, box_scratch, box_sem, ecol_ref, etab_ref, \
             l1v_ref, l1v_sem = rest
@@ -364,6 +397,34 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
     lane_row, flat_iota = kc.lane_iotas(R)
 
     def run_tile(tt, _):
+        tmax_row = tmax_ref[0, pl.ds(tt, 1), :]            # [1,128]
+        live_tile = jnp.max(tmax_row) > 0.0
+
+        @pl.when(~live_tile)
+        def _():
+            # all-dead tile (regen drain tail, padding, or multipass
+            # rays already resolved): emit miss rows without paying the
+            # entry phase
+            out_t_ref[0, pl.ds(tt, 1), :] = tmax_row
+            out_blk_ref[0, pl.ds(tt, 1), :] = jnp.full(
+                (1, TILE), -1.0, jnp.float32)
+            out_off_ref[0, pl.ds(tt, 1), :] = jnp.zeros(
+                (1, TILE), jnp.float32)
+            if frontier:
+                out_en_ref[0, pl.ds(tt, 1), :] = jnp.full(
+                    (1, TILE), BIG_F32, jnp.float32)
+                out_bn_ref[0, pl.ds(tt, 1), :] = jnp.zeros(
+                    (1, TILE), jnp.float32)
+            if counters:
+                out_cnt_ref[0, pl.ds(tt, 1), :] = jnp.zeros(
+                    (1, TILE), jnp.float32)
+
+        @pl.when(live_tile)
+        def _():
+            run_live_tile(tt)
+        return 0
+
+    def run_live_tile(tt):
         ox = to_col(ox_ref[0, pl.ds(tt, 1), :])            # [128,1]
         oy = to_col(oy_ref[0, pl.ds(tt, 1), :])
         oz = to_col(oz_ref[0, pl.ds(tt, 1), :])
@@ -402,41 +463,24 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
             return (oxs, oys, ozs, dxs, dys, dzs,
                     inv(dxs), inv(dys), inv(dzs))
 
-        def dma(slot, b2):
+        def dma_tris(slot, b1e):
+            # ONE DMA fetches ALL G children of a visited L1 (the
+            # group's triangle columns are contiguous, [16, G*K2]).
+            # This replaced per-entered-child DMAs + a 16-entry scalar
+            # bitmask/selection chain: the vector->scalar extraction of
+            # 16 child entries and 16 conditional DMA starts per visit
+            # serialized the scalar pipeline for ~2us/visit (measured,
+            # tools/bench_mxu_leaf.py round 3) — far more than the
+            # extra (G - entered) * K2 columns of DMA traffic cost
+            base = base_ref[0, src_of(b1e)]
             return pltpu.make_async_copy(
-                tri_hbm.at[:, pl.ds(b2 * K2, K2)],
+                tri_hbm.at[:, pl.ds(base * K2, G * K2)],
                 scratch.at[slot], sem.at[slot])
 
         def dma_boxes(slot, b1p):
             return pltpu.make_async_copy(l2box_hbm.at[b1p],
                                          box_scratch.at[slot],
                                          box_sem.at[slot])
-
-        def test_l2(best, blk_val, off_base, slot, rays):
-            """Moller-Trumbore, [128 rays(sublanes), K2 prims(lanes)].
-
-            Hits are recorded as the (block, offset) PAIR (blk_val is
-            the expanded L1 when instanced, the physical L2 block
-            otherwise; off_base + argmin lane is the offset within it):
-            each component stays far below 2^24, so the pair survives
-            the exact-f32 output transpose at ANY scene scale — a
-            single flat slot id overflowed past 16.7M slots."""
-            best_t, best_blk, best_off = best
-
-            def row(i):
-                return scratch[slot, pl.ds(i, 1), :]       # [1,K2]
-            t = kc.moller_trumbore(row, rays, rtime, motion, best_t)
-            kbest = jnp.argmin(t, axis=1)[:, None]         # [128,1]
-            tbest = jnp.min(t, axis=1, keepdims=True)      # [128,1]
-            better = tbest < best_t
-            best_t = jnp.where(better, tbest, best_t)
-            best_blk = jnp.where(better,
-                                 jnp.asarray(blk_val, jnp.float32),
-                                 best_blk)
-            best_off = jnp.where(better,
-                                 kc.itof_exact(off_base + kbest),
-                                 best_off)
-            return best_t, best_blk, best_off
 
         def body(carry):
             (b1, e1, slot, best_t, best_blk, best_off, _, nl1, nch,
@@ -449,14 +493,15 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
                     recull(best_t)
 
                 cnt = jnp.where(cnt >= recull_every, 0, cnt + 1)
-            # select + prefetch the NEXT L1's child-box row while this
-            # L1 is processed (double buffered)
+            # select + prefetch the NEXT L1's child-box + triangle rows
+            # while this L1 is processed (double buffered)
             nb, ne = select()
             has_next = ne < BIG_F32 * 0.5
 
             @pl.when(has_next)
             def _():
                 dma_boxes(1 - slot, src_of(nb)).start()
+                dma_tris(1 - slot, nb).start()
 
             dma_boxes(slot, src_of(b1)).wait()
             oxs, oys, ozs, dxs, dys, dzs, ixs, iys, izs = rays_for(b1)
@@ -466,87 +511,103 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
             base = base_ref[0, phys]
 
             # ---- child slab: ALL G children at once, [128 rays, 128
-            # child-lanes]; per-ray best_t culls in-layout; per-child
-            # tile-min entries order the drain front-to-back
-            # (BVH.hpp:1142-1203); empty child lanes carry +-inf boxes
-            # and fall out as BIG
-            def brow(k):
-                return box_scratch[slot, pl.ds(k, 1), :]   # [1,128]
-            u0 = (brow(0) - oxs) * ixs
-            u1 = (brow(3) - oxs) * ixs
-            tn = jnp.minimum(u0, u1)
-            tf = jnp.maximum(u0, u1)
-            u0 = (brow(1) - oys) * iys
-            u1 = (brow(4) - oys) * iys
-            tn = jnp.maximum(tn, jnp.minimum(u0, u1))
-            tf = jnp.minimum(tf, jnp.maximum(u0, u1))
-            u0 = (brow(2) - ozs) * izs
-            u1 = (brow(5) - ozs) * izs
-            tn = jnp.maximum(jnp.maximum(tn, jnp.minimum(u0, u1)),
-                             SHADOW_EPS)
-            tf = jnp.minimum(jnp.minimum(tf, jnp.maximum(u0, u1)),
-                             best_t)
-            e_row = jnp.min(jnp.where(tn <= tf, tn, BIG_F32), axis=0,
-                            keepdims=True)                 # [1,128]
+            # child-lanes]; per-ray CURRENT best_t culls in-layout;
+            # per-child tile-min entries order the drain front-to-back
+            # (BVH.hpp:1142-1203); empty child lanes carry degenerate
+            # far-point boxes and fall out as BIG
+            def child_entries(bt):
+                def brow(k):
+                    return box_scratch[slot, pl.ds(k, 1), :]   # [1,128]
+                u0 = (brow(0) - oxs) * ixs
+                u1 = (brow(3) - oxs) * ixs
+                tn = jnp.minimum(u0, u1)
+                tf = jnp.maximum(u0, u1)
+                u0 = (brow(1) - oys) * iys
+                u1 = (brow(4) - oys) * iys
+                tn = jnp.maximum(tn, jnp.minimum(u0, u1))
+                tf = jnp.minimum(tf, jnp.maximum(u0, u1))
+                u0 = (brow(2) - ozs) * izs
+                u1 = (brow(5) - ozs) * izs
+                tn = jnp.maximum(jnp.maximum(tn, jnp.minimum(u0, u1)),
+                                 SHADOW_EPS)
+                tf = jnp.minimum(jnp.minimum(tf, jnp.maximum(u0, u1)),
+                                 bt)
+                return jnp.min(jnp.where(tn <= tf, tn, BIG_F32), axis=0,
+                               keepdims=True)              # [1,128]
 
-            enters = jnp.zeros((), jnp.int32)
-            child_entry = []
-            for g_ in range(G):
-                e_g = e_row[0, g_]
-                child_entry.append(e_g)
-                enters = enters | ((e_g < BIG_F32 * 0.5)
-                                   .astype(jnp.int32) << g_)
+            def pop(e_row):
+                # nearest unvisited child: full-lane min + first-match
+                # iota — the same vectorized pop as the L1 selection
+                # (2 scalar reads vs the old 16-entry scalar chain)
+                beste = jnp.min(e_row)
+                bestg = jnp.min(jnp.where(e_row <= beste, lane_row,
+                                          jnp.int32(1 << 30)))
+                return bestg, beste
 
-            # start every entered child's DMA up front so all fetches
-            # overlap the first child's test
-            for g_ in range(G):
-                @pl.when((enters >> g_) & 1 == 1)
-                def _(g_=g_):
-                    dma(g_, base + g_).start()
+            dma_tris(slot, b1).wait()
+            e_row0 = child_entries(best_t)
+            g0, eg0 = pop(e_row0)
 
-            # drain entered children NEAREST-FIRST; a child whose entry
-            # exceeds the tile's worst best-hit skips its triangle test
-            # (its DMA is still waited so semaphores stay balanced)
-            def child_cond(c):
-                return c[0] != 0
+            # drain entered children NEAREST-FIRST, fully vectorized:
+            # entries stay a [1,128] lane vector and every popped child
+            # is tested unconditionally — its entry already proves some
+            # ray needs it under that ray's CURRENT best_t (strictly
+            # tighter than the old tile-max do_test gate)
+            def drain_cond(c):
+                return c[1] < BIG_F32 * 0.5
 
-            def child_body(c):
-                mask, best_t, best_blk, best_off, nch = c
-                bestg = jnp.asarray(0, jnp.int32)
-                beste = jnp.asarray(BIG_F32, jnp.float32)
-                for g_ in range(G):
-                    sel = (((mask >> g_) & 1) == 1) & (child_entry[g_]
-                                                       < beste)
-                    bestg = jnp.where(sel, g_, bestg)
-                    beste = jnp.where(sel, child_entry[g_], beste)
-                dma(bestg, base + bestg).wait()
+            def drain_body(c):
+                (bestg, _, vis, e_row, best_t, best_blk, best_off,
+                 nch) = c
+                col0 = pl.multiple_of(bestg * K2, 128)
 
-                def run(args):
-                    # instanced: the block half of the pair is the
-                    # EXPANDED L1 (off = child*K2 + lane within it) so
-                    # callers recover (instance, slot) via the src/base
-                    # tables; plain scenes record the physical L2 block
-                    blk = b1 if instanced else base + bestg
-                    offb = bestg * K2 if instanced else 0
-                    return test_l2(args, blk, offb, bestg,
-                                   (oxs, oys, ozs, dxs, dys, dzs))
-
-                do_test = beste < jnp.max(best_t)
-                best_t, best_blk, best_off = jax.lax.cond(
-                    do_test, run, lambda a: a,
-                    (best_t, best_blk, best_off))
+                def row(i):
+                    return scratch[slot, pl.ds(i, 1), pl.ds(col0, K2)]
+                t = kc.moller_trumbore(row, (oxs, oys, ozs, dxs, dys,
+                                             dzs), rtime, motion,
+                                       best_t)
+                kbest = jnp.argmin(t, axis=1)[:, None]     # [128,1]
+                tbest = jnp.min(t, axis=1, keepdims=True)  # [128,1]
+                better = tbest < best_t
+                best_t = jnp.where(better, tbest, best_t)
+                # hits are recorded as a (block, offset) PAIR: each
+                # component stays far below 2^24, so the pair survives
+                # the exact-f32 output transpose at ANY scene scale (a
+                # flat slot id overflowed past 16.7M slots).  Instanced:
+                # block = the EXPANDED L1 (off = child*K2 + lane) so
+                # callers recover (instance, slot) via the src/base
+                # tables; plain scenes record the physical L2 block
+                blk_val = b1 if instanced else base + bestg
+                off_base = bestg * K2 if instanced else 0
+                best_blk = jnp.where(better,
+                                     jnp.asarray(blk_val, jnp.float32),
+                                     best_blk)
+                best_off = jnp.where(better,
+                                     kc.itof_exact(off_base + kbest),
+                                     best_off)
                 if any_hit:
-                    # collapse resolved rays mid-drain: once every ray
-                    # has a hit (or lies beyond), remaining children of
-                    # this L1 fail the do_test gate
+                    # collapse resolved rays mid-drain: a zero best_t
+                    # culls every remaining child entry for that ray
                     best_t = jnp.where(best_blk >= 0.0, 0.0, best_t)
-                return (mask & ~(jnp.asarray(1, jnp.int32) << bestg),
-                        best_t, best_blk, best_off,
-                        nch + do_test.astype(jnp.float32))
+                vis = jnp.where(lane_row == bestg, 1.0, vis)
+                if drain_cull:
+                    # per-ray re-cull of the REMAINING children against
+                    # the post-test best_t (the per-child analog of the
+                    # L1-table recull, BVH.hpp:1129-1135) — children
+                    # only already-finished rays wanted drop out
+                    e_row = jnp.where(vis > 0.0, BIG_F32,
+                                      child_entries(best_t))
+                else:
+                    e_row = jnp.where(lane_row == bestg, BIG_F32, e_row)
+                bestg, beste = pop(e_row)
+                return (bestg, beste, vis, e_row, best_t, best_blk,
+                        best_off, nch + 1.0)
 
-            _, best_t, best_blk, best_off, nch = jax.lax.while_loop(
-                child_cond, child_body,
-                (enters, best_t, best_blk, best_off, nch))
+            (_, _, _, _, best_t, best_blk, best_off,
+             nch) = jax.lax.while_loop(
+                drain_cond, drain_body,
+                (g0, eg0, jnp.zeros((1, TILE), jnp.float32), e_row0,
+                 best_t, best_blk, best_off, nch))
 
             if any_hit:
                 # a hit ray is DONE: collapsing its best_t to 0 stops it
@@ -558,10 +619,15 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
                 # entryDist t-max culling (BVH.hpp:1129-1135) at tile
                 # granularity
                 live = has_next & (ne < jnp.max(best_t))
+            if max_visits is not None:
+                # multipass cap: stop after max_visits L1s; the frontier
+                # outputs let the driver resume from the pending block
+                live = live & (nl1 < float(max_visits))
 
             @pl.when(has_next & ~live)
             def _():
                 dma_boxes(1 - slot, src_of(nb)).wait()
+                dma_tris(1 - slot, nb).wait()
 
             return (nb, ne, 1 - slot, best_t, best_blk, best_off, live,
                     nl1, nch, cnt)
@@ -575,9 +641,10 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
         @pl.when(live0)
         def _():
             dma_boxes(0, src_of(b0)).start()
+            dma_tris(0, b0).start()
 
         zero = jnp.asarray(0.0, jnp.float32)
-        (_, _, _, best_t, best_blk, best_off, _, nl1, nch,
+        (b1f, e1f, _, best_t, best_blk, best_off, _, nl1, nch,
          _) = jax.lax.while_loop(
             lambda c: c[6], body,
             (b0, e0, jnp.asarray(0, jnp.int32), best_t0, best_blk0,
@@ -587,6 +654,52 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
         # f32 transpose exactly at any scene scale
         out_blk_ref[0, pl.ds(tt, 1), :] = to_row(best_blk)
         out_off_ref[0, pl.ds(tt, 1), :] = to_row(best_off)
+        if frontier:
+            # per-ray frontier: the nearest block this tile's walk did
+            # NOT consume whose entry still beats the ray's best — the
+            # multipass driver's resume point.  Popped and re-cull-
+            # dropped columns have ecol == BIG; dropped entries are
+            # >= best_t for every ray (recull invariant + best_t
+            # monotone), so the e < best_t filter keeps them out of
+            # the frontier either way.
+            def fr_chunk(c, st):
+                en, bn = st
+                e = etab_ref[:, pl.ds(c * 128, 128)]       # [128,128]
+                open_col = ecol_ref[pl.ds(c, 1), :] < BIG_F32 * 0.5
+                e = jnp.where(open_col & (e < best_t), e, BIG_F32)
+                emin = jnp.min(e, axis=1, keepdims=True)   # [128,1]
+                idx = jnp.min(jnp.where(e <= emin,
+                                        lane_row + c * 128,
+                                        jnp.int32(1 << 30)),
+                              axis=1, keepdims=True)
+                upd = emin < en
+                return (jnp.where(upd, emin, en),
+                        jnp.where(upd, idx, bn))
+
+            e_next, b_next = jax.lax.fori_loop(
+                0, R, fr_chunk,
+                (jnp.full((TILE, 1), BIG_F32, jnp.float32),
+                 jnp.zeros((TILE, 1), jnp.int32)))
+            # the final selected-but-undrained block (the loop exit
+            # pops it from ecol without testing it): fold its per-ray
+            # entries back into the frontier.  When the exit was an
+            # empty table (e1f == BIG) b1f is a bogus all-BIG pop —
+            # gate it out or its STALE etab entries (etab is never
+            # rewritten on pop) would resurrect a tested block.
+            # (Single-lane dynamic slices of the lane dim don't lower
+            # in Mosaic — read the aligned 128-chunk and lane-select.)
+            cpend = pl.multiple_of((b1f >> 7) * 128, 128)
+            e_pc = etab_ref[:, pl.ds(cpend, 128)]          # [128,128]
+            e_p = jnp.min(jnp.where(lane_row == (b1f & 127), e_pc,
+                                    BIG_F32), axis=1, keepdims=True)
+            e_p = jnp.where((e1f < BIG_F32 * 0.5) & (e_p < best_t),
+                            e_p, BIG_F32)
+            upd = e_p < e_next
+            e_next = jnp.where(upd, e_p, e_next)
+            b_next = jnp.where(upd, b1f, b_next)
+            out_en_ref[0, pl.ds(tt, 1), :] = to_row(e_next)
+            out_bn_ref[0, pl.ds(tt, 1), :] = to_row(
+                kc.itof_exact(b_next))
         if counters:
             out_cnt_ref[0, pl.ds(tt, 1), :] = jnp.where(
                 lane_row == 0, nl1, jnp.where(lane_row == 1, nch, 0.0))
@@ -597,12 +710,25 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
 
 @functools.partial(jax.jit, static_argnames=("k2", "any_hit", "g",
                                              "counters",
-                                             "recull_every"))
+                                             "recull_every",
+                                             "drain_cull",
+                                             "max_visits", "frontier"))
 def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
                           any_hit: bool = False, time=None,
                           g: int = G_DEFAULT, counters: bool = False,
-                          recull_every: int = RECULL_EVERY):
-    """Two-level closest/any hit.  Same contract as pallas_tri_intersect."""
+                          recull_every: int = RECULL_EVERY,
+                          drain_cull: bool = True,
+                          max_visits: int | None = None,
+                          frontier: bool = False):
+    """Two-level closest/any hit.  Same contract as pallas_tri_intersect.
+
+    max_visits caps each tile's L1 walk; frontier adds per-ray resume
+    state {e_next, b_next} to the result — the entry distance and id of
+    the nearest block the capped walk did not consume that could still
+    beat the ray's best hit (BIG/0 when the ray is fully resolved).
+    Together they let scene.intersect's MULTIPASS driver re-sort
+    unresolved rays by b_next between short kernel passes so every
+    pass's 128-ray tiles agree on the blocks they need."""
     n = origin.shape[0]
     assert n % TILE == 0, n
     m1 = scene["pk_blk_lo"].shape[0]
@@ -650,10 +776,15 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
     # A sentinel-large cadence disables the machinery entirely (no table
     # allocation or per-chunk stores), giving A/B tools a true baseline.
     use_recull = m1pad <= RECULL_MAX_M1PAD and recull_every < (1 << 29)
+    if frontier:
+        assert use_recull, \
+            "frontier outputs need the per-ray entry table (use_recull)"
     kernel = functools.partial(_kernel2, k2=k2, n_l1=m1, any_hit=any_hit,
                                g=g, instanced=instanced, motion=motion,
                                counters=counters, use_recull=use_recull,
-                               recull_every=recull_every)
+                               recull_every=recull_every,
+                               drain_cull=drain_cull,
+                               max_visits=max_visits, frontier=frontier)
     interpret = jax.default_backend() != "tpu"
     shp = (groups, TPS, TILE)
 
@@ -682,11 +813,9 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
     if motion:
         in_specs += [ray_spec]
         operands += [jnp.asarray(time, jnp.float32).reshape(shp)]
-    out_specs = [ray_spec, ray_spec, ray_spec]
-    out_shape = [jax.ShapeDtypeStruct(shp, jnp.float32)] * 3
-    if counters:
-        out_specs += [ray_spec]
-        out_shape += [jax.ShapeDtypeStruct(shp, jnp.float32)]
+    n_out = 3 + 2 * bool(frontier) + bool(counters)
+    out_specs = [ray_spec] * n_out
+    out_shape = [jax.ShapeDtypeStruct(shp, jnp.float32)] * n_out
     outs = pl.pallas_call(
         kernel,
         interpret=interpret,
@@ -694,8 +823,8 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((G, 16, k2), jnp.float32),
-                        pltpu.SemaphoreType.DMA((G,)),
+        scratch_shapes=[pltpu.VMEM((2, 16, G * k2), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,)),
                         pltpu.VMEM((2, 8, 128), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.VMEM((m1pad // 128, 128), jnp.float32)]
@@ -726,8 +855,11 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
     inst = jnp.where(valid, inst, -1)
     res = dict(t=jnp.where(valid, t, BIG_F32), tri=tri, inst=inst,
                valid=valid)
+    if frontier:
+        res["e_next"] = outs[3].reshape(n2)[:n]
+        res["b_next"] = outs[4].astype(jnp.int32).reshape(n2)[:n]
     if counters:
-        cnt = outs[3].reshape(-1, TILE)          # [tiles, lanes]
+        cnt = outs[3 + 2 * bool(frontier)].reshape(-1, TILE)
         res["n_l1_visited"] = cnt[:, 0]
         res["n_children_tested"] = cnt[:, 1]
     return res

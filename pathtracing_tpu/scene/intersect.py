@@ -158,13 +158,15 @@ def _morton_key(scene, origin, direction):
 
 
 def _first_block_key(scene, origin, direction):
-    """Sort key for kernel dispatch: the id of the FIRST block each ray
-    enters (chunked slab argmin over the top-level block AABBs), with
-    the direction octant as tie-break.  Blocks are SAH-ordered, so rays
-    sharing a first block share a traversal working set — a much
-    stronger grouping for bounce rays than the origin Morton code (a
-    128-ray tile's visited-block union is the kernel's cost multiplier).
-    The pre-pass repeats the kernel's entry slab math once in XLA
+    """Sort key for kernel dispatch: the ids of the first TWO blocks
+    each ray enters (chunked slab top-2 over the top-level block AABBs),
+    with the direction octant as tie-break.  Blocks are SAH-ordered, so
+    rays sharing their first blocks share a traversal working set — a
+    much stronger grouping for bounce rays than the origin Morton code
+    (a 128-ray tile's visited-block union is the kernel's cost
+    multiplier); adding the SECOND entered block separates rays that
+    happen to start in the same block but diverge immediately.  The
+    pre-pass repeats the kernel's entry slab math once in XLA
     (~m/512 fused [N,512] chunks), a few ms against the hundreds it
     saves on incoherent tiles."""
     bl = scene["pk_blk_lo"]
@@ -180,9 +182,10 @@ def _first_block_key(scene, origin, direction):
                           jnp.where(direction < 0, -1e-32, 1e-32),
                           direction)
     n = origin.shape[0]
+    lane = jnp.arange(C, dtype=jnp.int32)[None, :]
 
     def chunk(c, st):
-        be, bi = st
+        be, bi, be2, bi2 = st
         lo = jax.lax.dynamic_slice(blp, (c * C, 0), (C, 3))
         hi = jax.lax.dynamic_slice(bhp, (c * C, 0), (C, 3))
         u0 = (lo[None, :, 0] - origin[:, 0:1]) * inv[:, 0:1]
@@ -198,21 +201,42 @@ def _first_block_key(scene, origin, direction):
         tn = jnp.maximum(jnp.maximum(tn, jnp.minimum(u0, u1)), 0.0)
         tf = jnp.minimum(tf, jnp.maximum(u0, u1))
         e = jnp.where(tn <= tf, tn, BIG_F32)               # [N,C]
+        ci_l = jnp.argmin(e, axis=1).astype(jnp.int32)
         ce = jnp.min(e, axis=1)
-        ci = jnp.argmin(e, axis=1).astype(jnp.int32) + c * C
-        upd = ce < be
-        return jnp.where(upd, ce, be), jnp.where(upd, ci, bi)
+        ci = ci_l + c * C
+        # chunk-local runner-up
+        e2 = jnp.where(lane == ci_l[:, None], BIG_F32, e)
+        ce2 = jnp.min(e2, axis=1)
+        ci2 = jnp.argmin(e2, axis=1).astype(jnp.int32) + c * C
+        # merge running top-2 with the chunk's top-2 (each pair sorted)
+        old1 = be <= ce
+        t1e = jnp.where(old1, be, ce)
+        t1i = jnp.where(old1, bi, ci)
+        alt_e = jnp.where(old1, ce, be)        # loser of the firsts
+        alt_i = jnp.where(old1, ci, bi)
+        sec_e = jnp.where(old1, be2, ce2)      # winner's own runner-up
+        sec_i = jnp.where(old1, bi2, ci2)
+        t2o = alt_e <= sec_e
+        t2e = jnp.where(t2o, alt_e, sec_e)
+        t2i = jnp.where(t2o, alt_i, sec_i)
+        return t1e, t1i, t2e, t2i
 
-    be, bi = jax.lax.fori_loop(
+    be, bi, be2, bi2 = jax.lax.fori_loop(
         0, mp // C, chunk,
-        (jnp.full((n,), BIG_F32), jnp.zeros((n,), jnp.int32)))
+        (jnp.full((n,), BIG_F32), jnp.zeros((n,), jnp.int32),
+         jnp.full((n,), BIG_F32), jnp.zeros((n,), jnp.int32)))
     octant = ((direction[:, 0] > 0).astype(jnp.uint32)
               | ((direction[:, 1] > 0).astype(jnp.uint32) << 1)
               | ((direction[:, 2] > 0).astype(jnp.uint32) << 2))
-    key = (bi.astype(jnp.uint32) << 3) | octant
+    b1 = bi.astype(jnp.uint32)
+    b2 = jnp.where(be2 >= BIG_F32 * 0.5, b1, bi2.astype(jnp.uint32))
+    if 8 * m * m < (1 << 31):
+        key = (b1 * jnp.uint32(m) + b2) * jnp.uint32(8) | octant
+    else:                      # huge block counts: first block only
+        key = (b1 << 3) | octant
     # rays entering nothing sort after everything live (dead lanes get
     # 0xFFFFFFFF at the call site and stay last)
-    return jnp.where(be >= BIG_F32 * 0.5, jnp.uint32(0x7FFFFFFF), key)
+    return jnp.where(be >= BIG_F32 * 0.5, jnp.uint32(0x7FFFFFFE), key)
 
 
 def _subset_scene(scene, prefix):
@@ -226,6 +250,102 @@ def _subset_scene(scene, prefix):
         if k.startswith(prefix):
             sub["pk_" + k[len(prefix):]] = v
     return sub
+
+
+def _multipass_visits():
+    """Per-pass L1-visit caps for the multipass re-binned traversal;
+    () disables it.  PT_MULTIPASS overrides: "0" off, "a,b,c" custom.
+    Read at trace time (a jit cache entry bakes the schedule in)."""
+    import os
+    env = os.environ.get("PT_MULTIPASS")
+    if env is not None:
+        env = env.strip()
+        if env in ("0", "off", ""):
+            return ()
+        return tuple(int(x) for x in env.split(","))
+    return MULTIPASS_VISITS
+
+
+# MEASURED DEAD END at 10.5M tris / 64K rays (tools/bench_multipass.py,
+# v5e, 2026-08-19): bounce single-pass 215 ms vs multipass (16,8,8)
+# 248 ms, (16,8) 237, (8,8,8,8) 285, (24,12) 233, (32,) 204; coherent
+# strictly worse everywhere.  Re-binning only buys agreement on each
+# ray's FIRST next block — tiles diverge again within a pass — while
+# every pass pays a fresh entry phase (+7us/tile), kernel pipeline
+# fill, an argsort and ~10 gathers.  Kept OFF by default; the
+# machinery (frontier outputs, visit caps, this driver) stays tested
+# (test_multipass_matches_single_pass) and PT_MULTIPASS-enabled for
+# future scenes where per-ray needs are deeper.
+MULTIPASS_VISITS = ()
+
+
+def _multipass2(sub, o, d, tm, block_k, any_hit, time, visits, g=None):
+    """Multipass re-binned two-level traversal (round 3).
+
+    A 128-ray kernel tile pays for the UNION of the blocks its rays
+    need — on incoherent bounce batches ~100 L1 visits/tile against a
+    per-ray need of only a handful (the reference's per-ray recursion,
+    BVH.hpp:1129-1203, never pays this).  Instead of one long walk,
+    run SHORT capped passes: each kernel pass walks at most `visits[i]`
+    L1s per tile and reports per-ray resume state (b_next/e_next, the
+    nearest unconsumed block that could still beat the ray's best);
+    between passes the still-unresolved rays are re-sorted by b_next,
+    so the next pass's tiles AGREE on the blocks they need and the
+    union collapses toward the per-ray need.  Later passes also run
+    their entry phase against each ray's running best t (passed as
+    t_max), which culls most of the table outright.
+
+    Exactness: the final pass is uncapped, and a pass can only add
+    hits strictly closer than the running bound, so the result equals
+    the single-pass kernel's up to equal-t tie-breaks (same caveat as
+    any ray regrouping, see trace_regen notes).
+
+    NOTE: measured NON-viable on the San-Miguel-analog workload — see
+    the MULTIPASS_VISITS dead-end note below for numbers and why.
+    """
+    from ..accel.pallas_trace2 import pallas_tri_intersect2, G_DEFAULT
+
+    g = G_DEFAULT if g is None else g
+    n = o.shape[0]
+    res = dict(t=jnp.full((n,), BIG_F32), tri=jnp.full((n,), -1,
+                                                       jnp.int32),
+               inst=jnp.full((n,), -1, jnp.int32),
+               valid=jnp.zeros((n,), bool))
+    octant = ((d[:, 0] > 0).astype(jnp.uint32)
+              | ((d[:, 1] > 0).astype(jnp.uint32) << 1)
+              | ((d[:, 2] > 0).astype(jnp.uint32) << 2))
+    o_s, d_s, t_s, time_s = o, d, tm, time
+    ip = None                       # inverse perm of the current order
+    for v in list(visits) + [None]:
+        last = v is None
+        hit = pallas_tri_intersect2(sub, o_s, d_s, t_s, block_k,
+                                    any_hit=any_hit, time=time_s, g=g,
+                                    max_visits=v, frontier=not last)
+        if ip is not None:          # back to original ray order
+            hit = {k: x[ip] for k, x in hit.items()}
+        bound = jnp.where(res["valid"], res["t"], tm)
+        closer = hit["valid"] & (hit["t"] < bound)
+        res = dict(t=jnp.where(closer, hit["t"], res["t"]),
+                   tri=jnp.where(closer, hit["tri"], res["tri"]),
+                   inst=jnp.where(closer, hit["inst"], res["inst"]),
+                   valid=res["valid"] | closer)
+        if last:
+            break
+        bound = jnp.where(res["valid"], res["t"], tm)
+        unresolved = (hit["e_next"] < bound) & (bound > 0.0)
+        if any_hit:
+            unresolved = unresolved & ~res["valid"]
+        key = jnp.where(
+            unresolved,
+            (hit["b_next"].astype(jnp.uint32) << 3) | octant,
+            jnp.uint32(0xFFFFFFFF))
+        perm = jnp.argsort(key)
+        ip = jnp.argsort(perm)
+        o_s = o[perm]
+        d_s = d[perm]
+        t_s = jnp.where(unresolved, bound, 0.0)[perm]
+        time_s = time[perm] if time is not None else None
+    return res
 
 
 def _pallas_dispatch(scene, meta, origin, direction, t_max,
@@ -276,7 +396,13 @@ def _pallas_dispatch(scene, meta, origin, direction, t_max,
     def run(tables, block_k):
         sub = _subset_scene(scene, tables)
         if "pk_l2box" in sub:
-            from ..accel.pallas_trace2 import pallas_tri_intersect2
+            from ..accel.pallas_trace2 import (pallas_tri_intersect2,
+                                               RECULL_MAX_M1PAD)
+            m1pad = -(-sub["pk_blk_lo"].shape[0] // 128) * 128
+            visits = _multipass_visits()
+            if visits and m1pad <= RECULL_MAX_M1PAD:
+                return _multipass2(sub, o, d, tm, block_k, any_hit,
+                                   tme, visits)
             return pallas_tri_intersect2(sub, o, d, tm, block_k,
                                          any_hit=any_hit, time=tme)
         return pallas_tri_intersect(sub, o, d, tm, block_k,

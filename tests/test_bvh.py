@@ -388,9 +388,51 @@ def test_first_block_key_matches_numpy():
     e = np.where(tn <= tf, tn, np.inf)
     first = e.argmin(1)
     entered = np.isfinite(e.min(1))
+    e2 = e.copy()
+    e2[np.arange(n), first] = np.inf
+    second = e2.argmin(1)
+    second = np.where(np.isfinite(e2.min(1)), second, first)
     octant = ((d[:, 0] > 0).astype(np.uint32)
               | ((d[:, 1] > 0).astype(np.uint32) << 1)
               | ((d[:, 2] > 0).astype(np.uint32) << 2))
-    expect = (first.astype(np.uint32) << 3) | octant
+    expect = ((first.astype(np.uint32) * np.uint32(m)
+               + second.astype(np.uint32)) * np.uint32(8)) | octant
     np.testing.assert_array_equal(key[entered], expect[entered])
-    assert (key[~entered] == np.uint32(0x7FFFFFFF)).all()
+    assert (key[~entered] == np.uint32(0x7FFFFFFE)).all()
+
+
+def test_multipass_matches_single_pass():
+    """The multipass re-binned driver (scene.intersect._multipass2) must
+    return the same hits as one uncapped kernel pass — tiny per-pass
+    visit caps force real resume/re-sort traffic, including rays that
+    resolve only in the final uncapped pass."""
+    from pathtracing_tpu.accel.pallas_trace2 import (build_tri_blocks2,
+                                                     pallas_tri_intersect2)
+    rng = np.random.default_rng(21)
+    n_tri = 4000
+    v0 = rng.uniform(-6, 6, (n_tri, 3)).astype(np.float32)
+    tri_v = np.stack([v0,
+                      v0 + rng.normal(0, .4, (n_tri, 3)).astype(np.float32),
+                      v0 + rng.normal(0, .4, (n_tri, 3)).astype(np.float32)],
+                     1)
+    arrays, K2 = build_tri_blocks2(tri_v, k2=128, g=4)   # many small L1s
+    scene = {k: jnp.asarray(v) for k, v in arrays.items()}
+    o, d = _rays(np.random.default_rng(22), n=256, spread=6.0)
+    t_max = jnp.full((256,), BIG_F32).at[::7].set(0.0)   # some dead lanes
+
+    ref = pallas_tri_intersect2(scene, o, d, t_max, K2, g=4)
+    for any_hit in (False, True):
+        got = isect._multipass2(scene, o, d, t_max, K2, any_hit, None,
+                                visits=(2, 1, 2), g=4)
+        if any_hit:
+            ah = pallas_tri_intersect2(scene, o, d, t_max, K2, g=4,
+                                       any_hit=True)
+            np.testing.assert_array_equal(np.asarray(got["valid"]),
+                                          np.asarray(ah["valid"]))
+            continue
+        v = np.asarray(ref["valid"])
+        np.testing.assert_array_equal(np.asarray(got["valid"]), v)
+        np.testing.assert_allclose(np.asarray(got["t"])[v],
+                                   np.asarray(ref["t"])[v], rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(got["tri"])[v],
+                                      np.asarray(ref["tri"])[v])

@@ -36,7 +36,10 @@ def main():
     from pathtracing_tpu.scene.intersect import (_morton_key,
                                                  _first_block_key)
 
-    k2_arg = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    # "0" / "-" / "auto" all mean auto-pick k2 (build_tri_blocks2 treats
+    # only None as auto), so a g sweep can keep the default k2
+    k2_raw = sys.argv[3] if len(sys.argv) > 3 else None
+    k2_arg = None if k2_raw in (None, "0", "-", "auto") else int(k2_raw)
     g = int(sys.argv[4]) if len(sys.argv) > 4 else G_DEFAULT
 
     tri = heightfield(n_tris)
