@@ -232,6 +232,30 @@ def _collapse_wide(nodes, order):
 # Public entry: build over the whole scene IR
 # ---------------------------------------------------------------------------
 
+SORT_COARSE_G = 16
+
+
+def sort_key_coarse(lo: np.ndarray, hi: np.ndarray,
+                    group: int = SORT_COARSE_G):
+    """Coarse unions of `group` consecutive top-level blocks, for the
+    HIERARCHICAL dispatch sort key (intersect._first_block_key): the
+    pre-pass slabs the ~m/16 coarse boxes first and refines only the
+    winning group's members — the full per-ray scan over every block
+    measured ~8 ms / 64K rays at m=2563, 3x the traversal it was
+    ordering (tools/bench_gather.py, round 3).  Blocks are SAH-ordered
+    so consecutive unions stay tight."""
+    lo = np.asarray(lo, np.float32)
+    hi = np.asarray(hi, np.float32)
+    m = len(lo)
+    mc = -(-m // group)
+    pad = mc * group - m
+    lop = np.concatenate([lo, np.full((pad, 3), np.inf, np.float32)])
+    hip = np.concatenate([hi, np.full((pad, 3), -np.inf, np.float32)])
+    clo = lop.reshape(mc, group, 3).min(1)
+    chi = hip.reshape(mc, group, 3).max(1)
+    return dict(pk_sblk_lo=clo, pk_sblk_hi=chi)
+
+
 def _prim_bounds(builder_arrays):
     """AABBs for every primitive in the scene dict (NumPy host arrays)."""
     los, his, kinds, idxs = [], [], [], []

@@ -130,9 +130,11 @@ def build_tri_blocks(tri_v: np.ndarray, block_k: int | None = None,
     slot2tri = ord_pad.astype(np.int32)
     if pad:
         slot2tri[n:] = -1
+    from .build import sort_key_coarse
     return dict(pk_tri=tri9, pk_blk_lo=plo.astype(np.float32),
                 pk_blk_hi=phi.astype(np.float32),
-                pk_slot2tri=slot2tri), k
+                pk_slot2tri=slot2tri,
+                **sort_key_coarse(plo, phi)), k
 
 
 # ---------------------------------------------------------------------------
@@ -256,15 +258,19 @@ def build_tri_blocks_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
     tri9 = np.concatenate([v0.T, e1.T, e2.T,
                            np.zeros((7, len(v)), np.float32)],
                           0).astype(np.float32)
+    from .build import sort_key_coarse
+    blo = np.concatenate(exp_lo, 0).astype(np.float32)
+    bhi = np.concatenate(exp_hi, 0).astype(np.float32)
     return dict(
         pk_tri=tri9,
-        pk_blk_lo=np.concatenate(exp_lo, 0).astype(np.float32),
-        pk_blk_hi=np.concatenate(exp_hi, 0).astype(np.float32),
+        pk_blk_lo=blo,
+        pk_blk_hi=bhi,
         pk_blk_src=np.concatenate(exp_src, 0),
         pk_blk_inst=np.concatenate(exp_inst, 0),
         pk_slot2tri=np.concatenate(slot2tri, 0),
         pk_inst_inv=np.stack([f[:3, :4].reshape(12) for f in inst_inv]),
         pk_inst_fwd=np.stack([f[:3, :4].reshape(12) for f in inst_fwd]),
+        **sort_key_coarse(blo, bhi),
     ), k
 
 
@@ -328,6 +334,23 @@ def _kernel(boxT_hbm, ox_ref, oy_ref, oz_ref,
     inv_guard = kc.inv_guard
 
     def run_tile(tt, _):
+        tmax_row = tmax_ref[0, pl.ds(tt, 1), :]            # [1,128]
+        live_tile = jnp.max(tmax_row) > 0.0
+
+        @pl.when(~live_tile)
+        def _():
+            # all-dead tile (regen drain tail or padding): emit miss
+            # rows without paying the entry phase
+            out_t_ref[0, pl.ds(tt, 1), :] = tmax_row
+            out_slot_ref[0, pl.ds(tt, 1), :] = jnp.full(
+                (1, TILE), -1.0, jnp.float32)
+
+        @pl.when(live_tile)
+        def _():
+            run_live_tile(tt)
+        return 0
+
+    def run_live_tile(tt):
         ox = to_col(ox_ref[0, pl.ds(tt, 1), :])            # [128,1]
         oy = to_col(oy_ref[0, pl.ds(tt, 1), :])
         oz = to_col(oz_ref[0, pl.ds(tt, 1), :])
@@ -437,7 +460,6 @@ def _kernel(boxT_hbm, ox_ref, oy_ref, oz_ref,
         out_t_ref[0, pl.ds(tt, 1), :] = to_row(best_t)
         # slot rides the f32 transpose: exact below 2^24 (caller asserts)
         out_slot_ref[0, pl.ds(tt, 1), :] = to_row(best_slot)
-        return 0
 
     jax.lax.fori_loop(0, TPS, run_tile, 0)
 

@@ -154,12 +154,14 @@ def build_tri_blocks2(tri_v: np.ndarray, k2: int | None = None,
     slot2tri = ord_pad.astype(np.int32)
     if pad:
         slot2tri[n:] = -1
+    from .build import sort_key_coarse
     return dict(pk_tri=tri9.astype(np.float32),
                 pk_l2box=l2box,
                 pk_blk_lo=l1lo,
                 pk_blk_hi=l1hi,
                 pk_l1_base=l1_base,
-                pk_slot2tri=slot2tri), k2
+                pk_slot2tri=slot2tri,
+                **sort_key_coarse(l1lo, l1hi)), k2
 
 
 def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
@@ -309,11 +311,15 @@ def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
     tri9 = np.concatenate([v0.T, e1.T, e2.T,
                            np.zeros((7, len(v)), np.float32)],
                           0).astype(np.float32)
+    from .build import sort_key_coarse
+    blo = np.concatenate(exp_lo, 0).astype(np.float32)
+    bhi = np.concatenate(exp_hi, 0).astype(np.float32)
     return dict(
         pk_tri=tri9,
         pk_l2box=np.concatenate(l2boxes, 0),
-        pk_blk_lo=np.concatenate(exp_lo, 0).astype(np.float32),
-        pk_blk_hi=np.concatenate(exp_hi, 0).astype(np.float32),
+        pk_blk_lo=blo,
+        pk_blk_hi=bhi,
+        **sort_key_coarse(blo, bhi),
         pk_blk_src=np.concatenate(exp_src, 0),
         pk_blk_inst=np.concatenate(exp_inst, 0),
         pk_l1_base=np.concatenate(l1_bases, 0),

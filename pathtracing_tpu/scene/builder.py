@@ -785,6 +785,20 @@ class SceneBuilder:
             **tex,
         )
         scene["med_sigma_t"] = scene["med_sigma_a"] + scene["med_sigma_s"]
+        # packed per-triangle interaction row [nt, 32]: ONE gather
+        # fetches everything make_interaction needs per hit (verts 9,
+        # shading normals 9, uvs 6, prop 4) — five separate table
+        # gathers measured ~3x the packed cost at 10.5M tris
+        # (tools/bench_gather.py, round 3).  Tangents stay a separate
+        # table, gathered only when meta.has_tangents.
+        tri_pack = np.concatenate([
+            pad(self._tri["v"], (1, 3, 3)).reshape(-1, 9),
+            pad(self._tri["n"], (1, 3, 3)).reshape(-1, 9),
+            pad(self._tri["uv"], (1, 3, 2)).reshape(-1, 6),
+            pad(tri_prop, (1, 4), np.int32, -1).astype(np.float32),
+        ], 1).astype(np.float32)
+        scene["tri_pack"] = jnp.asarray(
+            np.pad(tri_pack, ((0, 0), (0, 4))))
         if n_inst:
             scene.update(
                 otri_v=jnp.asarray(np.asarray(self._obj["v"], np.float32)),
@@ -818,6 +832,16 @@ class SceneBuilder:
 
         has_alpha = any(int(m) != ALPHA_OPAQUE
                         for m in self._mat["alpha_mode"])
+        # static interaction-stage gates: untangented/untextured scenes
+        # skip the tangent gather + Gram-Schmidt and the normal-map
+        # texture fetch entirely (round-3 census: make_interaction was
+        # ~7x the camera-ray traversal on the 10.5M bench scene)
+        has_tangents = bool(nt and (np.asarray(tri_prop)[:, 3] > 0).any())
+        if n_inst and len(self._obj["prop"]):
+            has_tangents = has_tangents or bool(
+                (np.asarray(self._obj["prop"])[:, 3] > 0).any())
+        has_normal_maps = bool(
+            nm and (np.asarray(self._mat["tex"])[:, 3] >= 0).any())
         types_in_scene = set(int(t) for t in self._mat["type"])
         mats_present = tuple(bool(k in types_in_scene) or not types_in_scene
                              for k in range(4))
@@ -959,7 +983,8 @@ class SceneBuilder:
             accel=accel, block_k=block_k, alpha_block_k=alpha_block_k,
             has_motion=has_motion,
             has_light_motion=has_light_motion,
-            mats_present=mats_present, n_inst=n_inst, n_obj_tri=n_obj_tri)
+            mats_present=mats_present, n_inst=n_inst, n_obj_tri=n_obj_tri,
+            has_tangents=has_tangents, has_normal_maps=has_normal_maps)
 
         cam = self._pack_camera()
         return scene, cam, meta

@@ -157,20 +157,9 @@ def _morton_key(scene, origin, direction):
     return (octant << 21) | (morton & jnp.uint32(0x1FFFFF))
 
 
-def _first_block_key(scene, origin, direction):
-    """Sort key for kernel dispatch: the ids of the first TWO blocks
-    each ray enters (chunked slab top-2 over the top-level block AABBs),
-    with the direction octant as tie-break.  Blocks are SAH-ordered, so
-    rays sharing their first blocks share a traversal working set — a
-    much stronger grouping for bounce rays than the origin Morton code
-    (a 128-ray tile's visited-block union is the kernel's cost
-    multiplier); adding the SECOND entered block separates rays that
-    happen to start in the same block but diverge immediately.  The
-    pre-pass repeats the kernel's entry slab math once in XLA
-    (~m/512 fused [N,512] chunks), a few ms against the hundreds it
-    saves on incoherent tiles."""
-    bl = scene["pk_blk_lo"]
-    bh = scene["pk_blk_hi"]
+def _slab_top2(bl, bh, origin, inv):
+    """Chunked slab over box tables: per ray the TWO nearest entered
+    boxes (entry dist + id), BIG/0 when fewer.  [N,512] fused chunks."""
     m = bl.shape[0]
     C = 512
     mp = -(-m // C) * C
@@ -178,9 +167,6 @@ def _first_block_key(scene, origin, direction):
     # pallas_trace2 build notes on +-inf empties)
     blp = jnp.pad(bl, ((0, mp - m), (0, 0)), constant_values=3e37)
     bhp = jnp.pad(bh, ((0, mp - m), (0, 0)), constant_values=3e37)
-    inv = 1.0 / jnp.where(jnp.abs(direction) < 1e-32,
-                          jnp.where(direction < 0, -1e-32, 1e-32),
-                          direction)
     n = origin.shape[0]
     lane = jnp.arange(C, dtype=jnp.int32)[None, :]
 
@@ -221,15 +207,82 @@ def _first_block_key(scene, origin, direction):
         t2i = jnp.where(t2o, alt_i, sec_i)
         return t1e, t1i, t2e, t2i
 
-    be, bi, be2, bi2 = jax.lax.fori_loop(
+    return jax.lax.fori_loop(
         0, mp // C, chunk,
         (jnp.full((n,), BIG_F32), jnp.zeros((n,), jnp.int32),
          jnp.full((n,), BIG_F32), jnp.zeros((n,), jnp.int32)))
+
+
+def _first_block_key(scene, origin, direction):
+    """Sort key for kernel dispatch: the ids of the first TWO blocks
+    each ray enters, with the direction octant as tie-break.  Blocks
+    are SAH-ordered, so rays sharing their first blocks share a
+    traversal working set — a much stronger grouping for bounce rays
+    than the origin Morton code (a 128-ray tile's visited-block union
+    is the kernel's cost multiplier); the SECOND entered block
+    separates rays that start in the same block but diverge
+    immediately.
+
+    HIERARCHICAL (round 3): the flat slab over every block measured
+    ~8 ms / 64K rays at m=2563 — 3x the camera-ray traversal it was
+    ordering, paid TWICE per bounce (closest + shadow).  With the
+    builder's coarse unions (pk_sblk_*, 16 blocks each) the pre-pass
+    slabs ~m/16 coarse boxes, gathers the winning group's 16 members,
+    and refines; the runner-up block falls back to the coarse
+    runner-up's first member when the winner's group has no second
+    entered box (a sort-quality approximation only — keys never affect
+    results).  Scenes cached before round 3 lack pk_sblk_* and take
+    the flat scan."""
+    bl = scene["pk_blk_lo"]
+    bh = scene["pk_blk_hi"]
+    m = bl.shape[0]
+    inv = 1.0 / jnp.where(jnp.abs(direction) < 1e-32,
+                          jnp.where(direction < 0, -1e-32, 1e-32),
+                          direction)
+    if "pk_sblk_lo" in scene and m > 64:
+        from ..accel.build import SORT_COARSE_G as Gc
+        ce1, ci1, ce2, ci2 = _slab_top2(scene["pk_sblk_lo"],
+                                        scene["pk_sblk_hi"],
+                                        origin, inv)
+        base = ci1 * Gc
+        fid = base[:, None] + jnp.arange(Gc, dtype=jnp.int32)[None, :]
+        fidc = jnp.clip(fid, 0, m - 1)
+        flo = bl[fidc]                                     # [N,Gc,3]
+        fhi = bh[fidc]
+        u0 = (flo[:, :, 0] - origin[:, 0:1]) * inv[:, 0:1]
+        u1 = (fhi[:, :, 0] - origin[:, 0:1]) * inv[:, 0:1]
+        tn = jnp.minimum(u0, u1)
+        tf = jnp.maximum(u0, u1)
+        u0 = (flo[:, :, 1] - origin[:, 1:2]) * inv[:, 1:2]
+        u1 = (fhi[:, :, 1] - origin[:, 1:2]) * inv[:, 1:2]
+        tn = jnp.maximum(tn, jnp.minimum(u0, u1))
+        tf = jnp.minimum(tf, jnp.maximum(u0, u1))
+        u0 = (flo[:, :, 2] - origin[:, 2:3]) * inv[:, 2:3]
+        u1 = (fhi[:, :, 2] - origin[:, 2:3]) * inv[:, 2:3]
+        tn = jnp.maximum(jnp.maximum(tn, jnp.minimum(u0, u1)), 0.0)
+        tf = jnp.minimum(tf, jnp.maximum(u0, u1))
+        e = jnp.where((tn <= tf) & (fid < m), tn, BIG_F32)  # [N,Gc]
+        f1 = jnp.argmin(e, axis=1).astype(jnp.int32)
+        e1 = jnp.min(e, axis=1)
+        e2l = jnp.where(jnp.arange(Gc, dtype=jnp.int32)[None, :]
+                        == f1[:, None], BIG_F32, e)
+        f2 = jnp.argmin(e2l, axis=1).astype(jnp.int32)
+        e2 = jnp.min(e2l, axis=1)
+        # a coarse-entered ray can miss every member box: key it by the
+        # group itself (quality-only fallback)
+        bi = jnp.where(e1 < BIG_F32 * 0.5, base + f1, base)
+        use_local = e2 <= ce2
+        bi2 = jnp.where(use_local, base + f2, ci2 * Gc)
+        be2 = jnp.minimum(e2, ce2)
+        be = jnp.minimum(e1, ce1)  # coarse-entered => sorts as live
+    else:
+        be, bi, be2, bi2 = _slab_top2(bl, bh, origin, inv)
     octant = ((direction[:, 0] > 0).astype(jnp.uint32)
               | ((direction[:, 1] > 0).astype(jnp.uint32) << 1)
               | ((direction[:, 2] > 0).astype(jnp.uint32) << 2))
     b1 = bi.astype(jnp.uint32)
-    b2 = jnp.where(be2 >= BIG_F32 * 0.5, b1, bi2.astype(jnp.uint32))
+    b2 = jnp.where(be2 >= BIG_F32 * 0.5, b1,
+                   jnp.clip(bi2, 0, m - 1).astype(jnp.uint32))
     if 8 * m * m < (1 << 31):
         key = (b1 * jnp.uint32(m) + b2) * jnp.uint32(8) | octant
     else:                      # huge block counts: first block only
@@ -639,14 +692,27 @@ def make_interaction(scene, meta, origin, direction, hit, time=None):
     motion = meta.has_motion and time is not None
 
     # --- triangle
+    want_tan = getattr(meta, "has_tangents", True)
     ti = jnp.clip(idx, 0, scene["tri_v"].shape[0] - 1)
-    tv = scene["tri_v"][ti]                     # [N,3,3]
+    if "tri_pack" in scene:
+        # ONE packed gather (verts/normals/uvs/prop) instead of four
+        # separate table gathers — row gathers from triangle-count
+        # tables are latency-bound per ROW, not per byte (round-3
+        # tools/bench_gather.py: five gathers 4.7 ms vs packed 1.7 ms
+        # per 64K hits at 10.5M tris)
+        pk_row = scene["tri_pack"][ti]          # [N,32]
+        tv = pk_row[:, 0:9].reshape(-1, 3, 3)
+        tn_b = pk_row[:, 9:18].reshape(-1, 3, 3)
+        tuv_b = pk_row[:, 18:24].reshape(-1, 3, 2)
+        tprop_b = pk_row[:, 24:28].astype(jnp.int32)
+    else:                        # pre-round-3 cached scenes
+        tv = scene["tri_v"][ti]                 # [N,3,3]
+        tn_b = scene["tri_n"][ti]
+        tuv_b = scene["tri_uv"][ti]
+        tprop_b = scene["tri_prop"][ti]
+    ttan_b = scene["tri_tan"][ti] if want_tan else None
     if motion:
         tv = tv + (scene["tri_vel"][ti] * time[:, None])[:, None, :]
-    tn_g = scene["tri_n"]
-    tuv_g = scene["tri_uv"]
-    ttan_g = scene["tri_tan"]
-    tprop_g = scene["tri_prop"]
     if getattr(meta, "n_inst", 0):
         # instanced-triangle hits: gather object-space data and transform
         # to world, then run the standard triangle math (kind folded to
@@ -665,17 +731,18 @@ def make_interaction(scene, meta, origin, direction, hit, time=None):
         on = scene["otri_n"][oid]
         on_w = safe_normalize(jnp.einsum("nij,nkj->nki", nrm, on,
                                          precision="highest"))
-        otan = scene["otri_tan"][oid]
-        otan_w = jnp.einsum("nij,nkj->nki", fwd[:, :, :3], otan,
-                            precision="highest")
+        if want_tan:
+            otan = scene["otri_tan"][oid]
+            otan_w = jnp.einsum("nij,nkj->nki", fwd[:, :, :3], otan,
+                                precision="highest")
         m3 = is_itri[:, None, None]
         tv = jnp.where(m3, ov_w, tv)
-        tn = jnp.where(m3, on_w, tn_g[ti])
+        tn = jnp.where(m3, on_w, tn_b)
         tuv = jnp.where(is_itri[:, None, None], scene["otri_uv"][oid],
-                        tuv_g[ti])
-        ttan = jnp.where(m3, otan_w, ttan_g[ti])
+                        tuv_b)
+        ttan = jnp.where(m3, otan_w, ttan_b) if want_tan else None
         tprop = jnp.where(is_itri[:, None], scene["otri_prop"][oid],
-                          tprop_g[ti])
+                          tprop_b)
         # per-instance area lights: light id = ilight_map[slot_base +
         # (otri - model base)] (instanced Model::BuildBlas emissives)
         lbase = scene["inst_slot_base"][iid]
@@ -687,10 +754,10 @@ def make_interaction(scene, meta, origin, direction, hit, time=None):
         tprop = tprop.at[:, 1].set(jnp.where(is_itri, ilight, tprop[:, 1]))
         kind = jnp.where(is_itri, SHAPE_TRI, kind)
     if not getattr(meta, "n_inst", 0):
-        tn = tn_g[ti]
-        tuv = tuv_g[ti]
-        ttan = ttan_g[ti]
-        tprop = tprop_g[ti]
+        tn = tn_b
+        tuv = tuv_b
+        ttan = ttan_b
+        tprop = tprop_b
     # scalarized (component) triangle interaction math — see the note in
     # core/math.py: [N,3] cross/dot/normalize pay minor-axis relayouts
     from ..core.math import (unpack3, pack3, sdot, scross,
@@ -722,20 +789,23 @@ def make_interaction(scene, meta, origin, direction, hit, time=None):
     nsx = jnp.where(flip_ns, -nsx, nsx)
     nsy = jnp.where(flip_ns, -nsy, nsy)
     nsz = jnp.where(flip_ns, -nsz, nsz)
-    trx = bu * ttan[:, 1, 0] + bv * ttan[:, 2, 0] + bw * ttan[:, 0, 0]
-    try_ = bu * ttan[:, 1, 1] + bv * ttan[:, 2, 1] + bw * ttan[:, 0, 1]
-    trz = bu * ttan[:, 1, 2] + bv * ttan[:, 2, 2] + bw * ttan[:, 0, 2]
-    has_tan = tprop[:, 3] > 0
-    ns_dot_tr = sdot(nsx, nsy, nsz, trx, try_, trz)
-    tgx, tgy, tgz = ssafe_normalize(trx - nsx * ns_dot_tr,
-                                    try_ - nsy * ns_dot_tr,
-                                    trz - nsz * ns_dot_tr)
     # fallback tangent: reference uses normalize(cross(up, ns))
     # (Shape.cpp:239-240) == onb axis[1]
     _, (fbx, fby, fbz) = sonb_from_normal(nsx, nsy, nsz)
-    tan_t = pack3(jnp.where(has_tan, tgx, fbx),
-                  jnp.where(has_tan, tgy, fby),
-                  jnp.where(has_tan, tgz, fbz))
+    if want_tan:
+        trx = bu * ttan[:, 1, 0] + bv * ttan[:, 2, 0] + bw * ttan[:, 0, 0]
+        try_ = bu * ttan[:, 1, 1] + bv * ttan[:, 2, 1] + bw * ttan[:, 0, 1]
+        trz = bu * ttan[:, 1, 2] + bv * ttan[:, 2, 2] + bw * ttan[:, 0, 2]
+        has_tan = tprop[:, 3] > 0
+        ns_dot_tr = sdot(nsx, nsy, nsz, trx, try_, trz)
+        tgx, tgy, tgz = ssafe_normalize(trx - nsx * ns_dot_tr,
+                                        try_ - nsy * ns_dot_tr,
+                                        trz - nsz * ns_dot_tr)
+        tan_t = pack3(jnp.where(has_tan, tgx, fbx),
+                      jnp.where(has_tan, tgy, fby),
+                      jnp.where(has_tan, tgz, fbz))
+    else:   # static: no triangle in the scene has authored tangents
+        tan_t = pack3(fbx, fby, fbz)
     ns_t = pack3(nsx, nsy, nsz)
     ng_t = pack3(ngx, ngy, ngz)
     off_sign = jnp.where(sdot(dxr, dyr, dzr, ngx, ngy, ngz) > 0,
@@ -798,10 +868,13 @@ def make_interaction(scene, meta, origin, direction, hit, time=None):
 
     # normal mapping (Material::sample_normalMap, Material.hpp:344-348),
     # applied where the material has a normal texture
-    mat_ids = jnp.clip(it["mat_id"], 0, scene["mat_type"].shape[0] - 1)
-    norm_tex = scene["mat_tex"][mat_ids, 3]
-    has_norm = (norm_tex >= 0) & (it["mat_id"] >= 0) & it["valid"]
-    if meta.n_mat:
+    # static gate: scenes with no normal-textured material skip the
+    # texture fetch + TBN transform outright (it previously ran for
+    # every hit of every bounce regardless)
+    if meta.n_mat and getattr(meta, "has_normal_maps", True):
+        mat_ids = jnp.clip(it["mat_id"], 0, scene["mat_type"].shape[0] - 1)
+        norm_tex = scene["mat_tex"][mat_ids, 3]
+        has_norm = (norm_tex >= 0) & (it["mat_id"] >= 0) & it["valid"]
         nmap = texture_eval(scene, norm_tex, it["uv"])
         n_local = safe_normalize(2.0 * nmap - 1.0)
         tt, bb2, nn2 = onb_from_interaction(it["ns"], it["tangent"])

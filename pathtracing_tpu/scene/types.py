@@ -75,3 +75,7 @@ class SceneMeta:
     n_inst: int = 0             # runtime instances (TransformedPrimitive)
     n_obj_tri: int = 0          # object-space triangle count
     mats_present: tuple = (True, True, True, True)  # diffuse/diel/thin/cond
+    has_tangents: bool = True   # any triangle with authored tangents
+    has_normal_maps: bool = True  # any material with a normal texture
+    # (both default True so pre-round-3 cached metas keep the old
+    # always-compute behavior; builder sets them exactly)

@@ -8,6 +8,7 @@
 # --xla_force_host_platform_device_count with the jax_num_cpu_devices
 # config.
 import jax
+import pytest
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
@@ -15,3 +16,17 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert jax.device_count() == 8, jax.device_count()
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables between test modules.
+
+    One full-suite process accumulates hundreds of XLA CPU programs;
+    past ~70% of the suite the next big compile (adaptive+regeneration)
+    segfaulted INSIDE the XLA CPU compiler (observed twice at the same
+    test; the same test passes solo and in any shorter prefix).
+    Releasing caches per module keeps the process footprint flat and
+    costs only a few recompiles of fixtures shared across modules."""
+    yield
+    jax.clear_caches()

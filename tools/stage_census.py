@@ -18,6 +18,7 @@ Usage: python tools/stage_census.py [scene] [n_tris] [depth]
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 from functools import partial
@@ -25,6 +26,8 @@ from functools import partial
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def dispatch_overhead():
@@ -70,7 +73,7 @@ def main():
     w, h = cam["resolution"]
     cfg = RenderConfig(spp=1, max_depth=depth, integrator="path",
                        rays_per_batch=1 << 16)
-    n = 1 << 16
+    n = max(1, (1 << 16) // w) * w     # whole rows: the dense film path
     pixel_idx = (h // 2) * w + jnp.arange(n, dtype=jnp.int32)
     print(f"scene={which} tris={meta.n_tri:,} accel={meta.accel} "
           f"depth={depth} rays={n}", flush=True)
@@ -124,7 +127,13 @@ def main():
 
     @partial(jax.jit, static_argnames=())
     def st_wave(scene, cam, film):
-        return render_tile(scene, cam, meta, cfg, film, pixel_idx, 1, 0)
+        # row-aligned so the film takes the dense row-tile splat the
+        # real frame uses (the scatter path over a 2M-pixel film costs
+        # operand-size, not update-count — it showed as a bogus +648 ms
+        # stage here)
+        rows = n // w
+        return render_tile(scene, cam, meta, cfg, film, pixel_idx, 1, 0,
+                           rows=rows, row0=jnp.asarray(h // 2, jnp.int32))
 
     stages = [("raygen", lambda: timeit(st_raygen, scene, cam, base=base)),
               ("raygen+closest", lambda: timeit(st_hit, scene, cam,
