@@ -232,18 +232,21 @@ def _collapse_wide(nodes, order):
 # Public entry: build over the whole scene IR
 # ---------------------------------------------------------------------------
 
-SORT_COARSE_G = 16
+SORT_COARSE_G = 8
 
 
 def sort_key_coarse(lo: np.ndarray, hi: np.ndarray,
                     group: int = SORT_COARSE_G):
     """Coarse unions of `group` consecutive top-level blocks, for the
     HIERARCHICAL dispatch sort key (intersect._first_block_key): the
-    pre-pass slabs the ~m/16 coarse boxes first and refines only the
-    winning group's members — the full per-ray scan over every block
+    pre-pass slabs the ~m/8 coarse boxes first and refines only the
+    top-2 groups' members — the full per-ray scan over every block
     measured ~8 ms / 64K rays at m=2563, 3x the traversal it was
     ordering (tools/bench_gather.py, round 3).  Blocks are SAH-ordered
-    so consecutive unions stay tight."""
+    so consecutive unions stay tight; group=8 + top-2 refinement keeps
+    the key near-exact (a 16-wide single-group refinement degraded
+    bounce sort quality enough to cost 55 ms of kernel time for the
+    6 ms it saved)."""
     lo = np.asarray(lo, np.float32)
     hi = np.asarray(hi, np.float32)
     m = len(lo)

@@ -56,7 +56,7 @@ TILE = 128          # rays per tile (one independent traversal loop each)
 TPS = 8             # tiles per grid step: pallas pays ~70us of pipeline
                     # overhead per grid step (measured with a no-op
                     # kernel); folding 8 tiles into one step amortizes it
-RECULL_EVERY = 16   # block visits between per-ray entry-table re-culls
+RECULL_EVERY = 8    # block visits between per-ray entry-table re-culls
 RECULL_MAX_MPAD = 8192   # beyond this many block lanes the [128, mpad]
                          # re-cull entry table would crowd VMEM — skip it
 

@@ -45,7 +45,7 @@ from . import _kernel_common as kc
 from .pallas_trace import TILE, TPS
 
 G_DEFAULT = 16      # L2 blocks per L1 superblock (tunable)
-RECULL_EVERY = 16   # L1 visits between per-ray entry-table re-culls
+RECULL_EVERY = 8    # L1 visits between per-ray entry-table re-culls
 RECULL_MAX_M1PAD = 8192   # beyond this many L1 lanes the [128, m1pad]
                           # entry table (~4MB) would crowd VMEM: skip it
 
@@ -55,14 +55,15 @@ def build_tri_blocks2(tri_v: np.ndarray, k2: int | None = None,
                       shutter: tuple = (0.0, 0.0),
                       g: int = G_DEFAULT):
     """Two-level block tables.  Returns (arrays, k2):
-      pk_tri      [16, M2*K2]   block-contiguous triangle components
+      pk_tri      [16, M1*(G*K2+128)]  per-L1 group row: the G children's
+                                block-contiguous triangle components
                                 (+ velocity in rows 9..11 under motion)
-      pk_l2box    [M1, 8, 128]  per-L1 row of child AABBs (components in
-                                sublanes, children in lanes)
+                                followed by 128 box lanes whose rows 0-5
+                                carry the children's AABBs — ONE DMA per
+                                visited L1 fetches triangles AND boxes
       pk_blk_lo/hi[M1, 3]       L1 bounds
-      pk_l1_base  [M1] i32      first K2-block owned by each L1 (the
-                                kernel supports VARIABLE group sizes;
-                                see the dead-end note below)
+      pk_l1_base  [M1] i32      first K2-block owned by each L1 (slot
+                                decode: slot = l1_base*K2 + off)
       pk_slot2tri [M2*K2]
     tri_vel/shutter: linear motion — boxes expand by the union over the
     shutter (AnimatedPrimitive, Primitive.cpp:77-96).
@@ -155,13 +156,27 @@ def build_tri_blocks2(tri_v: np.ndarray, k2: int | None = None,
     if pad:
         slot2tri[n:] = -1
     from .build import sort_key_coarse
-    return dict(pk_tri=tri9.astype(np.float32),
-                pk_l2box=l2box,
+    return dict(pk_tri=_interleave_boxes(tri9.astype(np.float32),
+                                         l2box, G, k2),
                 pk_blk_lo=l1lo,
                 pk_blk_hi=l1hi,
                 pk_l1_base=l1_base,
                 pk_slot2tri=slot2tri,
                 **sort_key_coarse(l1lo, l1hi)), k2
+
+
+def _interleave_boxes(tri9, l2box, G, k2):
+    """[16, M1*(G*K2+128)] group rows: each visited L1's triangle
+    columns AND its child-box lanes land in ONE contiguous DMA window
+    (a separate per-visit 4KB box DMA cost a start+wait on the serial
+    per-L1 loop)."""
+    m1 = l2box.shape[0]
+    W = G * k2 + 128
+    out = np.zeros((16, m1 * W), np.float32)
+    view = out.reshape(16, m1, W)
+    view[:, :, :G * k2] = tri9.reshape(16, m1, G * k2)
+    view[0:6, :, G * k2:] = l2box.transpose(1, 0, 2)[0:6]
+    return out
 
 
 def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
@@ -180,9 +195,11 @@ def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
     (TransformedPrimitive semantics, Primitive.cpp:41-66).
 
     Returns (arrays, k2):
-      pk_tri       [16, M2p*K2]  physical triangle columns
-      pk_l2box     [M1p, 8, 128] physical child boxes (object space for
-                                 model rows, world for world-tri rows)
+      pk_tri       [16, M1p*(G*K2+128)]  physical per-L1 group rows:
+                                 triangle columns + child-box lanes
+                                 (object space for model rows, world
+                                 for world-tri rows; see
+                                 _interleave_boxes)
       pk_blk_lo/hi [M1e, 3]      EXPANDED world L1 bounds
       pk_blk_src   [M1e] i32     expanded L1 -> physical L1
       pk_blk_inst  [M1e] i32     expanded L1 -> instance id (-1 world)
@@ -315,8 +332,8 @@ def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
     blo = np.concatenate(exp_lo, 0).astype(np.float32)
     bhi = np.concatenate(exp_hi, 0).astype(np.float32)
     return dict(
-        pk_tri=tri9,
-        pk_l2box=np.concatenate(l2boxes, 0),
+        pk_tri=_interleave_boxes(tri9, np.concatenate(l2boxes, 0),
+                                 G, k2),
         pk_blk_lo=blo,
         pk_blk_hi=bhi,
         **sort_key_coarse(blo, bhi),
@@ -330,7 +347,7 @@ def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
 
 
 def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
-             dx_ref, dy_ref, dz_ref, tmax_ref, l2box_hbm, tri_hbm,
+             dx_ref, dy_ref, dz_ref, tmax_ref, tri_hbm,
              base_ref, *rest, k2: int, n_l1: int, any_hit: bool,
              g: int = G_DEFAULT, instanced: bool = False,
              motion: bool = False, counters: bool = False,
@@ -368,6 +385,7 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
     """
     K2 = k2
     G = g
+    W = G * K2 + 128     # group row: G children's tris + 128 box lanes
     assert not (instanced and motion), "instanced+motion falls back"
     rest = list(rest)
     src_ref = inst_ref = inv_ref = time_ref = None
@@ -384,11 +402,9 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
     if counters:
         out_cnt_ref, *rest = rest
     if use_recull:
-        scratch, sem, box_scratch, box_sem, ecol_ref, etab_ref, \
-            l1v_ref, l1v_sem = rest
+        scratch, sem, ecol_ref, etab_ref, l1v_ref, l1v_sem = rest
     else:
-        scratch, sem, box_scratch, box_sem, ecol_ref, l1v_ref, \
-            l1v_sem = rest
+        scratch, sem, ecol_ref, l1v_ref, l1v_sem = rest
         etab_ref = None
     m1pad = l1v_ref.shape[1]
     R = m1pad // 128
@@ -470,23 +486,17 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
                     inv(dxs), inv(dys), inv(dzs))
 
         def dma_tris(slot, b1e):
-            # ONE DMA fetches ALL G children of a visited L1 (the
-            # group's triangle columns are contiguous, [16, G*K2]).
-            # This replaced per-entered-child DMAs + a 16-entry scalar
-            # bitmask/selection chain: the vector->scalar extraction of
-            # 16 child entries and 16 conditional DMA starts per visit
-            # serialized the scalar pipeline for ~2us/visit (measured,
-            # tools/bench_mxu_leaf.py round 3) — far more than the
-            # extra (G - entered) * K2 columns of DMA traffic cost
-            base = base_ref[0, src_of(b1e)]
+            # ONE DMA fetches a visited L1's whole group row: all G
+            # children's triangle columns PLUS the 128 child-box lanes
+            # (rows 0-5 of the tail).  This replaced per-entered-child
+            # DMAs + a 16-entry scalar bitmask/selection chain (the
+            # vector->scalar extraction of child entries and 16
+            # conditional DMA starts per visit serialized the scalar
+            # pipeline for ~2us/visit — tools/bench_mxu_leaf.py), and
+            # then also absorbed the separate 4KB child-box DMA.
             return pltpu.make_async_copy(
-                tri_hbm.at[:, pl.ds(base * K2, G * K2)],
+                tri_hbm.at[:, pl.ds(src_of(b1e) * W, W)],
                 scratch.at[slot], sem.at[slot])
-
-        def dma_boxes(slot, b1p):
-            return pltpu.make_async_copy(l2box_hbm.at[b1p],
-                                         box_scratch.at[slot],
-                                         box_sem.at[slot])
 
         def body(carry):
             (b1, e1, slot, best_t, best_blk, best_off, _, nl1, nch,
@@ -499,31 +509,30 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
                     recull(best_t)
 
                 cnt = jnp.where(cnt >= recull_every, 0, cnt + 1)
-            # select + prefetch the NEXT L1's child-box + triangle rows
-            # while this L1 is processed (double buffered)
+            # select + prefetch the NEXT L1's group row while this L1
+            # is processed (double buffered)
             nb, ne = select()
             has_next = ne < BIG_F32 * 0.5
 
             @pl.when(has_next)
             def _():
-                dma_boxes(1 - slot, src_of(nb)).start()
                 dma_tris(1 - slot, nb).start()
 
-            dma_boxes(slot, src_of(b1)).wait()
             oxs, oys, ozs, dxs, dys, dzs, ixs, iys, izs = rays_for(b1)
             phys = src_of(b1)
-            # L1s own VARIABLE runs of consecutive K2 blocks (subtree
-            # cuts); base maps physical L1 -> its first block
+            # base maps physical L1 -> its first block (slot decode)
             base = base_ref[0, phys]
 
             # ---- child slab: ALL G children at once, [128 rays, 128
-            # child-lanes]; per-ray CURRENT best_t culls in-layout;
-            # per-child tile-min entries order the drain front-to-back
-            # (BVH.hpp:1142-1203); empty child lanes carry degenerate
-            # far-point boxes and fall out as BIG
+            # child-lanes] from the group row's box tail; per-ray
+            # CURRENT best_t culls in-layout; per-child tile-min
+            # entries order the drain front-to-back (BVH.hpp:1142-1203);
+            # empty child lanes carry degenerate far-point boxes and
+            # fall out as BIG
             def child_entries(bt):
                 def brow(k):
-                    return box_scratch[slot, pl.ds(k, 1), :]   # [1,128]
+                    return scratch[slot, pl.ds(k, 1),
+                                   pl.ds(G * K2, 128)]         # [1,128]
                 u0 = (brow(0) - oxs) * ixs
                 u1 = (brow(3) - oxs) * ixs
                 tn = jnp.minimum(u0, u1)
@@ -632,7 +641,6 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
 
             @pl.when(has_next & ~live)
             def _():
-                dma_boxes(1 - slot, src_of(nb)).wait()
                 dma_tris(1 - slot, nb).wait()
 
             return (nb, ne, 1 - slot, best_t, best_blk, best_off, live,
@@ -646,7 +654,6 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
 
         @pl.when(live0)
         def _():
-            dma_boxes(0, src_of(b0)).start()
             dma_tris(0, b0).start()
 
         zero = jnp.asarray(0.0, jnp.float32)
@@ -801,14 +808,13 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
 
     n_phys = scene["pk_l1_base"].shape[0]
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] + [ray_spec] * 7 + [
-        pl.BlockSpec(memory_space=pl.ANY),    # l2box rows in HBM
-        pl.BlockSpec(memory_space=pl.ANY),    # tri table in HBM
+        pl.BlockSpec(memory_space=pl.ANY),    # group rows in HBM
         shared((1, n_phys))]                  # physical L1 -> first block
     operands = [l1boxT,
                 ox.reshape(shp), oy.reshape(shp), oz.reshape(shp),
                 dx.reshape(shp), dy.reshape(shp), dz.reshape(shp),
                 t_max.reshape(shp),
-                scene["pk_l2box"], scene["pk_tri"],
+                scene["pk_tri"],
                 scene["pk_l1_base"].reshape(1, n_phys)]
     if instanced:
         ninst = scene["pk_inst_inv"].shape[0]
@@ -829,9 +835,7 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((2, 16, G * k2), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,)),
-                        pltpu.VMEM((2, 8, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, 16, G * k2 + 128), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,)),
                         pltpu.VMEM((m1pad // 128, 128), jnp.float32)]
                        + ([pltpu.VMEM((TILE, m1pad), jnp.float32)]

@@ -17,7 +17,9 @@ import jax.numpy as jnp
 
 from ..scene.types import SceneMeta
 
-_FORMAT_VERSION = 3   # v2: per-env-light tables (light_env_slot)
+_FORMAT_VERSION = 4   # v2: per-env-light tables (light_env_slot)
+                      # v4: two-level group rows embed child boxes in
+                      #     pk_tri (pk_l2box gone); tri_pack; pk_sblk_*
                       # v3: degenerate far-point empty AABBs in the
                       # two-level kernel tables — v2 caches hold the
                       # +-inf empties that OOB-DMA'd the TPU kernel

@@ -223,31 +223,39 @@ def _first_block_key(scene, origin, direction):
     separates rays that start in the same block but diverge
     immediately.
 
-    HIERARCHICAL (round 3): the flat slab over every block measured
-    ~8 ms / 64K rays at m=2563 — 3x the camera-ray traversal it was
-    ordering, paid TWICE per bounce (closest + shadow).  With the
-    builder's coarse unions (pk_sblk_*, 16 blocks each) the pre-pass
-    slabs ~m/16 coarse boxes, gathers the winning group's 16 members,
-    and refines; the runner-up block falls back to the coarse
-    runner-up's first member when the winner's group has no second
-    entered box (a sort-quality approximation only — keys never affect
-    results).  Scenes cached before round 3 lack pk_sblk_* and take
-    the flat scan."""
+    HIERARCHICAL variant — MEASURED DEAD END, kept env-gated
+    (PT_HIER_KEY=1): the flat slab over every block costs ~8 ms /
+    64K rays at m=2563, so a coarse-union pre-pass (pk_sblk_*, slab
+    ~m/8 unions then refine the top-2 groups' 16 members) looked
+    attractive — but the approximate key degrades tile coherence
+    enough that the KERNEL loses far more than the pre-pass saves
+    (bounce 64K rays at 10.5M tris: exact 215 ms, hierarchical
+    G16/top-1 271 ms, G8/top-2 247 ms; visits/tile 102 -> 138/119).
+    Keys never affect results, only cost."""
+    import os
     bl = scene["pk_blk_lo"]
     bh = scene["pk_blk_hi"]
     m = bl.shape[0]
     inv = 1.0 / jnp.where(jnp.abs(direction) < 1e-32,
                           jnp.where(direction < 0, -1e-32, 1e-32),
                           direction)
-    if "pk_sblk_lo" in scene and m > 64:
+    if ("pk_sblk_lo" in scene and m > 64
+            and os.environ.get("PT_HIER_KEY") == "1"):
         from ..accel.build import SORT_COARSE_G as Gc
         ce1, ci1, ce2, ci2 = _slab_top2(scene["pk_sblk_lo"],
                                         scene["pk_sblk_hi"],
                                         origin, inv)
-        base = ci1 * Gc
-        fid = base[:, None] + jnp.arange(Gc, dtype=jnp.int32)[None, :]
+        # refine the TOP-2 coarse groups jointly: the key is exact
+        # whenever the true first two blocks live in them (refining
+        # only the winner measured 55 ms of extra kernel time on
+        # bounce batches for the 6 ms of pre-pass it saved)
+        have2 = ce2 < BIG_F32 * 0.5
+        ar = jnp.arange(Gc, dtype=jnp.int32)[None, :]
+        fid = jnp.concatenate(
+            [ci1[:, None] * Gc + ar,
+             jnp.where(have2, ci2, ci1)[:, None] * Gc + ar], 1)
         fidc = jnp.clip(fid, 0, m - 1)
-        flo = bl[fidc]                                     # [N,Gc,3]
+        flo = bl[fidc]                                     # [N,2Gc,3]
         fhi = bh[fidc]
         u0 = (flo[:, :, 0] - origin[:, 0:1]) * inv[:, 0:1]
         u1 = (fhi[:, :, 0] - origin[:, 0:1]) * inv[:, 0:1]
@@ -261,19 +269,20 @@ def _first_block_key(scene, origin, direction):
         u1 = (fhi[:, :, 2] - origin[:, 2:3]) * inv[:, 2:3]
         tn = jnp.maximum(jnp.maximum(tn, jnp.minimum(u0, u1)), 0.0)
         tf = jnp.minimum(tf, jnp.maximum(u0, u1))
-        e = jnp.where((tn <= tf) & (fid < m), tn, BIG_F32)  # [N,Gc]
-        f1 = jnp.argmin(e, axis=1).astype(jnp.int32)
+        e = jnp.where((tn <= tf) & (fid < m), tn, BIG_F32)  # [N,2Gc]
+        f1 = jnp.argmin(e, axis=1)
         e1 = jnp.min(e, axis=1)
-        e2l = jnp.where(jnp.arange(Gc, dtype=jnp.int32)[None, :]
-                        == f1[:, None], BIG_F32, e)
-        f2 = jnp.argmin(e2l, axis=1).astype(jnp.int32)
+        b1f = jnp.take_along_axis(fid, f1[:, None], 1)[:, 0]
+        e2l = jnp.where(jnp.arange(2 * Gc)[None, :] == f1[:, None],
+                        BIG_F32, e)
+        f2 = jnp.argmin(e2l, axis=1)
         e2 = jnp.min(e2l, axis=1)
+        b2f = jnp.take_along_axis(fid, f2[:, None], 1)[:, 0]
         # a coarse-entered ray can miss every member box: key it by the
         # group itself (quality-only fallback)
-        bi = jnp.where(e1 < BIG_F32 * 0.5, base + f1, base)
-        use_local = e2 <= ce2
-        bi2 = jnp.where(use_local, base + f2, ci2 * Gc)
-        be2 = jnp.minimum(e2, ce2)
+        bi = jnp.where(e1 < BIG_F32 * 0.5, b1f, ci1 * Gc)
+        bi2 = b2f
+        be2 = e2
         be = jnp.minimum(e1, ce1)  # coarse-entered => sorts as live
     else:
         be, bi, be2, bi2 = _slab_top2(bl, bh, origin, inv)
@@ -448,7 +457,7 @@ def _pallas_dispatch(scene, meta, origin, direction, t_max,
         tme = time_s
     def run(tables, block_k):
         sub = _subset_scene(scene, tables)
-        if "pk_l2box" in sub:
+        if "pk_l1_base" in sub:          # two-level tables
             from ..accel.pallas_trace2 import (pallas_tri_intersect2,
                                                RECULL_MAX_M1PAD)
             m1pad = -(-sub["pk_blk_lo"].shape[0] // 128) * 128

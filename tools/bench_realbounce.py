@@ -112,7 +112,7 @@ def main():
         ms_a = timed(lambda: anyhit(scene, o, d, tm))
         # visit counters under the production sort order (two-level only)
         cnt = ""
-        if "pk_l2box" in scene:
+        if "pk_l1_base" in scene:
             key = isect._first_block_key(scene, o, d)
             key = jnp.where(tm <= 0.0, jnp.uint32(0xFFFFFFFF), key)
             p = jnp.argsort(key)

@@ -154,7 +154,7 @@ def main():
               flush=True)
         prev = dt
 
-    if meta.accel == "pallas" and "pk_l2box" in scene:
+    if meta.accel == "pallas" and "pk_l1_base" in scene:
         from pathtracing_tpu.accel.pallas_trace2 import pallas_tri_intersect2
         o, d, tm = jax.jit(rays)(scene, cam)
         r = pallas_tri_intersect2(scene, o, d,
