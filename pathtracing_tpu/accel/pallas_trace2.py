@@ -53,7 +53,8 @@ RECULL_MAX_M1PAD = 8192   # beyond this many L1 lanes the [128, m1pad]
 def build_tri_blocks2(tri_v: np.ndarray, k2: int | None = None,
                       tri_vel: np.ndarray | None = None,
                       shutter: tuple = (0.0, 0.0),
-                      g: int = G_DEFAULT):
+                      g: int = G_DEFAULT,
+                      order: np.ndarray | None = None):
     """Two-level block tables.  Returns (arrays, k2):
       pk_tri      [16, M1*(G*K2+128)]  per-L1 group row: the G children's
                                 block-contiguous triangle components
@@ -80,11 +81,14 @@ def build_tri_blocks2(tri_v: np.ndarray, k2: int | None = None,
         d1 = tri_vel * float(shutter[1])
         lo = lo + np.minimum(d0, d1)
         hi = hi + np.maximum(d0, d1)
-    native = native_build_bvh(lo, hi, 4)
-    if native is not None:
-        order = native[3]
-    else:
-        _, order = _sah_build_binary(lo, hi, leaf_size=4)
+    if order is None:
+        # order is k2/g-independent: sweep tools pass it in to avoid
+        # re-running the SAH build per block-shape configuration
+        native = native_build_bvh(lo, hi, 4)
+        if native is not None:
+            order = native[3]
+        else:
+            _, order = _sah_build_binary(lo, hi, leaf_size=4)
     n = len(order)
     G = g
     if k2 is None:

@@ -541,14 +541,62 @@ def trace(scene, cam, meta, cfg: RenderConfig, origin, direction, time,
         if cfg.remat:
             policy = jax.checkpoint_policies.save_only_these_names(
                 "traversal")
-            bounce_fn = jax.checkpoint(bounce, policy=policy)
+
+            def wrap(fn):
+                return jax.checkpoint(fn, policy=policy)
         else:
-            bounce_fn = bounce
+            def wrap(fn):
+                return fn
+        bounce_fn = wrap(bounce)
 
         def scan_body(st, b):
             return bounce_fn(st, b), None
-        state, _ = jax.lax.scan(scan_body, state,
-                                jnp.arange(cfg.max_depth))
+
+        compact = (cfg.compact_after is not None
+                   and cfg.compact_after < cfg.max_depth and n >= 4096)
+        if not compact:
+            state, _ = jax.lax.scan(scan_body, state,
+                                    jnp.arange(cfg.max_depth))
+        else:
+            # ---- differentiable tail compaction: most paths die after
+            # a few bounces, but a scan cannot early-exit — without
+            # compaction every remaining iteration pays full-width shade
+            # math (and its backward recompute) for mostly-dead lanes.
+            # Same contract as the while_loop form below: full width up
+            # to compact_after, then gather survivors into a quarter-
+            # width batch (RNG is (pixel, sample, bounce)-keyed so the
+            # result matches to float precision); falls back to the
+            # full-width tail when survivors exceed the cap.  Gather /
+            # scatter are linear, so VJPs route gradients back exactly.
+            state, _ = jax.lax.scan(scan_body, state,
+                                    jnp.arange(cfg.compact_after))
+            cap = max(1024, -(-(n // 4) // 1024) * 1024)
+            live = state["alive"]
+            tail_b = jnp.arange(cfg.compact_after, cfg.max_depth)
+
+            def tail_full(state):
+                st, _ = jax.lax.scan(scan_body, state, tail_b)
+                return st["radiance"], st["n_rays"]
+
+            def tail_compact(state):
+                take = jnp.argsort(~live)[:cap]   # stable: live first
+                sub = {k: (v[take] if getattr(v, "ndim", 0) else v)
+                       for k, v in state.items()}
+                bounce_sub = wrap(_make_bounce(
+                    scene, meta, cfg, px[take], py[take], time[take],
+                    sample_idx, cap))
+
+                def body2(st, b):
+                    return bounce_sub(st, b), None
+
+                sub, _ = jax.lax.scan(body2, sub, tail_b)
+                return (state["radiance"].at[take].set(sub["radiance"]),
+                        sub["n_rays"])
+
+            radiance, n_rays = jax.lax.cond(jnp.sum(live) <= cap,
+                                            tail_compact, tail_full,
+                                            state)
+            state = dict(state, radiance=radiance, n_rays=n_rays)
     else:
         def cond(carry):
             st, b = carry

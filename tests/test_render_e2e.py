@@ -124,12 +124,7 @@ def test_gradients_through_render():
     assert np.abs(g).max() > 0.0
 
 
-def test_tail_compaction_matches_full_width():
-    """compact_after gathers survivors into a quarter-width batch after
-    a few bounces; per-lane RNG is (pixel, sample, bounce)-keyed, so the
-    image must match the uncompacted render to float precision (tile
-    regrouping may flip traversal tie-breaks by ~1 ULP)."""
-    import dataclasses
+def _heightfield_scene(res=(96, 64)):
     import sys, os
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
                                     "tools"))
@@ -144,8 +139,18 @@ def test_tail_compaction_matches_full_width():
                material=b.add_diffuse((0.6, 0.55, 0.5)))
     b.add_distant_light(direction=(-0.3, -1.0, -0.2), color=(5, 5, 4.6))
     b.add_uniform_inf_light((0.35, 0.45, 0.65))
-    b.set_camera([50, 40, -30], [50, 0, 50], math.radians(55), (96, 64))
-    scene, cam, meta = b.build()
+    b.set_camera([50, 40, -30], [50, 0, 50], math.radians(55), res)
+    return b.build()
+
+
+def test_tail_compaction_matches_full_width():
+    """compact_after gathers survivors into a quarter-width batch after
+    a few bounces; per-lane RNG is (pixel, sample, bounce)-keyed, so the
+    image must match the uncompacted render to float precision (tile
+    regrouping may flip traversal tie-breaks by ~1 ULP)."""
+    import dataclasses
+
+    scene, cam, meta = _heightfield_scene()
     cfg = RenderConfig(spp=1, max_depth=6, integrator="path")
     f0 = render(scene, cam, meta, cfg)
     f1 = render(scene, cam, meta,
@@ -173,6 +178,38 @@ def test_tail_compaction_matches_full_width():
     np.testing.assert_allclose(np.asarray(f5["rgb"]),
                                np.asarray(f4["rgb"]),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_differentiable_tail_compaction_matches():
+    """The differentiable scan's tail compaction (quarter-width gather
+    after compact_after bounces) must leave the rendered value AND the
+    parameter gradients unchanged to float precision: gather/scatter are
+    linear and per-lane RNG is (pixel, sample, bounce)-keyed."""
+    import dataclasses
+    import jax
+    from pathtracing_tpu.integrators.render import render_tile
+
+    scene, cam, meta = _heightfield_scene()
+    w, h = cam["resolution"]
+    pixel_idx = jnp.arange(w * h, dtype=jnp.int32)
+    cfg0 = RenderConfig(spp=1, max_depth=6, integrator="path",
+                        differentiable=True)
+    cfg1 = dataclasses.replace(cfg0, compact_after=2)
+
+    def make_loss(cfg):
+        def loss(base):
+            sc = dict(scene, mat_base=base)
+            f = fm.new_film(cam["resolution"])
+            f = render_tile(sc, cam, meta, cfg, f, pixel_idx, 1)
+            return jnp.sum(f["rgb"] * f["rgb"])
+        return loss
+
+    v0, g0 = jax.value_and_grad(make_loss(cfg0))(scene["mat_base"])
+    v1, g1 = jax.value_and_grad(make_loss(cfg1))(scene["mat_base"])
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-4, atol=1e-6)
+    assert np.abs(np.asarray(g0)).max() > 0.0
 
 
 def test_regeneration_ray_count_invariant():
