@@ -68,6 +68,10 @@ def build_tri_blocks2(tri_v: np.ndarray, k2: int | None = None,
       pk_slot2tri [M2*K2]
     tri_vel/shutter: linear motion — boxes expand by the union over the
     shutter (AnimatedPrimitive, Primitive.cpp:77-96).
+    order: optional pre-built SAH order (sweep tools pass it to avoid
+    re-running the build per (k2, g) config).  CONTRACT: a permutation
+    of range(len(tri_v)) built over the SAME triangle set — including
+    any motion expansion — or the blocking silently degrades/corrupts.
     """
     from .build import _sah_build_binary
     from ..native.loader import native_build_bvh
@@ -89,6 +93,11 @@ def build_tri_blocks2(tri_v: np.ndarray, k2: int | None = None,
             order = native[3]
         else:
             _, order = _sah_build_binary(lo, hi, leaf_size=4)
+    else:
+        order = np.asarray(order)
+        assert len(order) == len(tri_v), \
+            (f"order length {len(order)} != triangle count {len(tri_v)} "
+             "(was it built over the same, motion-expanded, set?)")
     n = len(order)
     G = g
     if k2 is None:
@@ -185,7 +194,10 @@ def _interleave_boxes(tri9, l2box, G, k2):
 
 def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
                            inst_count, k2: int | None = None,
-                           g: int = G_DEFAULT):
+                           g: int = G_DEFAULT,
+                           tri_sel=None, otri_sel=None,
+                           tri_vel=None, inst_vel=None,
+                           shutter: tuple = (0.0, 0.0)):
     """Two-level INSTANCED block tables (TLAS/BLAS at San-Miguel scale,
     BVH.hpp:554-555 — the reference's TLAS templates work at any scale;
     round 1 only had instancing in the single-level kernel).
@@ -197,6 +209,20 @@ def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
     whose child boxes / triangle blocks to fetch, and the instance whose
     inverse transform the kernel applies to the ray tile
     (TransformedPrimitive semantics, Primitive.cpp:41-66).
+
+    tri_sel / otri_sel: optional bool masks restricting which world /
+    object triangles the tables cover — the builder's alpha-material
+    table split (Primitive.cpp:6-14 alpha shadow semantics) builds one
+    opaque and one alpha set this way.  pk_slot2tri always maps to
+    GLOBAL ids, so downstream interaction lookups are unchanged; an
+    instance whose model has no selected triangle emits no L1s.
+
+    tri_vel [nt,3] / inst_vel [ni,3] / shutter: linear motion
+    (AnimatedPrimitive, Primitive.cpp:77-96).  World rows carry per-tri
+    velocities in rows 9..11 (leaf test shifts the origin); moving
+    instances get their expanded world L1 AABBs unioned over the shutter
+    and an OBJECT-SPACE velocity row (pk_inst_velo) the kernel uses to
+    shift the object-space ray origin by -v_obj*time per visit.
 
     Returns (arrays, k2):
       pk_tri       [16, M1p*(G*K2+128)]  physical per-L1 group rows:
@@ -210,6 +236,7 @@ def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
       pk_slot2tri  [M2p*K2] i32  physical slot -> tri id (world tri id
                                  for world rows, otri id for model rows)
       pk_inst_inv / pk_inst_fwd [ni, 12]
+      pk_inst_velo [ni, 3]       object-space instance velocities
     """
     from .build import _sah_build_binary
     from ..native.loader import native_build_bvh
@@ -221,10 +248,21 @@ def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
     inst_inv = [np.asarray(f, np.float32) for f in inst_inv]
     nt = len(tri_v)
     ni = len(inst_fwd)
+    world_ids = (np.nonzero(np.asarray(tri_sel, bool))[0]
+                 if tri_sel is not None else np.arange(nt))
+    otri_sel = (np.asarray(otri_sel, bool) if otri_sel is not None
+                else np.ones(len(otri_v), bool))
+    if tri_vel is not None:
+        tri_vel = np.asarray(tri_vel, np.float32)
+    inst_vel = (np.asarray(inst_vel, np.float32) if inst_vel is not None
+                else np.zeros((max(ni, 1), 3), np.float32))
+    s0, s1 = float(shutter[0]), float(shutter[1])
     models = {}                       # (base,count) -> instance indices
     for i in range(ni):
         models.setdefault((int(inst_base[i]), int(inst_count[i])),
                           []).append(i)
+    model_ids = {bc: bc[0] + np.nonzero(otri_sel[bc[0]:bc[0] + bc[1]])[0]
+                 for bc in models}
 
     def _order(v_sub):
         lo = v_sub.min(1)
@@ -242,9 +280,9 @@ def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
         def n_l1_expanded(k2):
             def l1_of(n):
                 return -(-(-(-n // k2)) // G) if n else 0
-            me = l1_of(nt)
-            for (base, count), insts in models.items():
-                me += l1_of(count) * len(insts)
+            me = l1_of(len(world_ids))
+            for bc, insts in models.items():
+                me += l1_of(len(model_ids[bc])) * len(insts)
             return me
 
         k2 = 128
@@ -252,13 +290,13 @@ def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
                and n_l1_expanded(k2 + 128) < n_l1_expanded(k2)):
             k2 += 128
 
-    tri_chunks, slot2tri, l2boxes = [], [], []
+    tri_chunks, vel_chunks, slot2tri, l2boxes = [], [], [], []
     exp_lo, exp_hi, exp_src, exp_inst = [], [], [], []
     l1_bases = []
     phys_l1 = 0
     phys_blocks = 0
 
-    def emit_source(v_sub, glob_ids):
+    def emit_source(v_sub, glob_ids, vel_sub=None):
         """SAH-order + block one triangle soup into L2/L1 tables; returns
         per-L1 (physical ids, source-space lo/hi)."""
         nonlocal phys_l1, phys_blocks
@@ -270,12 +308,20 @@ def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
         ord_pad = np.concatenate([order, np.repeat(order[-1:], pad)])
         v = v_sub[ord_pad]
         tri_chunks.append(v)
+        vel_chunks.append(vel_sub[ord_pad] if vel_sub is not None
+                          else np.zeros_like(v[:, 0]))
         s2t = glob_ids[ord_pad].astype(np.int32)
         if pad:
             s2t[n:] = -1
         slot2tri.append(s2t)
         lo = v_sub.min(1)
         hi = v_sub.max(1)
+        if vel_sub is not None:
+            # shutter-expanded boxes (AnimatedPrimitive under accel)
+            d0 = vel_sub * s0
+            d1 = vel_sub * s1
+            lo = lo + np.minimum(d0, d1)
+            hi = hi + np.maximum(d0, d1)
         l2lo = lo[ord_pad].reshape(m2, k2, 3).min(1)
         l2hi = hi[ord_pad].reshape(m2, k2, 3).max(1)
         nb_data = -(-n // k2)
@@ -303,16 +349,20 @@ def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
         phys_blocks += m2
         return src, l1lo, l1hi
 
-    if nt:
-        src, lo, hi = emit_source(tri_v, np.arange(nt))
+    if len(world_ids):
+        src, lo, hi = emit_source(
+            tri_v[world_ids], world_ids,
+            tri_vel[world_ids] if tri_vel is not None else None)
         exp_lo.append(lo)
         exp_hi.append(hi)
         exp_src.append(src)
         exp_inst.append(np.full(len(src), -1, np.int32))
 
-    for (base, count), insts in models.items():
-        src, lo, hi = emit_source(otri_v[base:base + count],
-                                  np.arange(base, base + count))
+    for bc, insts in models.items():
+        ids = model_ids[bc]
+        if not len(ids):
+            continue                  # model fully outside this subset
+        src, lo, hi = emit_source(otri_v[ids], ids)
         # 8 corners of each object-space L1 AABB -> world AABB per instance
         corners = np.stack([np.stack([np.where(m & (1 << a), hi[:, a],
                                                lo[:, a]) for a in range(3)],
@@ -320,8 +370,12 @@ def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
         for i in insts:
             f = inst_fwd[i]
             wc = corners @ f[:3, :3].T + f[:3, 3]
-            exp_lo.append(wc.min(1))
-            exp_hi.append(wc.max(1))
+            wlo = wc.min(1)
+            whi = wc.max(1)
+            d0 = inst_vel[i] * s0     # moving instance: union over shutter
+            d1 = inst_vel[i] * s1
+            exp_lo.append(wlo + np.minimum(d0, d1))
+            exp_hi.append(whi + np.maximum(d0, d1))
             exp_src.append(src)
             exp_inst.append(np.full(len(src), i, np.int32))
 
@@ -329,9 +383,14 @@ def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
     v0 = v[:, 0]
     e1 = v[:, 1] - v0
     e2 = v[:, 2] - v0
-    tri9 = np.concatenate([v0.T, e1.T, e2.T,
-                           np.zeros((7, len(v)), np.float32)],
+    vel_rows = np.concatenate(vel_chunks, 0).T            # [3, M2p*K2]
+    tri9 = np.concatenate([v0.T, e1.T, e2.T, vel_rows,
+                           np.zeros((4, len(v)), np.float32)],
                           0).astype(np.float32)
+    # object-space instance velocities: v_obj = inv_lin @ v_world (the
+    # kernel shifts the object-space ray origin by -v_obj*time)
+    velo = np.stack([inst_inv[i][:3, :3] @ inst_vel[i] if ni else
+                     np.zeros(3, np.float32) for i in range(max(ni, 1))])
     from .build import sort_key_coarse
     blo = np.concatenate(exp_lo, 0).astype(np.float32)
     bhi = np.concatenate(exp_hi, 0).astype(np.float32)
@@ -347,6 +406,7 @@ def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
         pk_slot2tri=np.concatenate(slot2tri, 0),
         pk_inst_inv=np.stack([f[:3, :4].reshape(12) for f in inst_inv]),
         pk_inst_fwd=np.stack([f[:3, :4].reshape(12) for f in inst_fwd]),
+        pk_inst_velo=velo.astype(np.float32),
     ), k2
 
 
@@ -390,12 +450,16 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
     K2 = k2
     G = g
     W = G * K2 + 128     # group row: G children's tris + 128 box lanes
-    assert not (instanced and motion), "instanced+motion falls back"
     rest = list(rest)
-    src_ref = inst_ref = inv_ref = time_ref = None
+    src_ref = inst_ref = inv_ref = time_ref = velo_ref = None
     if instanced:
         src_ref, inst_ref, inv_ref = rest[:3]
         rest = rest[3:]
+        if motion:
+            # per-instance OBJECT-SPACE velocities (AnimatedPrimitive
+            # wrapping a TransformedPrimitive, Primitive.cpp:77-96)
+            velo_ref = rest[0]
+            rest = rest[1:]
     if motion:
         time_ref = rest[0]
         rest = rest[1:]
@@ -477,8 +541,17 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
             if not instanced:
                 return ox, oy, oz, dx, dy, dz, ix, iy, iz
             inst = inst_ref[0, b1]
+            iv = jnp.maximum(inst, 0)
             (oxl, oyl, ozl), (dxl, dyl, dzl) = kc.instance_transform(
-                inv_ref, jnp.maximum(inst, 0), (ox, oy, oz), (dx, dy, dz))
+                inv_ref, iv, (ox, oy, oz), (dx, dy, dz))
+            if motion:
+                # moving instance: object-space test at ray time == the
+                # static test from origin - v_obj*time (the same re-wrap
+                # as the leaf motion rows, Primitive.cpp:77-96); child
+                # slabs below use these shifted origins too
+                oxl = oxl - velo_ref[iv, 0] * rtime
+                oyl = oyl - velo_ref[iv, 1] * rtime
+                ozl = ozl - velo_ref[iv, 2] * rtime
             use = inst >= 0
             oxs = jnp.where(use, oxl, ox)
             oys = jnp.where(use, oyl, oy)
@@ -826,6 +899,9 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
         operands += [scene["pk_blk_src"].reshape(1, m1),
                      scene["pk_blk_inst"].reshape(1, m1),
                      scene["pk_inst_inv"]]
+        if motion:
+            in_specs += [shared((ninst, 3))]
+            operands += [scene["pk_inst_velo"]]
     if motion:
         in_specs += [ray_spec]
         operands += [jnp.asarray(time, jnp.float32).reshape(shp)]

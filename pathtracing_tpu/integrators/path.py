@@ -528,6 +528,41 @@ def trace(scene, cam, meta, cfg: RenderConfig, origin, direction, time,
 
     bounce = bounce_for(px, py, time, n)
 
+    def make_tail_pair(state, run_tail, wrap_fn):
+        """Shared tail-compaction plumbing for BOTH loop forms.
+
+        Returns (tail_full, tail_compact, cap, live) for a lax.cond:
+        compaction gathers the (<= cap) surviving lanes into a quarter-
+        width batch — stable order, live first — runs the tail there via
+        `run_tail(sub_state, bounce_fn)` (scan for the differentiable
+        form, while_loop for the forward form), and scatters radiance
+        back.  Exact: RNG is (pixel, sample, bounce)-keyed, gathered
+        dead lanes carry state unchanged, untaken lanes are all dead;
+        gather/scatter are linear so VJPs route gradients back exactly.
+
+        NOTE both cond branches are traced and COMPILED even when one
+        never executes at runtime — on this backend (10-260 s compiles)
+        that roughly doubles tail compile cost.  Accepted: the branch is
+        data-dependent (survivor count) and must exist in the program.
+        """
+        cap = max(1024, -(-(n // 4) // 1024) * 1024)
+        live = state["alive"]
+
+        def tail_full(_):
+            st = run_tail(state, wrap_fn(bounce))
+            return st["radiance"], st["n_rays"]
+
+        def tail_compact(_):
+            take = jnp.argsort(~live)[:cap]   # stable: live first
+            sub = {k: (v[take] if getattr(v, "ndim", 0) else v)
+                   for k, v in state.items()}
+            sub = run_tail(sub, wrap_fn(bounce_for(px[take], py[take],
+                                                   time[take], cap)))
+            return (state["radiance"].at[take].set(sub["radiance"]),
+                    sub["n_rays"])
+
+        return tail_full, tail_compact, cap, live
+
     if cfg.differentiable:
         # per-bounce rematerialisation: the backward pass recomputes each
         # bounce from its carried ray state instead of saving every
@@ -562,40 +597,21 @@ def trace(scene, cam, meta, cfg: RenderConfig, origin, direction, time,
             # a few bounces, but a scan cannot early-exit — without
             # compaction every remaining iteration pays full-width shade
             # math (and its backward recompute) for mostly-dead lanes.
-            # Same contract as the while_loop form below: full width up
-            # to compact_after, then gather survivors into a quarter-
-            # width batch (RNG is (pixel, sample, bounce)-keyed so the
-            # result matches to float precision); falls back to the
-            # full-width tail when survivors exceed the cap.  Gather /
-            # scatter are linear, so VJPs route gradients back exactly.
+            # Shared plumbing with the while_loop form (make_tail_pair).
             state, _ = jax.lax.scan(scan_body, state,
                                     jnp.arange(cfg.compact_after))
-            cap = max(1024, -(-(n // 4) // 1024) * 1024)
-            live = state["alive"]
             tail_b = jnp.arange(cfg.compact_after, cfg.max_depth)
 
-            def tail_full(state):
-                st, _ = jax.lax.scan(scan_body, state, tail_b)
-                return st["radiance"], st["n_rays"]
+            def run_tail(st, bounce_fn):
+                st, _ = jax.lax.scan(lambda s, b: (bounce_fn(s, b), None),
+                                     st, tail_b)
+                return st
 
-            def tail_compact(state):
-                take = jnp.argsort(~live)[:cap]   # stable: live first
-                sub = {k: (v[take] if getattr(v, "ndim", 0) else v)
-                       for k, v in state.items()}
-                bounce_sub = wrap(_make_bounce(
-                    scene, meta, cfg, px[take], py[take], time[take],
-                    sample_idx, cap))
-
-                def body2(st, b):
-                    return bounce_sub(st, b), None
-
-                sub, _ = jax.lax.scan(body2, sub, tail_b)
-                return (state["radiance"].at[take].set(sub["radiance"]),
-                        sub["n_rays"])
-
+            tail_full, tail_compact, cap, live = make_tail_pair(
+                state, run_tail, wrap)
             radiance, n_rays = jax.lax.cond(jnp.sum(live) <= cap,
                                             tail_compact, tail_full,
-                                            state)
+                                            None)
             state = dict(state, radiance=radiance, n_rays=n_rays)
     else:
         def cond(carry):
@@ -613,44 +629,28 @@ def trace(scene, cam, meta, cfg: RenderConfig, origin, direction, time,
                                           (state, jnp.asarray(0)))
         else:
             # ---- tail compaction: full width up to compact_after, then
-            # gather survivors into a quarter-width batch.  Exact: RNG is
-            # (pixel, sample, bounce)-keyed, dead gathered lanes carry
-            # state unchanged, and untaken lanes are all dead.
+            # gather survivors into a quarter-width batch (shared
+            # plumbing with the differentiable form, make_tail_pair).
             def cond0(carry):
                 st, b = carry
                 return jnp.any(st["alive"]) & (b < cfg.compact_after)
 
             state, b_end = jax.lax.while_loop(cond0, body,
                                               (state, jnp.asarray(0)))
-            cap = max(1024, -(-(n // 4) // 1024) * 1024)
-            live = state["alive"]
-            n_live = jnp.sum(live)
 
-            def tail_full(_):
-                st, _ = jax.lax.while_loop(cond, body, (state, b_end))
-                return st["radiance"], st["n_rays"]
-
-            def tail_compact(_):
-                # stable: live lanes first, then dead (order preserved)
-                take = jnp.argsort(~live)[:cap]
-                sub = {k: (v[take] if getattr(v, "ndim", 0) else v)
-                       for k, v in state.items()}
-                bounce_sub = bounce_for(px[take], py[take],
-                                        time[take], cap)
-
-                def body2(carry):
-                    st, b = carry
-                    return bounce_sub(st, b), b + 1
-
-                sub, _ = jax.lax.while_loop(
+            def run_tail(st, bounce_fn):
+                st, _ = jax.lax.while_loop(
                     lambda c: jnp.any(c[0]["alive"]) & (c[1] <
                                                         cfg.max_depth),
-                    body2, (sub, b_end))
-                return (state["radiance"].at[take].set(sub["radiance"]),
-                        sub["n_rays"])
+                    lambda c: (bounce_fn(c[0], c[1]), c[1] + 1),
+                    (st, b_end))
+                return st
 
-            radiance, n_rays = jax.lax.cond(n_live <= cap, tail_compact,
-                                            tail_full, None)
+            tail_full, tail_compact, cap, live = make_tail_pair(
+                state, run_tail, lambda f: f)
+            radiance, n_rays = jax.lax.cond(jnp.sum(live) <= cap,
+                                            tail_compact, tail_full,
+                                            None)
             state = dict(state, radiance=radiance, n_rays=n_rays)
     if with_stats:
         return state["radiance"], dict(n_rays=state["n_rays"])

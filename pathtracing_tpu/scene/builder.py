@@ -351,7 +351,8 @@ class SceneBuilder:
         return mid
 
     def add_model_instance(self, model_id: int, transform=None,
-                           runtime: bool = False):
+                           runtime: bool = False,
+                           velocity=(0.0, 0.0, 0.0)):
         """TransformedPrimitive instancing (Primitive.hpp:34-48).
 
         runtime=False (default): geometry is re-emitted in world space —
@@ -362,7 +363,12 @@ class SceneBuilder:
         reference's mechanism, Primitive.cpp:41-66) — memory O(tris).
         Traced by the instanced Pallas kernel (expanded-block TLAS with
         in-kernel ray transforms) or the dense backend; beam/bvh accels
-        fall back to brute."""
+        fall back to brute.
+
+        velocity: linear WORLD-space motion of the whole instance over
+        the shutter (AnimatedPrimitive wrapping a TransformedPrimitive,
+        Primitive.cpp:77-96) — the instance origin at ray time t is
+        translated by velocity*t."""
         if not runtime:
             m = self._models[model_id]
             return self.add_mesh(m["vertices"], m["indices"],
@@ -370,7 +376,7 @@ class SceneBuilder:
                                  tangents=m["tangents"],
                                  material=m["material"], medium=m["medium"],
                                  emission=m["emission"], em_tex=m["em_tex"],
-                                 transform=transform)
+                                 transform=transform, velocity=velocity)
         if not hasattr(self, "_obj"):
             self._obj = dict(v=_ChunkedRows(), n=_ChunkedRows(),
                              uv=_ChunkedRows(), tan=_ChunkedRows(),
@@ -432,10 +438,12 @@ class SceneBuilder:
                     shape=(SHAPE_ITRI, -1),      # finalized in build()
                     emtex=em_tex, one_sided=False,
                     _inst=(inst_idx, base + j)))
+        vel = np.asarray(velocity, np.float32)
+        self._has_motion |= bool(np.abs(vel).max() > 0)
         self._inst.append(dict(
             fwd=tf[:3, :4], inv=inv[:3, :4],
             nrm=np.linalg.inv(tf[:3, :3]).T.astype(np.float32),
-            base=base, count=count, light_first=light_first))
+            base=base, count=count, light_first=light_first, vel=vel))
         return inst_idx
 
     def add_env_light_from_file(self, path, scale: float = 1.0):
@@ -531,6 +539,10 @@ class SceneBuilder:
                                     for z in (lo_o[2], hi_o[2])])
                 wc = corners @ inst["fwd"][:, :3].T + inst["fwd"][:, 3]
                 pts += [wc]
+                vel = np.asarray(inst.get("vel", np.zeros(3)), np.float32)
+                if np.abs(vel).max() > 0:      # moving instance: union
+                    sh = (self.camera or {}).get("shutter", (0.0, 0.0))
+                    pts += [wc + vel * sh[0], wc + vel * sh[1]]
         if not pts:
             return np.zeros(3), np.ones(3)
         allp = np.concatenate(pts, 0)
@@ -820,6 +832,9 @@ class SceneBuilder:
                 inst_count=jnp.asarray(np.asarray(
                     [i["count"] for i in self._inst], np.int32)),
                 inst_slot_base=jnp.asarray(inst_slot_base),
+                inst_vel=jnp.asarray(np.stack(
+                    [np.asarray(i.get("vel", np.zeros(3)), np.float32)
+                     for i in self._inst])),
                 ilight_map=jnp.asarray(ilight_map))
         if env_tables:
             scene.update(env_tables)
@@ -865,12 +880,28 @@ class SceneBuilder:
                 accel = "beam"
         if has_motion and accel in ("beam", "bvh"):
             accel = "brute"   # beam/bvh accels assume static world prims
-        if has_motion and n_inst:
-            accel = "brute"   # instanced kernels carry no velocities
         if n_inst and accel in ("beam", "bvh"):
             accel = "brute"   # only pallas/brute handle runtime instances
         block_k = 0
         alpha_block_k = 0
+        # per-triangle alpha masks (world + object tables): alpha-material
+        # triangles split into their own table set so shadow predicates
+        # any-hit the opaque set in ONE traversal and run the stochastic
+        # alpha chain only over this subset (the reference alpha-tests
+        # inside traversal, Primitive.cpp:6-14)
+        mat_modes = np.asarray(self._mat["alpha_mode"], np.int64)
+
+        def alpha_mask(mats):
+            out = np.zeros(len(mats), bool)
+            if has_alpha and len(mats) and len(mat_modes):
+                ok = (mats >= 0) & (mats < len(mat_modes))
+                out[ok] = mat_modes[mats[ok]] != ALPHA_OPAQUE
+            return out
+
+        tri_prop_np = np.asarray(tri_prop, np.int64) if len(tri_prop) \
+            else np.zeros((0, 4), np.int64)
+        tri_alpha = alpha_mask(tri_prop_np[:, 0] if nt else
+                               np.zeros(0, np.int64))
         if accel == "pallas" and n_inst:
             # instanced TLAS/BLAS block tables: object-space geometry
             # stored once, per-instance expanded block AABBs, in-kernel
@@ -878,6 +909,18 @@ class SceneBuilder:
             # instanced scenes use the two-level kernel (instance-
             # expanded L1 superblocks) so TLAS instancing works at every
             # scale like the reference's (BVH.hpp:554-555).
+            otri_prop_np = (np.asarray(self._obj["prop"], np.int64)
+                            if len(self._obj["prop"])
+                            else np.zeros((0, 4), np.int64))
+            otri_alpha = alpha_mask(otri_prop_np[:, 0]
+                                    if len(otri_prop_np) else
+                                    np.zeros(0, np.int64))
+            n_alpha = int(tri_alpha.sum()) + int(otri_alpha.sum())
+            split = 0 < n_alpha < nt + len(otri_alpha)
+            shutter = (self.camera or {}).get("shutter", (0.0, 0.0))
+            inst_vel_np = np.stack(
+                [np.asarray(i.get("vel", np.zeros(3)), np.float32)
+                 for i in self._inst])
             args = (
                 np.asarray(self._tri["v"], np.float32).reshape(-1, 3, 3),
                 np.asarray(self._obj["v"], np.float32).reshape(-1, 3, 3),
@@ -885,21 +928,36 @@ class SceneBuilder:
                 [i["inv"] for i in self._inst],
                 [i["base"] for i in self._inst],
                 [i["count"] for i in self._inst])
-            use_two = nt + n_inst_tris > 65536
+            kw = {}
+            if has_motion:
+                kw = dict(tri_vel=np.asarray(self._tri["vel"], np.float32)
+                          if nt else None,
+                          inst_vel=inst_vel_np, shutter=shutter)
+            # alpha-split / motion instanced scenes always use the
+            # two-level kernel (the single-level instanced tables carry
+            # neither subsets nor velocities); so do large scenes and
+            # extreme instance counts (flat single-level slot ids
+            # overflow the exact-f32 transpose past 2^24)
+            use_two = (nt + n_inst_tris > 65536 or split or has_motion)
             if not use_two:
                 from ..accel.pallas_trace import build_tri_blocks_inst
                 pk_arrays, block_k = build_tri_blocks_inst(*args)
                 if pk_arrays["pk_blk_lo"].shape[0] * block_k >= (1 << 24):
-                    # single-level hits are a FLAT expanded slot id that
-                    # rides an exact-f32 transpose in-kernel: past 2^24
-                    # ids it would round to even (wrong triangle /
-                    # instance).  The two-level kernel records hits as a
-                    # (block, offset) pair whose components stay tiny —
-                    # route extreme instance counts there instead
                     use_two = True
             if use_two:
                 from ..accel.pallas_trace2 import build_tri_blocks2_inst
-                pk_arrays, block_k = build_tri_blocks2_inst(*args)
+                if split:
+                    pk_arrays, block_k = build_tri_blocks2_inst(
+                        *args, tri_sel=~tri_alpha, otri_sel=~otri_alpha,
+                        **kw)
+                    pka, alpha_block_k = build_tri_blocks2_inst(
+                        *args, tri_sel=tri_alpha, otri_sel=otri_alpha,
+                        **kw)
+                    scene.update({"pka_" + k[3:]: jnp.asarray(v)
+                                  for k, v in pka.items()})
+                else:
+                    pk_arrays, block_k = build_tri_blocks2_inst(*args,
+                                                                **kw)
             scene.update({k: jnp.asarray(v) for k, v in pk_arrays.items()})
         elif accel == "pallas" and nt:
             # motion-blurred scenes keep the kernel: per-triangle
@@ -932,18 +990,8 @@ class SceneBuilder:
                 return arrays, bk
 
             # alpha-material triangles split into their own (small)
-            # table set: shadow predicates any-hit the opaque set in ONE
-            # traversal and run the stochastic alpha chain only on this
-            # subset (the reference alpha-tests inside traversal,
-            # Primitive.cpp:6-14)
-            tri_mat = np.asarray(tri_prop[:, 0] if len(tri_prop)
-                                 else [], np.int64)
-            mat_modes = np.asarray(self._mat["alpha_mode"], np.int64)
-            tri_alpha = np.zeros(nt, bool)
-            if has_alpha and nt and len(mat_modes):
-                ok_mat = (tri_mat >= 0) & (tri_mat < len(mat_modes))
-                tri_alpha[ok_mat] = mat_modes[tri_mat[ok_mat]] \
-                    != ALPHA_OPAQUE
+            # table set (tri_alpha hoisted above; instanced scenes get
+            # the same split through build_tri_blocks2_inst's tri_sel)
             n_alpha = int(tri_alpha.sum())
             all_ids = np.arange(nt)
             if 0 < n_alpha < nt:

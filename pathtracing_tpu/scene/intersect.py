@@ -652,6 +652,13 @@ def intersect(scene, meta, origin, direction, t_max, time=None):
             o_l = jnp.matmul(origin, inv[:, :3].T,
                              precision="highest") + inv[:, 3]
             d_l = jnp.matmul(direction, inv[:, :3].T, precision="highest")
+            if motion and "inst_vel" in scene:
+                # moving instance (AnimatedPrimitive wrapping a
+                # TransformedPrimitive, Primitive.cpp:77-96): test the
+                # static object from origin - v_obj * time
+                vel_l = jnp.matmul(scene["inst_vel"][i], inv[:, :3].T,
+                                   precision="highest")
+                o_l = o_l - vel_l[None, :] * time[:, None]
             base = scene["inst_base"][i]
             count = scene["inst_count"][i]
             c, nch = _chunks(meta.n_obj_tri)
@@ -737,6 +744,11 @@ def make_interaction(scene, meta, origin, direction, hit, time=None):
         ov = scene["otri_v"][oid]               # [N,3,3]
         ov_w = jnp.einsum("nij,nkj->nki", fwd[:, :, :3], ov,
                           precision="highest") + fwd[:, None, :, 3]
+        if motion and "inst_vel" in scene:
+            # moving instance: world position at ray time (translation
+            # only — normals unchanged)
+            ov_w = ov_w + (scene["inst_vel"][iid]
+                           * time[:, None])[:, None, :]
         on = scene["otri_n"][oid]
         on_w = safe_normalize(jnp.einsum("nij,nkj->nki", nrm, on,
                                          precision="highest"))

@@ -127,6 +127,10 @@ def _sample_shape(scene, meta, kind, sidx, uv2, time=None):
         ov = scene["otri_v"][oi]                          # [N,3,3]
         wv = jnp.einsum("nij,nkj->nki", fwd[:, :, :3], ov,
                         precision="highest") + fwd[:, None, :, 3]
+        if motion and "inst_vel" in scene:
+            # moving emissive instance: sample at the ray time
+            # (AnimatedLight over a TransformedLight, Light.cpp:336-364)
+            wv = wv + (scene["inst_vel"][ii] * time[:, None])[:, None, :]
         p_i = (b0[:, None] * wv[:, 0] + b1[:, None] * wv[:, 1]
                + b2[:, None] * wv[:, 2])
         n_i = safe_normalize(jnp.cross(wv[:, 1] - wv[:, 0],

@@ -498,3 +498,154 @@ def test_instanced_slot_range_guard():
     np.testing.assert_allclose(np.asarray(res["t"]), 2.0, rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(res["inst"]), targets)
     np.testing.assert_array_equal(np.asarray(res["tri"]), 0)
+
+
+def test_instanced_alpha_split_matches_brute():
+    """Alpha table split for INSTANCED scenes (round-4): a runtime-
+    instanced alpha-MASK foliage model keeps accel=pallas with pka_*
+    tables (shadow predicate = one opaque any-hit + a small alpha chain)
+    and matches the brute oracle — San-Miguel-class foliage is exactly
+    alpha+instanced (Primitive.cpp:6-14 + Primitive.cpp:41-66)."""
+    import jax
+    from pathtracing_tpu.scene.intersect import intersect, occluded
+
+    # foliage card model: two crossed quads (4 tris) with a cutout tex
+    V = np.asarray([[-1, 0, 0], [1, 0, 0], [1, 2, 0], [-1, 2, 0],
+                    [0, 0, -1], [0, 0, 1], [0, 2, 1], [0, 2, -1]],
+                   np.float32)
+    F = np.asarray([[0, 1, 2], [0, 2, 3], [4, 5, 6], [4, 6, 7]], np.int32)
+    uvs = np.asarray([[0, 0], [1, 0], [1, 1], [0, 1]] * 2, np.float32)
+
+    def tf(tx, tz, ry=0.0, s=1.0):
+        c, si = math.cos(ry), math.sin(ry)
+        return np.asarray([[c * s, 0, si * s, tx], [0, s, 0, 0],
+                           [-si * s, 0, c * s, tz], [0, 0, 0, 1]],
+                          np.float32)
+
+    def build(accel):
+        b = SceneBuilder()
+        tex = np.zeros((32, 32, 4), np.float32)
+        xx, yy = np.meshgrid(np.arange(32), np.arange(32))
+        tex[..., :3] = np.asarray([0.2, 0.6, 0.2])
+        tex[..., 3] = np.where(((xx // 4) + (yy // 4)) % 2 == 0, 1.0, 0.0)
+        tid = b.textures.add_image(tex)
+        leaf = b.add_diffuse((1, 1, 1), base_tex=tid, alpha_mode=2,
+                             alpha_cutoff=0.5)
+        mid = b.add_model(V, F, uvs=uvs, material=leaf)
+        for k, t in enumerate([tf(-2, 0, 0.4), tf(2, 1, 1.3, 1.4),
+                               tf(0, -2, 2.2, 0.8), tf(2.5, -2, 0.9)]):
+            b.add_model_instance(mid, t, runtime=True)
+        # opaque world geometry + an opaque instance
+        b.add_mesh(V * 0.5 + np.asarray([0, 0, 4], np.float32), F,
+                   material=b.add_diffuse((0.6, 0.5, 0.4)))
+        omid = b.add_model(V * 0.6, F, material=b.add_diffuse((0.5,) * 3))
+        b.add_model_instance(omid, tf(-3, 3), runtime=True)
+        b.add_quad([-6, 0, -6], [12, 0, 0], [0, 0, 12],
+                   material=b.add_diffuse((0.5, 0.5, 0.5)))
+        b.add_uniform_inf_light((1.0, 1.0, 1.0))
+        b.set_camera([0, 4, -8], [0, 1, 0], math.radians(40), (24, 24))
+        return b.build(accel=accel)
+
+    sc_p, cam, mp = build("pallas")
+    assert mp.accel == "pallas" and mp.alpha_block_k > 0, \
+        (mp.accel, mp.alpha_block_k)
+    assert "pka_tri" in sc_p and "pka_blk_src" in sc_p
+    sc_b, _, mb = build("brute")
+    assert mb.accel == "brute"
+
+    rng = np.random.default_rng(7)
+    n = 512
+    o = np.stack([rng.uniform(-4, 4, n), rng.uniform(0.1, 2.5, n),
+                  rng.uniform(-4, 4, n)], -1).astype(np.float32)
+    d = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    hb = jax.tree.map(np.asarray, intersect(sc_b, mb, o, d, 1e30))
+    hp = jax.tree.map(np.asarray, intersect(sc_p, mp, o, d, 1e30))
+    assert (hb["valid"] == hp["valid"]).all()
+    m = hb["valid"]
+    np.testing.assert_allclose(hp["t"][m], hb["t"][m], rtol=1e-4,
+                               atol=1e-5)
+    assert (hb["kind"][m] == hp["kind"][m]).all()
+    assert (hb["idx"][m] == hp["idx"][m]).all()
+    # deterministic MASK cutouts: occlusion must match exactly, and some
+    # shadow rays must escape through the holes
+    ob = np.asarray(occluded(sc_b, mb, o, d, jnp.full((n,), 5.0)))
+    op = np.asarray(occluded(sc_p, mp, o, d, jnp.full((n,), 5.0)))
+    assert (ob == op).all()
+    assert (~op).any() and op.any()
+
+    cfg = RenderConfig(spp=2, max_depth=3,
+                       sampler=SamplerConfig(x_samples=2, y_samples=1))
+    img_p = np.asarray(render_image(sc_p, cam, mp, cfg))
+    img_b = np.asarray(render_image(sc_b, cam, mb, cfg))
+    close = np.isclose(img_p, img_b, rtol=1e-3, atol=1e-4)
+    assert close.mean() > 0.99, close.mean()
+
+
+def test_moving_instance_matches_brute():
+    """AnimatedPrimitive wrapping a TransformedPrimitive
+    (Primitive.cpp:77-96 + 41-66): a runtime instance with a world
+    velocity keeps accel=pallas (expanded L1 AABBs union over the
+    shutter; the kernel shifts the object-space origin by -v_obj*time)
+    and matches the brute oracle."""
+    import jax
+    from pathtracing_tpu.scene.intersect import intersect
+
+    V = np.asarray([[-1, 0, -1], [1, 0, -1], [1, 0, 1], [-1, 0, 1],
+                    [0, 1.5, 0]], np.float32)
+    F = np.asarray([[0, 1, 4], [1, 2, 4], [2, 3, 4], [3, 0, 4],
+                    [0, 2, 1], [0, 3, 2]], np.int32)
+
+    def tf(tx, ty, tz, s=1.0, ry=0.0):
+        c, si = math.cos(ry), math.sin(ry)
+        return np.asarray([[c * s, 0, si * s, tx], [0, s, 0, ty],
+                           [-si * s, 0, c * s, tz], [0, 0, 0, 1]],
+                          np.float32)
+
+    def build(accel):
+        b = SceneBuilder()
+        mat = b.add_diffuse((0.7, 0.5, 0.3))
+        mid = b.add_model(V, F, material=mat)
+        b.add_model_instance(mid, tf(-2, 0, 0, ry=0.5), runtime=True,
+                             velocity=(2.0, 0.5, 0.0))
+        b.add_model_instance(mid, tf(2, 0, 1, s=1.3), runtime=True)
+        # moving WORLD triangles in the same instanced scene
+        b.add_mesh(V + np.asarray([0, 0, 4], np.float32), F, material=mat,
+                   velocity=(0.0, 1.0, 0.0))
+        b.add_quad([-6, -0.2, -6], [12, 0, 0], [0, 0, 12],
+                   material=b.add_diffuse((0.5, 0.5, 0.5)))
+        b.add_uniform_inf_light((1.0, 1.0, 1.0))
+        b.set_camera([0, 4, -8], [0, 0.5, 0], math.radians(40), (24, 24),
+                     shutter=(0.0, 1.0))
+        return b.build(accel=accel)
+
+    sc_p, cam, mp = build("pallas")
+    assert mp.accel == "pallas" and mp.has_motion and mp.n_inst == 2
+    sc_b, _, mb = build("brute")
+
+    rng = np.random.default_rng(11)
+    n = 512
+    o = np.stack([rng.uniform(-4, 4, n), rng.uniform(0.2, 4, n),
+                  rng.uniform(-4, 4, n)], -1).astype(np.float32)
+    d = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t = rng.uniform(0.0, 1.0, n).astype(np.float32)
+    o, d, t = jnp.asarray(o), jnp.asarray(d), jnp.asarray(t)
+    hb = jax.tree.map(np.asarray,
+                      intersect(sc_b, mb, o, d, 1e30, time=t))
+    hp = jax.tree.map(np.asarray,
+                      intersect(sc_p, mp, o, d, 1e30, time=t))
+    assert (hb["valid"] == hp["valid"]).all()
+    m = hb["valid"]
+    np.testing.assert_allclose(hp["t"][m], hb["t"][m], rtol=1e-4,
+                               atol=1e-5)
+    assert (hb["kind"][m] == hp["kind"][m]).all()
+    assert (hb["idx"][m] == hp["idx"][m]).all()
+
+    cfg = RenderConfig(spp=4, max_depth=2,
+                       sampler=SamplerConfig(x_samples=2, y_samples=2))
+    img_p = np.asarray(render_image(sc_p, cam, mp, cfg))
+    img_b = np.asarray(render_image(sc_b, cam, mb, cfg))
+    close = np.isclose(img_p, img_b, rtol=1e-3, atol=1e-4)
+    assert close.mean() > 0.99, close.mean()

@@ -55,7 +55,10 @@ def main():
                            differentiable=True, rays_per_batch=1 << 16,
                            compact_after=compact)
 
-        def loss(base, scene):
+        # film0/pixel_idx are jit ARGUMENTS: closing over arrays bakes
+        # them into every compile request over the tunnel (CLAUDE.md
+        # HTTP-413 guidance)
+        def loss(base, scene, film0, pixel_idx):
             sc = dict(scene, mat_base=base)
             f = render_tile(sc, cam, meta, cfg, film0, pixel_idx, 1, 0,
                             rows=rows, row0=jnp.asarray(0, jnp.int32))
@@ -63,11 +66,11 @@ def main():
 
         gfn = jax.jit(jax.grad(loss))
         t0 = time.perf_counter()
-        g = jax.device_get(gfn(scene["mat_base"], scene))
+        g = jax.device_get(gfn(scene["mat_base"], scene, film0, pixel_idx))
         warm = time.perf_counter() - t0
         assert np.isfinite(g).all()
         t0 = time.perf_counter()
-        jax.device_get(gfn(scene["mat_base"], scene))
+        jax.device_get(gfn(scene["mat_base"], scene, film0, pixel_idx))
         dt = time.perf_counter() - t0
         rate = rows * w / dt
         if ref is None:
