@@ -945,14 +945,44 @@ class SceneBuilder:
                 if pk_arrays["pk_blk_lo"].shape[0] * block_k >= (1 << 24):
                     use_two = True
             if use_two:
-                from ..accel.pallas_trace2 import build_tri_blocks2_inst
+                from ..accel.pallas_trace2 import (build_tri_blocks2,
+                                                   build_tri_blocks2_inst)
+
+                def inst_tables(tri_sel_, otri_sel_):
+                    if not otri_sel_.any() and tri_sel_.any():
+                        # this subset has NO instance rows (e.g. the
+                        # opaque set of a scene whose only alpha
+                        # geometry is instanced foliage): plain
+                        # two-level tables over the world subset —
+                        # avoids hauling per-instance transforms into
+                        # kernel SMEM for a set that never reads them
+                        ids = np.nonzero(tri_sel_)[0]
+                        tv = np.asarray(
+                            self._tri["v"],
+                            np.float32).reshape(-1, 3, 3)[ids]
+                        kw2 = {}
+                        if has_motion and nt:
+                            kw2 = dict(
+                                tri_vel=np.asarray(
+                                    self._tri["vel"],
+                                    np.float32)[ids],
+                                shutter=shutter)
+                        arrays, bk = build_tri_blocks2(tv, **kw2)
+                        s2t = arrays["pk_slot2tri"]
+                        arrays["pk_slot2tri"] = np.where(
+                            s2t >= 0,
+                            ids[np.clip(s2t, 0, len(ids) - 1)],
+                            -1).astype(np.int32)
+                        return arrays, bk
+                    return build_tri_blocks2_inst(
+                        *args, tri_sel=tri_sel_, otri_sel=otri_sel_,
+                        **kw)
+
                 if split:
-                    pk_arrays, block_k = build_tri_blocks2_inst(
-                        *args, tri_sel=~tri_alpha, otri_sel=~otri_alpha,
-                        **kw)
-                    pka, alpha_block_k = build_tri_blocks2_inst(
-                        *args, tri_sel=tri_alpha, otri_sel=otri_alpha,
-                        **kw)
+                    pk_arrays, block_k = inst_tables(~tri_alpha,
+                                                     ~otri_alpha)
+                    pka, alpha_block_k = inst_tables(tri_alpha,
+                                                     otri_alpha)
                     scene.update({"pka_" + k[3:]: jnp.asarray(v)
                                   for k, v in pka.items()})
                 else:
