@@ -159,39 +159,134 @@ def bench_mesh_rays(scene, cam, meta, depth, regen):
     return rays_per_sample, n2 / dt
 
 
-def bench_mesh_fwd_bwd(scene, cam, meta, res=(512, 512), depth=8):
-    """fwd+bwd: gradient of a differentiable render w.r.t. material base
-    colors, one 64K-pixel batch.  Returns camera-samples/s."""
+def bench_mesh_fwd_bwd_frame(scene, cam, meta, depth=8, compact=None):
+    """fwd+bwd at FRAME scale: gradient of the full-frame loss w.r.t.
+    material base colors.
+
+    grad of a tiled-sum loss == the sum of per-tile grads, so ONE
+    jitted fori_loop accumulates row-tile gradients across the whole
+    frame (every full tile shares one compile); the ragged last tile
+    (different rows count => different shapes) runs as its own call.
+    compact_after: differentiable tail compaction (BENCH_BWD_COMPACT
+    env; see tools/bench_bwd.py for the sweep that picked the default).
+    Returns camera-samples/s over the full w*h frame."""
     from pathtracing_tpu.integrators.path import RenderConfig
     from pathtracing_tpu.integrators.render import render_tile
     from pathtracing_tpu.sensor import film as filmmod
 
     cfg = RenderConfig(spp=1, max_depth=depth, integrator="path",
-                       differentiable=True, rays_per_batch=1 << 16)
-    w, h = res
-    # repack the camera for the bwd resolution (square aspect)
-    cam2 = dict(cam, resolution=res)
-    half_w = float(np.asarray(cam["half_wh"])[0])
-    cam2["half_wh"] = jnp.asarray([half_w, half_w * h / w], jnp.float32)
-    rows = (1 << 16) // w
-    pixel_idx = jnp.arange(rows * w, dtype=jnp.int32)
+                       differentiable=True, rays_per_batch=1 << 16,
+                       compact_after=compact)
+    w, h = cam["resolution"]
+    rows = max(1, (1 << 16) // w)
+    n_full = h // rows
+    rem = h - n_full * rows
+
+    def tile_grad(base, scene, film0, row0, rows):
+        def loss(base):
+            sc = dict(scene, mat_base=base)
+            pix = row0 * w + jnp.arange(rows * w, dtype=jnp.int32)
+            f = render_tile(sc, cam, meta, cfg, film0, pix, 1, 0,
+                            rows=rows, row0=row0)
+            return jnp.sum(f["rgb"])
+        return jax.grad(loss)(base)
+
     film0 = filmmod.new_film((w, rows))
 
-    def loss(base, scene):
-        sc = dict(scene, mat_base=base)
-        f = render_tile(sc, cam2, meta, cfg, film0, pixel_idx, 1, 0,
-                        rows=rows, row0=jnp.asarray(0, jnp.int32))
-        return jnp.sum(f["rgb"])
+    @jax.jit
+    def grad_full(base, scene, film0):
+        def body(t, acc):
+            row0 = (t * rows).astype(jnp.int32)
+            return acc + tile_grad(base, scene, film0, row0, rows)
+        return jax.lax.fori_loop(0, n_full, body, jnp.zeros_like(base))
 
-    gfn = jax.jit(jax.grad(loss))
-    g = gfn(scene["mat_base"], scene)
-    g0 = jax.device_get(g)
+    if rem:
+        film0r = filmmod.new_film((w, rem))
+
+        @jax.jit
+        def grad_rem(base, scene, film0r):
+            return tile_grad(base, scene, film0r,
+                             jnp.asarray(n_full * rows, jnp.int32), rem)
+
+    def run():
+        g = grad_full(scene["mat_base"], scene, film0)
+        if rem:
+            g = g + grad_rem(scene["mat_base"], scene, film0r)
+        return jax.device_get(g)
+
+    t0 = time.perf_counter()
+    g0 = run()                                         # warm/compile
+    warm = time.perf_counter() - t0
     assert np.isfinite(g0).all(), "non-finite gradient"
     t0 = time.perf_counter()
-    g = gfn(scene["mat_base"], scene)
-    jax.device_get(g)
+    run()
     dt = time.perf_counter() - t0
-    return rows * w / dt
+    print(f"[bench] fwd+bwd frame: warm(compile) {warm:.1f}s, "
+          f"timed {dt:.1f}s / {w * h} samples", flush=True)
+    return w * h / dt
+
+
+def bench_bounce_kernel(scene, meta, n=1 << 16):
+    """Roofline secondary metrics (VERDICT r3 item 8): time one bounce-
+    class closest-hit kernel dispatch on the scene's own two-level
+    tables and report ms/64K rays, mean L1 visits + children tested per
+    128-ray tile, and the achieved HBM read bandwidth (each visited L1
+    DMAs one 16 x (G*K2+128) f32 group row; visit counts come from the
+    in-kernel counters).  Rays: random off-surface origins with
+    downward-hemisphere directions, dispatch-sorted by first entered
+    block exactly like production bounces."""
+    from pathtracing_tpu.accel.pallas_trace2 import G_DEFAULT
+    from pathtracing_tpu.accel.pallas_trace2 import pallas_tri_intersect2
+    from pathtracing_tpu.scene.intersect import (_first_block_key,
+                                                 _subset_scene)
+    sub = _subset_scene(scene, "pk_")
+    if "pk_l1_base" not in sub or getattr(meta, "has_motion", False):
+        return {}
+    rng = np.random.default_rng(2)
+    lo = np.asarray(scene["scene_lo"])
+    hi = np.asarray(scene["scene_hi"])
+    o = np.stack([rng.uniform(lo[0], hi[0], n),
+                  rng.uniform(lo[1] * 0.9 + hi[1] * 0.1,
+                              lo[1] * 0.7 + hi[1] * 0.3, n),
+                  rng.uniform(lo[2], hi[2], n)], -1).astype(np.float32)
+    d = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    d[:, 1] = -np.abs(d[:, 1])
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    perm = jnp.argsort(_first_block_key(sub, jnp.asarray(o),
+                                        jnp.asarray(d)))
+    o = jnp.asarray(o)[perm]
+    d = jnp.asarray(d)[perm]
+    t_max = jnp.full((n,), 1e30, jnp.float32)
+    k2 = meta.block_k
+    g = G_DEFAULT                 # the builder blocks with the default G
+
+    @jax.jit
+    def trivial(x):
+        return x + 1.0
+
+    jax.device_get(trivial(jnp.zeros(8)))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        jax.device_get(trivial(jnp.zeros(8)))
+    base = (time.perf_counter() - t0) / 3
+
+    fn = lambda: pallas_tri_intersect2(sub, o, d, t_max, k2, g=g)
+    jax.device_get(fn()["t"])
+    t0 = time.perf_counter()
+    for _ in range(3):
+        jax.device_get(fn()["t"])
+    ms = ((time.perf_counter() - t0) / 3 - base) * 1e3
+
+    cnt = pallas_tri_intersect2(sub, o, d, t_max, k2, g=g, counters=True)
+    nl1 = float(np.asarray(cnt["n_l1_visited"]).mean())
+    nch = float(np.asarray(cnt["n_children_tested"]).mean())
+    n_tiles = n // 128
+    bytes_per_visit = 16 * (g * k2 + 128) * 4
+    gbps = nl1 * n_tiles * bytes_per_visit / (ms * 1e-3) / 1e9
+    return {"bounce_ms_64k": round(ms, 1),
+            "l1_visits_per_tile": round(nl1, 1),
+            "children_tested_per_tile": round(nch, 1),
+            "achieved_hbm_gbps": round(gbps, 1)}
 
 
 def bench_cornell():
@@ -238,9 +333,11 @@ def main():
                                      compact, regen)
     rays_per_sample, rays_rate = bench_mesh_rays(scene, cam, meta, depth,
                                                  regen)
-    fb_rate = bench_mesh_fwd_bwd(scene, cam, meta,
-                                 res=(256, 256) if fast else (512, 512),
-                                 depth=8)
+    bwd_compact = os.environ.get("BENCH_BWD_COMPACT", "3")
+    fb_rate = bench_mesh_fwd_bwd_frame(
+        scene, cam, meta, depth=8,
+        compact=None if bwd_compact in ("off", "0") else int(bwd_compact))
+    kernel_stats = bench_bounce_kernel(scene, meta)
     cornell_rate = bench_cornell()
 
     print(json.dumps({
@@ -249,10 +346,16 @@ def main():
         "unit": "samples/s",
         "vs_baseline": round(fwd_rate / BASELINE_SAMPLES_PER_S, 4),
         "secondary": {
-            "rays_per_sec_mesh10M": round(fwd_rate * rays_per_sample, 1),
+            # fwd_rate x rays/sample, both measured under the SAME
+            # scheduling form — a derived product, not a direct timing
+            # (trace_rays_per_sec_frame_sampled is the direct one)
+            "derived_rays_per_sec_mesh10M":
+                round(fwd_rate * rays_per_sample, 1),
             "rays_per_camera_sample": round(rays_per_sample, 2),
             "trace_rays_per_sec_frame_sampled": round(rays_rate, 1),
-            "fwd_bwd_samples_per_sec_mesh10M_512_d8": round(fb_rate, 1),
+            f"fwd_bwd_samples_per_sec_mesh10M_{res[1]}p_d8":
+                round(fb_rate, 1),
+            **kernel_stats,
             "camera_samples_per_sec_cornell_512_path_d8":
                 round(cornell_rate, 1),
             "vs_baseline_cornell":

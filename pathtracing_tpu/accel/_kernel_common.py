@@ -178,14 +178,18 @@ def make_select(ecol_ref, flat_iota, lane_row):
 
 def instance_transform(inv_ref, inst, o, d):
     """Object-space ray for a visited instanced block: rows of the
-    packed [n_inst, 12] inverse transform applied to the origin (affine)
-    and direction (linear), direction left unnormalized so t stays
-    world-parameterized (TransformedPrimitive, Primitive.cpp:41-66).
-    inst: scalar instance id (callers pass max(inst, 0) and blend on
-    inst >= 0)."""
+    packed [1, n_inst*12] FLAT inverse-transform table applied to the
+    origin (affine) and direction (linear), direction left unnormalized
+    so t stays world-parameterized (TransformedPrimitive,
+    Primitive.cpp:41-66).  inst: scalar instance id (callers pass
+    max(inst, 0) and blend on inst >= 0).  The table is flat because an
+    SMEM window pads the MINOR dim to 128 lanes: [n_inst, 12] costs
+    n_inst*128*4 bytes of SMEM (2500 instances blew the 1MB budget);
+    [1, n_inst*12] costs what it stores."""
     ox, oy, oz = o
     dx, dy, dz = d
-    m = [inv_ref[inst, c] for c in range(12)]
+    base = inst * 12
+    m = [inv_ref[0, base + c] for c in range(12)]
     oxl = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
     oyl = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
     ozl = m[8] * ox + m[9] * oy + m[10] * oz + m[11]

@@ -543,10 +543,13 @@ def pallas_tri_intersect(scene, origin, direction, t_max, block_k: int,
             return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                 memory_space=pltpu.SMEM)
 
-        in_specs += [shared((1, m)), shared((1, m)), shared((ninst, 12))]
+        # inverse transforms FLAT [1, ninst*12]: an SMEM window pads the
+        # minor dim to 128 lanes, so [ninst, 12] would cost ninst*512 B
+        in_specs += [shared((1, m)), shared((1, m)),
+                     shared((1, ninst * 12))]
         operands += [scene["pk_blk_src"].reshape(1, m),
                      scene["pk_blk_inst"].reshape(1, m),
-                     scene["pk_inst_inv"]]
+                     scene["pk_inst_inv"].reshape(1, ninst * 12)]
     if motion:
         in_specs += [ray_spec]
         operands += [jnp.asarray(time, jnp.float32).reshape(shp)]

@@ -548,10 +548,11 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
                 # moving instance: object-space test at ray time == the
                 # static test from origin - v_obj*time (the same re-wrap
                 # as the leaf motion rows, Primitive.cpp:77-96); child
-                # slabs below use these shifted origins too
-                oxl = oxl - velo_ref[iv, 0] * rtime
-                oyl = oyl - velo_ref[iv, 1] * rtime
-                ozl = ozl - velo_ref[iv, 2] * rtime
+                # slabs below use these shifted origins too.  velo_ref
+                # is FLAT [1, ninst*3] (see the SMEM note at the specs)
+                oxl = oxl - velo_ref[0, iv * 3 + 0] * rtime
+                oyl = oyl - velo_ref[0, iv * 3 + 1] * rtime
+                ozl = ozl - velo_ref[0, iv * 3 + 2] * rtime
             use = inst >= 0
             oxs = jnp.where(use, oxl, ox)
             oys = jnp.where(use, oyl, oy)
@@ -601,12 +602,20 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
             base = base_ref[0, phys]
 
             # ---- child slab: ALL G children at once, [128 rays, 128
-            # child-lanes] from the group row's box tail; per-ray
-            # CURRENT best_t culls in-layout; per-child tile-min
-            # entries order the drain front-to-back (BVH.hpp:1142-1203);
-            # empty child lanes carry degenerate far-point boxes and
-            # fall out as BIG
-            def child_entries(bt):
+            # child-lanes] from the group row's box tail.  The per-
+            # (ray, child) entry matrix E is VISIT-INVARIANT (boxes and
+            # source-space rays don't change during the drain), so it is
+            # computed ONCE per visit; every drain iteration's per-ray
+            # re-cull is then a cheap compare+select+sublane-min over E
+            # instead of a full slab recompute (round 4: the slab ran
+            # once per drain iteration = ~(children+visits) full
+            # [128,128] slabs per tile; entries with tn > best_t at
+            # visit start are BIG in E, and later culls only shrink
+            # best_t, so where(E <= bt) is exactly the recomputed slab).
+            # Per-child tile-min entries order the drain front-to-back
+            # (BVH.hpp:1142-1203); empty child lanes carry degenerate
+            # far-point boxes and fall out as BIG.
+            def child_matrix(bt):
                 def brow(k):
                     return scratch[slot, pl.ds(k, 1),
                                    pl.ds(G * K2, 128)]         # [1,128]
@@ -624,7 +633,10 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
                                  SHADOW_EPS)
                 tf = jnp.minimum(jnp.minimum(tf, jnp.maximum(u0, u1)),
                                  bt)
-                return jnp.min(jnp.where(tn <= tf, tn, BIG_F32), axis=0,
+                return jnp.where(tn <= tf, tn, BIG_F32)    # [128,128]
+
+            def child_entries(E, bt):
+                return jnp.min(jnp.where(E <= bt, E, BIG_F32), axis=0,
                                keepdims=True)              # [1,128]
 
             def pop(e_row):
@@ -637,7 +649,8 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
                 return bestg, beste
 
             dma_tris(slot, b1).wait()
-            e_row0 = child_entries(best_t)
+            E = child_matrix(best_t)                       # [128,128]
+            e_row0 = jnp.min(E, axis=0, keepdims=True)
             g0, eg0 = pop(e_row0)
 
             # drain entered children NEAREST-FIRST, fully vectorized:
@@ -688,7 +701,7 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
                     # L1-table recull, BVH.hpp:1129-1135) — children
                     # only already-finished rays wanted drop out
                     e_row = jnp.where(vis > 0.0, BIG_F32,
-                                      child_entries(best_t))
+                                      child_entries(E, best_t))
                 else:
                     e_row = jnp.where(lane_row == bestg, BIG_F32, e_row)
                 bestg, beste = pop(e_row)
@@ -895,13 +908,17 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
                 scene["pk_l1_base"].reshape(1, n_phys)]
     if instanced:
         ninst = scene["pk_inst_inv"].shape[0]
-        in_specs += [shared((1, m1)), shared((1, m1)), shared((ninst, 12))]
+        # instance tables FLAT [1, ninst*k]: an SMEM window pads the
+        # minor dim to 128 lanes, so [ninst, 12] would cost ninst*512 B
+        # of SMEM (2500 foliage instances = 1.28 MB > the 1 MB budget)
+        in_specs += [shared((1, m1)), shared((1, m1)),
+                     shared((1, ninst * 12))]
         operands += [scene["pk_blk_src"].reshape(1, m1),
                      scene["pk_blk_inst"].reshape(1, m1),
-                     scene["pk_inst_inv"]]
+                     scene["pk_inst_inv"].reshape(1, ninst * 12)]
         if motion:
-            in_specs += [shared((ninst, 3))]
-            operands += [scene["pk_inst_velo"]]
+            in_specs += [shared((1, ninst * 3))]
+            operands += [scene["pk_inst_velo"].reshape(1, ninst * 3)]
     if motion:
         in_specs += [ray_spec]
         operands += [jnp.asarray(time, jnp.float32).reshape(shp)]
