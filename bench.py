@@ -156,6 +156,8 @@ def bench_mesh_rays(scene, cam, meta, depth, regen):
     n2 = float(jax.device_get(n2))                     # the timed run's count
     dt = time.perf_counter() - t0
     rays_per_sample = n2 / q_total
+    print(f"[bench] rays: {rays_per_sample:.2f} rays/sample, "
+          f"{n2/dt:,.0f} rays/s", flush=True)
     return rays_per_sample, n2 / dt
 
 
@@ -375,7 +377,9 @@ def _supervised():
     import subprocess
     import sys
     attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
-    timeout = int(os.environ.get("BENCH_TIMEOUT_S", "3000"))
+    # the faithful depth-64 scene costs ~200s build + ~380s compile +
+    # ~2 min/frame: 3000s left no headroom for the fwd+bwd stage
+    timeout = int(os.environ.get("BENCH_TIMEOUT_S", "4800"))
     for i in range(attempts):
         env = dict(os.environ, BENCH_INNER="1")
         try:

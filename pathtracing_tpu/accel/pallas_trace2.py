@@ -419,7 +419,8 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
              recull_every: int = RECULL_EVERY,
              drain_cull: bool = True,
              max_visits: int | None = None,
-             frontier: bool = False):
+             frontier: bool = False,
+             pops: int = 1):
     """Two-level traversal, RAYS-IN-SUBLANES layout.
 
     Everything per-ray lives in [128, 1] columns (sublane = ray), so the
@@ -662,39 +663,67 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
                 return c[1] < BIG_F32 * 0.5
 
             def drain_body(c):
-                (bestg, _, vis, e_row, best_t, best_blk, best_off,
+                (bestg, beste0, vis, e_row, best_t, best_blk, best_off,
                  nch) = c
-                col0 = pl.multiple_of(bestg * K2, 128)
+                # pop up to `pops` nearest children for THIS iteration
+                # (vector-only min+iota chain, no scalar sync between
+                # pops); an empty pop clamps to the first child — a
+                # duplicate test is harmless and cheaper than a branch
+                plist = [(bestg, beste0)]
+                er = jnp.where(lane_row == bestg, BIG_F32, e_row)
+                for _ in range(1, pops):
+                    gj, ej = pop(er)
+                    gj = jnp.where(ej < BIG_F32 * 0.5, gj, bestg)
+                    plist.append((gj, ej))
+                    er = jnp.where(lane_row == gj, BIG_F32, er)
 
-                def row(i):
-                    return scratch[slot, pl.ds(i, 1), pl.ds(col0, K2)]
-                t = kc.moller_trumbore(row, (oxs, oys, ozs, dxs, dys,
-                                             dzs), rtime, motion,
-                                       best_t)
-                kbest = jnp.argmin(t, axis=1)[:, None]     # [128,1]
-                tbest = jnp.min(t, axis=1, keepdims=True)  # [128,1]
-                better = tbest < best_t
-                best_t = jnp.where(better, tbest, best_t)
-                # hits are recorded as a (block, offset) PAIR: each
-                # component stays far below 2^24, so the pair survives
-                # the exact-f32 output transpose at ANY scene scale (a
-                # flat slot id overflowed past 16.7M slots).  Instanced:
-                # block = the EXPANDED L1 (off = child*K2 + lane) so
-                # callers recover (instance, slot) via the src/base
-                # tables; plain scenes record the physical L2 block
-                blk_val = b1 if instanced else base + bestg
-                off_base = bestg * K2 if instanced else 0
-                best_blk = jnp.where(better,
-                                     jnp.asarray(blk_val, jnp.float32),
-                                     best_blk)
-                best_off = jnp.where(better,
-                                     kc.itof_exact(off_base + kbest),
-                                     best_off)
+                # test every popped child against the PRE-iteration
+                # best_t: the bound only shrinks, so the stale bound
+                # admits extra candidates and the merge below picks the
+                # true min — identical results, ONE loop sync for P
+                # tests (the per-iteration vector->scalar->branch
+                # round-trip measured ~0.7us vs 0.4us for the bare
+                # [128,256] test, tools/bench_mxu_leaf.py)
+                bt0 = best_t
+                tested = []
+                for gj, _ in plist:
+                    col0 = pl.multiple_of(gj * K2, 128)
+
+                    def row(i, col0=col0):
+                        return scratch[slot, pl.ds(i, 1),
+                                       pl.ds(col0, K2)]
+                    t = kc.moller_trumbore(row, (oxs, oys, ozs, dxs,
+                                                 dys, dzs), rtime,
+                                           motion, bt0)
+                    kbest = jnp.argmin(t, axis=1)[:, None]   # [128,1]
+                    tbest = jnp.min(t, axis=1, keepdims=True)
+                    tested.append((gj, tbest, kbest))
+                    vis = jnp.where(lane_row == gj, 1.0, vis)
+
+                for gj, tbest, kbest in tested:
+                    better = tbest < best_t
+                    best_t = jnp.where(better, tbest, best_t)
+                    # hits are recorded as a (block, offset) PAIR: each
+                    # component stays far below 2^24, so the pair
+                    # survives the exact-f32 output transpose at ANY
+                    # scene scale (a flat slot id overflowed past 16.7M
+                    # slots).  Instanced: block = the EXPANDED L1
+                    # (off = child*K2 + lane) so callers recover
+                    # (instance, slot) via the src/base tables; plain
+                    # scenes record the physical L2 block
+                    blk_val = b1 if instanced else base + gj
+                    off_base = gj * K2 if instanced else 0
+                    best_blk = jnp.where(better,
+                                         jnp.asarray(blk_val,
+                                                     jnp.float32),
+                                         best_blk)
+                    best_off = jnp.where(better,
+                                         kc.itof_exact(off_base + kbest),
+                                         best_off)
                 if any_hit:
                     # collapse resolved rays mid-drain: a zero best_t
                     # culls every remaining child entry for that ray
                     best_t = jnp.where(best_blk >= 0.0, 0.0, best_t)
-                vis = jnp.where(lane_row == bestg, 1.0, vis)
                 if drain_cull:
                     # per-ray re-cull of the REMAINING children against
                     # the post-test best_t (the per-child analog of the
@@ -703,10 +732,14 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
                     e_row = jnp.where(vis > 0.0, BIG_F32,
                                       child_entries(E, best_t))
                 else:
-                    e_row = jnp.where(lane_row == bestg, BIG_F32, e_row)
+                    e_row = er
                 bestg, beste = pop(e_row)
+                npop = jnp.asarray(1.0, jnp.float32)
+                for _, ej in plist[1:]:
+                    npop = npop + jnp.where(ej < BIG_F32 * 0.5, 1.0,
+                                            0.0)
                 return (bestg, beste, vis, e_row, best_t, best_blk,
-                        best_off, nch + 1.0)
+                        best_off, nch + npop)
 
             (_, _, _, _, best_t, best_blk, best_off,
              nch) = jax.lax.while_loop(
@@ -815,14 +848,16 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
                                              "counters",
                                              "recull_every",
                                              "drain_cull",
-                                             "max_visits", "frontier"))
+                                             "max_visits", "frontier",
+                                             "pops"))
 def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
                           any_hit: bool = False, time=None,
                           g: int = G_DEFAULT, counters: bool = False,
                           recull_every: int = RECULL_EVERY,
                           drain_cull: bool = True,
                           max_visits: int | None = None,
-                          frontier: bool = False):
+                          frontier: bool = False,
+                          pops: int = 1):
     """Two-level closest/any hit.  Same contract as pallas_tri_intersect.
 
     max_visits caps each tile's L1 walk; frontier adds per-ray resume
@@ -887,7 +922,8 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
                                counters=counters, use_recull=use_recull,
                                recull_every=recull_every,
                                drain_cull=drain_cull,
-                               max_visits=max_visits, frontier=frontier)
+                               max_visits=max_visits, frontier=frontier,
+                               pops=pops)
     interpret = jax.default_backend() != "tpu"
     shp = (groups, TPS, TILE)
 

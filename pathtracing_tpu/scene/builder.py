@@ -351,7 +351,7 @@ class SceneBuilder:
         return mid
 
     def add_model_instance(self, model_id: int, transform=None,
-                           runtime: bool = False,
+                           runtime: bool | str = False,
                            velocity=(0.0, 0.0, 0.0)):
         """TransformedPrimitive instancing (Primitive.hpp:34-48).
 
@@ -364,6 +364,19 @@ class SceneBuilder:
         Traced by the instanced Pallas kernel (expanded-block TLAS with
         in-kernel ray transforms) or the dense backend; beam/bvh accels
         fall back to brute.
+
+        runtime="auto": the BUILDER picks.  Runtime TLAS trades compute
+        for memory — the instanced kernel pays an instance-expanded L1
+        entry table plus per-visit object-space ray transforms, which on
+        TPU is the wrong trade for small models (San-Miguel-class
+        foliage: thousands of instances of a <=few-hundred-tri shrub are
+        well under a million effective triangles — a plain SAH-ordered
+        world table traces them far faster).  "auto" instances whose
+        TOTAL expanded size stays under PT_FLATTEN_MAX (default 4M tris)
+        are re-emitted as world geometry at build() time (bit-equal
+        images: the duplicating path is the runtime path's test oracle);
+        bigger totals keep runtime TLAS.  Emissive models always stay
+        runtime (their per-instance lights are already encoded).
 
         velocity: linear WORLD-space motion of the whole instance over
         the shutter (AnimatedPrimitive wrapping a TransformedPrimitive,
@@ -443,7 +456,9 @@ class SceneBuilder:
         self._inst.append(dict(
             fwd=tf[:3, :4], inv=inv[:3, :4],
             nrm=np.linalg.inv(tf[:3, :3]).T.astype(np.float32),
-            base=base, count=count, light_first=light_first, vel=vel))
+            base=base, count=count, light_first=light_first, vel=vel,
+            model=model_id, tf4=tf,
+            auto=(runtime == "auto" and light_first < 0)))
         return inst_idx
 
     def add_env_light_from_file(self, path, scale: float = 1.0):
@@ -630,6 +645,34 @@ class SceneBuilder:
                     env_cdf=jnp.asarray(np.stack(cdfs)),
                     env_total=jnp.asarray(totals, jnp.float32)), nx, ny
 
+    def _maybe_flatten_instances(self, accel):
+        """Flatten runtime="auto" instances into world geometry when the
+        total expanded size is small (see add_model_instance).  Remaps
+        surviving instance indices in deferred per-instance lights."""
+        import os
+        insts = getattr(self, "_inst", [])
+        autos = [i for i, e in enumerate(insts) if e.get("auto")]
+        if not autos or accel not in ("auto", "pallas"):
+            return
+        limit = int(os.environ.get("PT_FLATTEN_MAX", 4_000_000))
+        if sum(insts[i]["count"] for i in autos) > limit:
+            return
+        for i in autos:
+            e = insts[i]
+            m = self._models[e["model"]]
+            self.add_mesh(m["vertices"], m["indices"],
+                          normals=m["normals"], uvs=m["uvs"],
+                          tangents=m["tangents"], material=m["material"],
+                          medium=m["medium"], transform=e["tf4"],
+                          velocity=e["vel"])
+        keep = [i for i in range(len(insts)) if i not in set(autos)]
+        remap = {old: new for new, old in enumerate(keep)}
+        self._inst = [insts[i] for i in keep]
+        for lt in self._lights:
+            if "_inst" in lt:
+                i, otri = lt["_inst"]
+                lt["_inst"] = (remap[i], otri)   # emissive never flatten
+
     def build(self, power_cull: float = 0.01, accel: str = "auto"):
         """Pack everything into (scene_arrays, camera_arrays, SceneMeta).
 
@@ -641,6 +684,7 @@ class SceneBuilder:
         (Scene::BuildTlas analog, Scene.hpp:20-24).
         """
         tex = self.textures.pack()
+        self._maybe_flatten_instances(accel)
         n_inst = len(getattr(self, "_inst", []))
         n_obj_tri = len(self._obj["v"]) if n_inst else 0
 

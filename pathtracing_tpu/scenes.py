@@ -287,7 +287,11 @@ def sanmiguel_analog(resolution=(1920, 1080), n_tris=10_500_000,
                             [0, sc, 0, py[k]],
                             [-s * sc, 0, c * sc, pz[k]],
                             [0, 0, 0, 1]], np.float32)
-            b.add_model_instance(shrub, t, runtime=True)
+            # runtime="auto": the builder flattens this 240K-effective-
+            # tri foliage into world tables (runtime TLAS is the wrong
+            # TPU trade at this size — see add_model_instance);
+            # PT_FLATTEN_MAX=0 forces TLAS for A/Bs
+            b.add_model_instance(shrub, t, runtime="auto")
 
         # ---- glass / metal props in view
         glass = b.add_dielectric(ior=1.5, roughness=0.0)
