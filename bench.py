@@ -260,7 +260,8 @@ def bench_bounce_kernel(scene, meta, n=1 << 16):
     d = jnp.asarray(d)[perm]
     t_max = jnp.full((n,), 1e30, jnp.float32)
     k2 = meta.block_k
-    g = G_DEFAULT                 # the builder blocks with the default G
+    g = getattr(meta, "block_g", G_DEFAULT)
+    pops = getattr(meta, "block_pops", 1)
 
     @jax.jit
     def trivial(x):
@@ -272,14 +273,16 @@ def bench_bounce_kernel(scene, meta, n=1 << 16):
         jax.device_get(trivial(jnp.zeros(8)))
     base = (time.perf_counter() - t0) / 3
 
-    fn = lambda: pallas_tri_intersect2(sub, o, d, t_max, k2, g=g)
+    fn = lambda: pallas_tri_intersect2(sub, o, d, t_max, k2, g=g,
+                                       pops=pops)
     jax.device_get(fn()["t"])
     t0 = time.perf_counter()
     for _ in range(3):
         jax.device_get(fn()["t"])
     ms = ((time.perf_counter() - t0) / 3 - base) * 1e3
 
-    cnt = pallas_tri_intersect2(sub, o, d, t_max, k2, g=g, counters=True)
+    cnt = pallas_tri_intersect2(sub, o, d, t_max, k2, g=g, pops=pops,
+                                counters=True)
     nl1 = float(np.asarray(cnt["n_l1_visited"]).mean())
     nch = float(np.asarray(cnt["n_children_tested"]).mean())
     n_tiles = n // 128

@@ -156,7 +156,8 @@ def transmittance(scene, meta, origin, direction, dist, medium, active,
         # downstream updates are already `live`-masked
         h = intersect(scene, meta, o, direction,
                       jnp.where(live, rem, 0.0), time=time)
-        it = make_interaction(scene, meta, o, direction, h, time=time)
+        it = make_interaction(scene, meta, o, direction, h, time=time,
+                              lite=True)
         seg = jnp.where(h["valid"], h["t"], rem)
         tr = jnp.where(live[:, None], tr * med_tr(med, seg), tr)
         hit_mat = h["valid"] & (it["mat_id"] >= 0)

@@ -928,6 +928,17 @@ class SceneBuilder:
             accel = "brute"   # only pallas/brute handle runtime instances
         block_k = 0
         alpha_block_k = 0
+        # two-level kernel block shape for FRESH builds: (k2=128, g=32,
+        # pops=4) — same group-row width and L1 count as the original
+        # (256, 16, 1) but finer child granularity and 4 leaf tests per
+        # drain-loop sync: bounce 205.8 -> 129.8 ms, coherent 68.3 ->
+        # 23.5 ms per 64K rays at 10.5M tris (tools/bench_pops.py,
+        # 2026-08-20).  meta carries (g, pops) so cached pre-round-4
+        # scenes keep their (16, 1) tables; PT_BLOCK_G / PT_POPS
+        # override for sweeps.
+        import os as _os
+        block_g = int(_os.environ.get("PT_BLOCK_G", 32))
+        block_pops = int(_os.environ.get("PT_POPS", 4))
         # per-triangle alpha masks (world + object tables): alpha-material
         # triangles split into their own table set so shadow predicates
         # any-hit the opaque set in ONE traversal and run the stochastic
@@ -1011,7 +1022,8 @@ class SceneBuilder:
                                     self._tri["vel"],
                                     np.float32)[ids],
                                 shutter=shutter)
-                        arrays, bk = build_tri_blocks2(tv, **kw2)
+                        arrays, bk = build_tri_blocks2(tv, g=block_g,
+                                                       **kw2)
                         s2t = arrays["pk_slot2tri"]
                         arrays["pk_slot2tri"] = np.where(
                             s2t >= 0,
@@ -1020,7 +1032,7 @@ class SceneBuilder:
                         return arrays, bk
                     return build_tri_blocks2_inst(
                         *args, tri_sel=tri_sel_, otri_sel=otri_sel_,
-                        **kw)
+                        g=block_g, **kw)
 
                 if split:
                     pk_arrays, block_k = inst_tables(~tri_alpha,
@@ -1030,8 +1042,8 @@ class SceneBuilder:
                     scene.update({"pka_" + k[3:]: jnp.asarray(v)
                                   for k, v in pka.items()})
                 else:
-                    pk_arrays, block_k = build_tri_blocks2_inst(*args,
-                                                                **kw)
+                    pk_arrays, block_k = build_tri_blocks2_inst(
+                        *args, g=block_g, **kw)
             scene.update({k: jnp.asarray(v) for k, v in pk_arrays.items()})
         elif accel == "pallas" and nt:
             # motion-blurred scenes keep the kernel: per-triangle
@@ -1052,7 +1064,7 @@ class SceneBuilder:
                     # two-level kernel: visited-block prim counts stay
                     # small; measured 1.3-3x over single-level >=30K tris
                     from ..accel.pallas_trace2 import build_tri_blocks2
-                    arrays, bk = build_tri_blocks2(tv, **kw)
+                    arrays, bk = build_tri_blocks2(tv, g=block_g, **kw)
                 else:
                     from ..accel.pallas_trace import build_tri_blocks
                     arrays, bk = build_tri_blocks(tv, **kw)
@@ -1103,10 +1115,12 @@ class SceneBuilder:
             camera_medium=(self.camera or {}).get("medium", -1),
             has_alpha=has_alpha, light_sampler=self.light_sampler,
             accel=accel, block_k=block_k, alpha_block_k=alpha_block_k,
+            block_g=block_g, block_pops=block_pops,
             has_motion=has_motion,
             has_light_motion=has_light_motion,
             mats_present=mats_present, n_inst=n_inst, n_obj_tri=n_obj_tri,
-            has_tangents=has_tangents, has_normal_maps=has_normal_maps)
+            has_tangents=has_tangents, has_normal_maps=has_normal_maps,
+            has_emissive_tex=any(int(lt["emtex"]) >= 0 for lt in lights))
 
         cam = self._pack_camera()
         return scene, cam, meta

@@ -413,13 +413,18 @@ def _multipass2(sub, o, d, tm, block_k, any_hit, time, visits, g=None):
 def _pallas_dispatch(scene, meta, origin, direction, t_max,
                      any_hit: bool = False, sort: bool = True,
                      time=None, tri_tables: str = "all",
-                     analytic: bool = True):
+                     analytic: bool = True, sort_key=None):
     """Triangles via the Pallas tile-divergent kernel; the (few) analytic
     prims of a mixed scene take the dense brute path; results merged.
 
     tri_tables: "all" traverses the main tables plus the alpha split
     (pka_*) when present; "opaque"/"alpha" restrict to one set (the
-    shadow predicate's single-pass opaque any-hit + alpha chain)."""
+    shadow predicate's single-pass opaque any-hit + alpha chain).
+    sort_key: precomputed _first_block_key values — callers that
+    dispatch repeatedly from (nearly) the same origins (the alpha
+    restart chain) pay the ~10 ms/64K slab pre-pass once instead of
+    per dispatch; keys are quality-only so a slightly stale key cannot
+    change results (BVH.hpp:510-529 gets ordering for free per ray)."""
     import dataclasses
     from ..accel.pallas_trace import pallas_tri_intersect, TILE
 
@@ -429,9 +434,10 @@ def _pallas_dispatch(scene, meta, origin, direction, t_max,
     if motion and time is None:
         time = jnp.zeros((n,), jnp.float32)
     if sort and "scene_lo" in scene:
-        key = (_first_block_key(scene, origin, direction)
-               if "pk_blk_lo" in scene
-               else _morton_key(scene, origin, direction))
+        key = sort_key if sort_key is not None else \
+            (_first_block_key(scene, origin, direction)
+             if "pk_blk_lo" in scene
+             else _morton_key(scene, origin, direction))
         # dead lanes (t_max<=0) sort LAST: live rays compact into fewer
         # tiles and the all-dead tiles exit before selecting any block —
         # the wavefront-compaction analog of the reference's per-pixel
@@ -462,11 +468,15 @@ def _pallas_dispatch(scene, meta, origin, direction, t_max,
                                                RECULL_MAX_M1PAD)
             m1pad = -(-sub["pk_blk_lo"].shape[0] // 128) * 128
             visits = _multipass_visits()
+            g = getattr(meta, "block_g", 16)
             if visits and m1pad <= RECULL_MAX_M1PAD:
                 return _multipass2(sub, o, d, tm, block_k, any_hit,
-                                   tme, visits)
+                                   tme, visits, g=g)
             return pallas_tri_intersect2(sub, o, d, tm, block_k,
-                                         any_hit=any_hit, time=tme)
+                                         any_hit=any_hit, time=tme,
+                                         g=g,
+                                         pops=getattr(meta,
+                                                      "block_pops", 1))
         return pallas_tri_intersect(sub, o, d, tm, block_k,
                                     any_hit=any_hit, time=tme)
 
@@ -691,7 +701,8 @@ def intersect(scene, meta, origin, direction, t_max, time=None):
 # Interaction assembly (gathers at the winning primitive)
 # ---------------------------------------------------------------------------
 
-def make_interaction(scene, meta, origin, direction, hit, time=None):
+def make_interaction(scene, meta, origin, direction, hit, time=None,
+                     lite: bool = False):
     """Build the SurfaceInteraction SoA for a hit batch.
 
     Reproduces the per-shape interaction conventions:
@@ -699,6 +710,11 @@ def make_interaction(scene, meta, origin, direction, hit, time=None):
                 +-eps*N offset, Gram-Schmidt tangent, normal mapping)
       sphere:   Shape.cpp:3-38 (outward normal, +eps*n offset, sphere uv)
       quad:     Shape.cpp:320-343 (two-sided ns, +eps*ns offset)
+
+    lite=True skips authored-tangent interpolation and normal mapping
+    (the fallback ONB tangent is still produced): alpha-chain restarts
+    and transmittance marching only consume p/p_raw/n/uv/mat_id/med_id,
+    none of which depend on either.
     """
     n = origin.shape[0]
     t = hit["t"]
@@ -708,7 +724,7 @@ def make_interaction(scene, meta, origin, direction, hit, time=None):
     motion = meta.has_motion and time is not None
 
     # --- triangle
-    want_tan = getattr(meta, "has_tangents", True)
+    want_tan = getattr(meta, "has_tangents", True) and not lite
     ti = jnp.clip(idx, 0, scene["tri_v"].shape[0] - 1)
     if "tri_pack" in scene:
         # ONE packed gather (verts/normals/uvs/prop) instead of four
@@ -892,7 +908,7 @@ def make_interaction(scene, meta, origin, direction, hit, time=None):
     # static gate: scenes with no normal-textured material skip the
     # texture fetch + TBN transform outright (it previously ran for
     # every hit of every bounce regardless)
-    if meta.n_mat and getattr(meta, "has_normal_maps", True):
+    if meta.n_mat and getattr(meta, "has_normal_maps", True) and not lite:
         mat_ids = jnp.clip(it["mat_id"], 0, scene["mat_type"].shape[0] - 1)
         norm_tex = scene["mat_tex"][mat_ids, 3]
         has_norm = (norm_tex >= 0) & (it["mat_id"] >= 0) & it["valid"]
@@ -970,15 +986,21 @@ def occluded(scene, meta, origin, direction, t_max, rand_key=None,
              and getattr(meta, "alpha_block_k", 0) > 0
              and "pka_tri" in scene)
     if split:
+        # ONE slab pre-pass for the whole predicate: the opaque any-hit
+        # and every alpha-chain restart dispatch from the same origins
+        # (restarts only advance along the ray), so they share the key
+        # (keys order work, never change results)
+        key0 = (_first_block_key(scene, origin, direction)
+                if "pk_blk_lo" in scene and "scene_lo" in scene else None)
         occ0 = _pallas_dispatch(scene, meta, origin, direction,
                                 t_max - SHADOW_EPS, any_hit=True,
                                 time=time, tri_tables="opaque",
-                                analytic=False)["valid"]
+                                analytic=False, sort_key=key0)["valid"]
 
         def chain_isect(o, t_rem):
             return _pallas_dispatch(scene, meta, o, direction, t_rem,
                                     time=time, tri_tables="alpha",
-                                    analytic=True)
+                                    analytic=True, sort_key=key0)
     else:
         occ0 = jnp.zeros((origin.shape[0],), bool)
 
@@ -1002,7 +1024,8 @@ def occluded(scene, meta, origin, direction, t_max, rand_key=None,
         # exit) — without the mask every restart iteration re-traced the
         # full shadow ray for every already-resolved lane
         h = chain_isect(o, jnp.where(live, t_rem, 0.0))
-        inter = make_interaction(scene, meta, o, direction, h, time=time)
+        inter = make_interaction(scene, meta, o, direction, h, time=time,
+                                 lite=True)
         mat_ids = jnp.clip(inter["mat_id"], 0, scene["mat_type"].shape[0] - 1)
         mode = scene["mat_alpha_mode"][mat_ids]
         cutoff = scene["mat_alpha_cutoff"][mat_ids]

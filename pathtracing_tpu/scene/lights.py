@@ -221,6 +221,11 @@ def infinite_le(scene, meta, idx, ray_dir):
     """InfiniteLight::Le for light `idx` in direction ray_dir."""
     ltype = scene["light_type"][idx]
     color = scene["light_color"][idx]
+    if not getattr(meta, "has_emissive_tex", True):
+        # no textured lights in scene: an env light would have one, so
+        # every infinite light here is a flat color — skip the per-lane
+        # bilinear fetch the where() below would discard
+        return color
     emtex = scene["light_emtex"][idx]
     uv = sphere_uv(ray_dir)
     tex = texture_eval(scene, jnp.maximum(emtex, 0), uv)
@@ -233,9 +238,12 @@ def area_light_L(scene, meta, light_id, geom_n, uv, ray_dir):
     one-sided cut on the geometric normal."""
     lid = jnp.clip(light_id, 0, scene["light_type"].shape[0] - 1)
     color = scene["light_color"][lid]
-    emtex = scene["light_emtex"][lid]
-    tex = texture_eval(scene, jnp.maximum(emtex, 0), uv)
-    em = jnp.where((emtex >= 0)[..., None], tex, color)
+    if getattr(meta, "has_emissive_tex", True):
+        emtex = scene["light_emtex"][lid]
+        tex = texture_eval(scene, jnp.maximum(emtex, 0), uv)
+        em = jnp.where((emtex >= 0)[..., None], tex, color)
+    else:
+        em = color           # no textured emitter anywhere in the scene
     one_sided = (scene["light_flags"][lid] & 1) > 0
     front = vdot(ray_dir, geom_n) <= 0
     vis = (~one_sided) | front

@@ -65,6 +65,15 @@ class SceneMeta:
     light_sampler: str = "power"  # "power" | "uniform"
     accel: str = "beam"  # "pallas" | "beam" | "bvh" | "brute"
     block_k: int = 0            # beam/pallas prims-per-block (static)
+    block_g: int = 16           # two-level kernel: L2 children per L1
+    block_pops: int = 1         # two-level kernel: children tested per
+    # drain iteration.  Fresh builds use (k2=128, g=32, pops=4): same
+    # group-row width and L1 count as the old (256, 16, 1) but finer
+    # child selection and one loop sync per 4 leaf tests — measured
+    # bounce 205.8 -> 129.8 ms, coherent 68.3 -> 23.5 ms per 64K rays
+    # at 10.5M tris (tools/bench_pops.py, v5e, 2026-08-20).  Defaults
+    # here stay (16, 1) so pre-round-4 cached scenes keep the table
+    # shape they were built with.
     alpha_block_k: int = 0      # >0: alpha-material triangles live in a
                                 # separate pka_* table set so shadow rays
                                 # any-hit the opaque set in ONE pass and
@@ -77,5 +86,10 @@ class SceneMeta:
     mats_present: tuple = (True, True, True, True)  # diffuse/diel/thin/cond
     has_tangents: bool = True   # any triangle with authored tangents
     has_normal_maps: bool = True  # any material with a normal texture
-    # (both default True so pre-round-3 cached metas keep the old
-    # always-compute behavior; builder sets them exactly)
+    has_emissive_tex: bool = True  # any light with an emission texture:
+    # False lets light L evaluation skip per-lane bilinear fetches that
+    # would read texture 0 and be where()'d away (measured ~5 wasted
+    # 64K-lane texture evals per bounce wave on the untextured-light
+    # San-Miguel analog)
+    # (all three default True so pre-round-3/4 cached metas keep the
+    # old always-compute behavior; builder sets them exactly)

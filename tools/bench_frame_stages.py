@@ -138,6 +138,17 @@ def main():
         return resolve_material(scene, meta, it)["base_color"]
 
     @jax.jit
+    def stage_anyhit(scene, o, d, tm, sdir, alive):
+        """The opaque any-hit pass alone (occluded minus the alpha
+        chain)."""
+        hit = intersect(scene, meta, o, d, tm)
+        it = make_interaction(scene, meta, o, d, hit)
+        t_sh = jnp.where(alive & hit["valid"], 1e30, 0.0)
+        return _pallas_dispatch(scene, meta, it["p"], sdir, t_sh,
+                                any_hit=True, tri_tables="opaque",
+                                analytic=False)["valid"]
+
+    @jax.jit
     def stage_occl(scene, o, d, tm, sdir, alive):
         hit = intersect(scene, meta, o, d, tm)
         it = make_interaction(scene, meta, o, d, hit)
@@ -202,6 +213,8 @@ def main():
                 ("inter", lambda: stage_inter(scene, o, d, tm)),
                 ("mat", lambda: stage_mat(scene, o, d, tm)),
                 ("lmath", lambda: stage_lmath(scene, o, d, tm, alive)),
+                ("anyhit", lambda: stage_anyhit(scene, o, d, tm, sdir,
+                                                alive)),
                 ("occl", lambda: stage_occl(scene, o, d, tm, sdir,
                                             alive)),
                 ("nee", lambda: stage_nee(scene, o, d, tm, alive,
