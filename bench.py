@@ -343,6 +343,23 @@ def main():
         scene, cam, meta, depth=8,
         compact=None if bwd_compact in ("off", "0") else int(bwd_compact))
     kernel_stats = bench_bounce_kernel(scene, meta)
+
+    # continuity metric: the round-<=3 gentle workload (untextured
+    # terrain-only scene, depth 32) so cross-round kernel progress stays
+    # visible next to the much harder faithful primary.  BENCH_LEGACY=0
+    # skips it (one extra build + compile).
+    legacy_rate = 0.0
+    if not fast and os.environ.get("BENCH_LEGACY", "1") != "0":
+        del scene                           # free the faithful tables
+        t0 = time.perf_counter()
+        scene_l, cam_l, meta_l = sanmiguel_analog(
+            resolution=res, n_tris=n_tris, faithful=False)
+        print(f"[bench] legacy scene: {meta_l.n_tri:,} tris, "
+              f"build {time.perf_counter()-t0:.0f}s", flush=True)
+        legacy_rate, _ = bench_mesh_forward(scene_l, cam_l, meta_l, res,
+                                            spp, 32, compact, regen)
+        del scene_l
+
     cornell_rate = bench_cornell()
 
     print(json.dumps({
@@ -361,6 +378,11 @@ def main():
             f"fwd_bwd_samples_per_sec_mesh10M_{res[1]}p_d8":
                 round(fb_rate, 1),
             **kernel_stats,
+            # the round-<=3 judged workload, for cross-round continuity
+            "camera_samples_per_sec_legacy_gentle_1080p_d32":
+                round(legacy_rate, 1),
+            "vs_baseline_legacy_gentle":
+                round(legacy_rate / BASELINE_SAMPLES_PER_S, 4),
             "camera_samples_per_sec_cornell_512_path_d8":
                 round(cornell_rate, 1),
             "vs_baseline_cornell":

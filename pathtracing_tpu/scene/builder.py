@@ -652,7 +652,7 @@ class SceneBuilder:
         import os
         insts = getattr(self, "_inst", [])
         autos = [i for i, e in enumerate(insts) if e.get("auto")]
-        if not autos or accel not in ("auto", "pallas"):
+        if not autos:
             return
         limit = int(os.environ.get("PT_FLATTEN_MAX", 4_000_000))
         if sum(insts[i]["count"] for i in autos) > limit:

@@ -461,8 +461,9 @@ def _pallas_dispatch(scene, meta, origin, direction, t_max,
     else:
         o, d, tm = origin_s, direction_s, tmax_s
         tme = time_s
-    def run(tables, block_k):
+    def run(tables, block_k, tmr=None):
         sub = _subset_scene(scene, tables)
+        tmr = tm if tmr is None else tmr
         if "pk_l1_base" in sub:          # two-level tables
             from ..accel.pallas_trace2 import (pallas_tri_intersect2,
                                                RECULL_MAX_M1PAD)
@@ -470,14 +471,14 @@ def _pallas_dispatch(scene, meta, origin, direction, t_max,
             visits = _multipass_visits()
             g = getattr(meta, "block_g", 16)
             if visits and m1pad <= RECULL_MAX_M1PAD:
-                return _multipass2(sub, o, d, tm, block_k, any_hit,
+                return _multipass2(sub, o, d, tmr, block_k, any_hit,
                                    tme, visits, g=g)
-            return pallas_tri_intersect2(sub, o, d, tm, block_k,
+            return pallas_tri_intersect2(sub, o, d, tmr, block_k,
                                          any_hit=any_hit, time=tme,
                                          g=g,
                                          pops=getattr(meta,
                                                       "block_pops", 1))
-        return pallas_tri_intersect(sub, o, d, tm, block_k,
+        return pallas_tri_intersect(sub, o, d, tmr, block_k,
                                     any_hit=any_hit, time=tme)
 
     runs = []
@@ -488,7 +489,17 @@ def _pallas_dispatch(scene, meta, origin, direction, t_max,
         runs.append(("pka_", meta.alpha_block_k))
     hit = run(*runs[0])
     for tables, bk in runs[1:]:
-        h2 = run(tables, bk)
+        # bound the (small) later table's traversal by the first
+        # table's result: a closest-hit pass only needs strictly
+        # closer hits, an any-hit pass needs nothing once occluded —
+        # without the bound the alpha table was traversed to the
+        # ORIGINAL t_max on every ray, including ones the opaque pass
+        # already resolved at t ~ 0
+        if any_hit:
+            tm2 = jnp.where(hit["valid"], 0.0, tm)
+        else:
+            tm2 = jnp.where(hit["valid"], hit["t"], tm)
+        h2 = run(tables, bk, tm2)
         closer = h2["valid"] & (~hit["valid"] | (h2["t"] < hit["t"]))
         hit = dict(t=jnp.where(closer, h2["t"], hit["t"]),
                    tri=jnp.where(closer, h2["tri"], hit["tri"]),

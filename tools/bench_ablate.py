@@ -5,7 +5,7 @@ rays under (a) Morton-sorted vs first-entered-block-sorted ray order and
 (b) re-cull cadence in {off, 8, 16, 32}, plus in-kernel visit counters
 for the extremes.  Usage:
 
-  python tools/bench_ablate.py [n_tris] [n_rays] [k2] [g]
+  python tools/bench_ablate.py [n_tris] [n_rays] [k2] [g] [pops]
 """
 from __future__ import annotations
 
@@ -41,6 +41,7 @@ def main():
     k2_raw = sys.argv[3] if len(sys.argv) > 3 else None
     k2_arg = None if k2_raw in (None, "0", "-", "auto") else int(k2_raw)
     g = int(sys.argv[4]) if len(sys.argv) > 4 else G_DEFAULT
+    pops = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 
     tri = heightfield(n_tris)
     print(f"tris={len(tri):,} rays={n_rays:,} g={g} "
@@ -71,7 +72,8 @@ def main():
 
     def run(o, d, recull_every, iters=3):
         fn = lambda: pallas_tri_intersect2(scene, o, d, t_max, k2,
-                                           g=g, recull_every=recull_every)
+                                           g=g, pops=pops,
+                                           recull_every=recull_every)
         jax.device_get(fn()["t"])
         t0 = time.perf_counter()
         for _ in range(iters):
@@ -96,6 +98,7 @@ def main():
         os_, ds_ = order(ob, db, how)
         for rc in (OFF, 16):
             r = pallas_tri_intersect2(scene, os_, ds_, t_max, k2, g=g,
+                                      pops=pops,
                                       counters=True, recull_every=rc)
             nl1 = np.asarray(r["n_l1_visited"])
             nch = np.asarray(r["n_children_tested"])

@@ -56,12 +56,22 @@ def main():
     ob, db = bounce_rays(n_rays)
     t_max = jnp.full((n_rays,), 1e30, jnp.float32)
 
-    # (k2, g, [pops...]); (256,16) is the production default
-    configs = [(256, 16, (1, 2)),
-               (128, 32, (1, 2, 4)),
-               (128, 16, (2, 4)),
-               (512, 16, (1, 2)),
-               (256, 32, (2,))]
+    # (k2, g, [pops...]); round-4 production default is (128, 32, 4).
+    # PT_SWEEP="k2,g,pops k2,g,pops ..." overrides the grid.
+    env = os.environ.get("PT_SWEEP")
+    if env:
+        configs = {}
+        for tok in env.split():
+            k2c, gg, pp = (int(x) for x in tok.split(","))
+            configs.setdefault((k2c, gg), []).append(pp)
+        configs = [(k2c, gg, tuple(pp))
+                   for (k2c, gg), pp in configs.items()]
+    else:
+        configs = [(256, 16, (1, 2)),
+                   (128, 32, (1, 2, 4)),
+                   (128, 16, (2, 4)),
+                   (512, 16, (1, 2)),
+                   (256, 32, (2,))]
     ref = {}
     for k2c, g, pops_list in configs:
         t0 = time.perf_counter()
