@@ -180,7 +180,14 @@ def bench_mesh_fwd_bwd_frame(scene, cam, meta, depth=8, compact=None):
                        differentiable=True, rays_per_batch=1 << 16,
                        compact_after=compact)
     w, h = cam["resolution"]
-    rows = max(1, (1 << 16) // w)
+    # prefer a tile height that divides the frame exactly: every tile
+    # then shares ONE compiled program and there is no ragged-remainder
+    # program at all (a grad at the ragged 26-row shape after the
+    # full-tile fori_loop crashed the TPU worker twice, while the same
+    # shape in isolation runs fine — sidestep it entirely; 1080 = 30*36)
+    rows_max = max(1, (1 << 16) // w)
+    rows = next((r for r in range(rows_max, 0, -1) if h % r == 0),
+                rows_max)
     n_full = h // rows
     rem = h - n_full * rows
 

@@ -109,14 +109,20 @@ def resolve_material(scene, meta, it):
     metal = scene["mat_metal"][mid]
     ior = scene["mat_ior"][mid]
     tex_ids = scene["mat_tex"][mid]
-    if meta.n_mat:
+    # static per-slot gates: a scene with no roughness/metallic texture
+    # anywhere skips those bilinear fetches outright (they were computed
+    # for every hit of every bounce and where()'d away)
+    present = getattr(meta, "mat_tex_present", (True,) * 5)
+    if meta.n_mat and present[0]:
         bt = tex_ids[:, 0]
         base = jnp.where((bt >= 0)[:, None],
                          base * texture_eval(scene, bt, it["uv"]), base)
+    if meta.n_mat and present[1]:
         rt = tex_ids[:, 1]
         rough = jnp.where(rt >= 0,
                           rough * texture_eval(scene, rt, it["uv"])[:, 1],
                           rough)
+    if meta.n_mat and present[2]:
         mt = tex_ids[:, 2]
         metal = jnp.where(mt >= 0,
                           metal * texture_eval(scene, mt, it["uv"])[:, 2],
@@ -409,9 +415,13 @@ def _make_bounce(scene, meta, cfg, px, py, time, sample_idx, n):
             from ..scene.textures import texture_alpha
             a_val = texture_alpha(scene, jnp.where(atex >= 0, atex, btex),
                                   it["uv"])
-            a_val = jnp.where(atex >= 0,
-                              texture_eval(scene, atex, it["uv"])[:, 0],
-                              a_val)
+            if getattr(meta, "mat_tex_present", (True,) * 5)[4]:
+                # dedicated alpha textures read channel 0; scenes
+                # without any skip the second fetch statically
+                a_val = jnp.where(atex >= 0,
+                                  texture_eval(scene, atex,
+                                               it["uv"])[:, 0],
+                                  a_val)
             u_alpha = sample_1d(s, px, py, sample_idx, dim(b, _D_ALPHA))
             solid = jnp.where(mode_a == 1, u_alpha < a_val,      # BLEND
                               jnp.where(mode_a == 2,

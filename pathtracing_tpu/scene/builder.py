@@ -899,8 +899,9 @@ class SceneBuilder:
         if n_inst and len(self._obj["prop"]):
             has_tangents = has_tangents or bool(
                 (np.asarray(self._obj["prop"])[:, 3] > 0).any())
-        has_normal_maps = bool(
-            nm and (np.asarray(self._mat["tex"])[:, 3] >= 0).any())
+        mat_tex_np = (np.asarray(self._mat["tex"], np.int64)
+                      if nm else np.zeros((0, 5), np.int64))
+        has_normal_maps = bool(nm and (mat_tex_np[:, 3] >= 0).any())
         types_in_scene = set(int(t) for t in self._mat["type"])
         mats_present = tuple(bool(k in types_in_scene) or not types_in_scene
                              for k in range(4))
@@ -1120,6 +1121,8 @@ class SceneBuilder:
             has_light_motion=has_light_motion,
             mats_present=mats_present, n_inst=n_inst, n_obj_tri=n_obj_tri,
             has_tangents=has_tangents, has_normal_maps=has_normal_maps,
+            mat_tex_present=tuple(
+                bool((mat_tex_np[:, s] >= 0).any()) for s in range(5)),
             has_emissive_tex=any(int(lt["emtex"]) >= 0 for lt in lights))
 
         cam = self._pack_camera()

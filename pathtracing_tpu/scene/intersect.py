@@ -1044,9 +1044,13 @@ def occluded(scene, meta, origin, direction, t_max, rand_key=None,
         btex = scene["mat_tex"][mat_ids, 0]
         a_from_mask = texture_alpha(scene, jnp.where(atex >= 0, atex, btex),
                                     inter["uv"])
-        a_from_mask = jnp.where(atex >= 0,
-                                texture_eval(scene, atex, inter["uv"])[:, 0],
-                                a_from_mask)
+        if getattr(meta, "mat_tex_present", (True,) * 5)[4]:
+            # dedicated alpha textures read channel 0; scenes without
+            # any skip the second fetch statically
+            a_from_mask = jnp.where(
+                atex >= 0,
+                texture_eval(scene, atex, inter["uv"])[:, 0],
+                a_from_mask)
         u = uniform_from_u32(hash_u32(
             jnp.arange(o.shape[0]), it_,
             0 if rand_key is None else rand_key))

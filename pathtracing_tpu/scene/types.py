@@ -86,6 +86,12 @@ class SceneMeta:
     mats_present: tuple = (True, True, True, True)  # diffuse/diel/thin/cond
     has_tangents: bool = True   # any triangle with authored tangents
     has_normal_maps: bool = True  # any material with a normal texture
+    mat_tex_present: tuple = (True, True, True, True, True)
+    # static per-slot material-texture presence (base, roughness,
+    # metallic, normal, alpha): False slots let resolve_material /
+    # normal mapping skip whole per-lane bilinear fetches that every
+    # hit previously computed and where()'d away (the faithful bench
+    # scene has base+normal+alpha but no roughness/metallic textures)
     has_emissive_tex: bool = True  # any light with an emission texture:
     # False lets light L evaluation skip per-lane bilinear fetches that
     # would read texture 0 and be where()'d away (measured ~5 wasted
