@@ -420,7 +420,8 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
              drain_cull: bool = True,
              max_visits: int | None = None,
              frontier: bool = False,
-             pops: int = 1):
+             pops: int = 1,
+             pair: bool = False):
     """Two-level traversal, RAYS-IN-SUBLANES layout.
 
     Everything per-ray lives in [128, 1] columns (sublane = ray), so the
@@ -577,26 +578,20 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
                 tri_hbm.at[:, pl.ds(src_of(b1e) * W, W)],
                 scratch.at[slot], sem.at[slot])
 
-        def body(carry):
-            (b1, e1, slot, best_t, best_blk, best_off, _, nl1, nch,
-             cnt) = carry
-            nl1 = nl1 + 1.0
+        def visit_core(b1, slot_r, best_t, best_blk, best_off, nch,
+                       gate=None, wait_gate=None):
+            """One L1 visit: child slab + nearest-first drain against
+            the group row in scratch[slot_r].
 
-            if use_recull:
-                @pl.when(cnt >= recull_every)
-                def _():
-                    recull(best_t)
-
-                cnt = jnp.where(cnt >= recull_every, 0, cnt + 1)
-            # select + prefetch the NEXT L1's group row while this L1
-            # is processed (double buffered)
-            nb, ne = select()
-            has_next = ne < BIG_F32 * 0.5
-
-            @pl.when(has_next)
-            def _():
-                dma_tris(1 - slot, nb).start()
-
+            gate (scalar bool): a SPECULATIVE visit — when False the
+            child slab runs against a sub-SHADOW_EPS bound, every entry
+            comes out BIG and the drain never executes, so the visit is
+            a no-op on the carry (the pair body uses this to process
+            two L1s per loop sync without a carry-level branch).
+            wait_gate: the visit's DMA was started conditionally — only
+            wait under the same condition (waiting on a never-started
+            copy would hang; reading stale scratch is safe because the
+            gate bound kills every entry)."""
             oxs, oys, ozs, dxs, dys, dzs, ixs, iys, izs = rays_for(b1)
             phys = src_of(b1)
             # base maps physical L1 -> its first block (slot decode)
@@ -618,7 +613,7 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
             # far-point boxes and fall out as BIG.
             def child_matrix(bt):
                 def brow(k):
-                    return scratch[slot, pl.ds(k, 1),
+                    return scratch[slot_r, pl.ds(k, 1),
                                    pl.ds(G * K2, 128)]         # [1,128]
                 u0 = (brow(0) - oxs) * ixs
                 u1 = (brow(3) - oxs) * ixs
@@ -649,8 +644,15 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
                                           jnp.int32(1 << 30)))
                 return bestg, beste
 
-            dma_tris(slot, b1).wait()
-            E = child_matrix(best_t)                       # [128,128]
+            if wait_gate is None:
+                dma_tris(slot_r, b1).wait()
+            else:
+                @pl.when(wait_gate)
+                def _():
+                    dma_tris(slot_r, b1).wait()
+            btv = best_t if gate is None else \
+                jnp.where(gate, best_t, SHADOW_EPS * 0.25)
+            E = child_matrix(btv)                          # [128,128]
             e_row0 = jnp.min(E, axis=0, keepdims=True)
             g0, eg0 = pop(e_row0)
 
@@ -690,7 +692,7 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
                     col0 = pl.multiple_of(gj * K2, 128)
 
                     def row(i, col0=col0):
-                        return scratch[slot, pl.ds(i, 1),
+                        return scratch[slot_r, pl.ds(i, 1),
                                        pl.ds(col0, K2)]
                     t = kc.moller_trumbore(row, (oxs, oys, ozs, dxs,
                                                  dys, dzs), rtime,
@@ -752,6 +754,10 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
                 # entering children and lets recull drop its L1s (the
                 # caller only consumes the hit flag, not t)
                 best_t = jnp.where(best_blk >= 0.0, 0.0, best_t)
+            return best_t, best_blk, best_off, nch
+
+        def still_live(has_next, ne, best_t, best_blk, nl1):
+            if any_hit:
                 live = has_next & ~jnp.all(best_blk >= 0)
             else:
                 # entryDist t-max culling (BVH.hpp:1129-1135) at tile
@@ -761,13 +767,71 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
                 # multipass cap: stop after max_visits L1s; the frontier
                 # outputs let the driver resume from the pending block
                 live = live & (nl1 < float(max_visits))
+            return live
 
-            @pl.when(has_next & ~live)
+        def body(carry):
+            (b1, e1, slot, best_t, best_blk, best_off, _, nl1, nch,
+             cnt) = carry
+            nl1 = nl1 + 1.0
+
+            if use_recull:
+                @pl.when(cnt >= recull_every)
+                def _():
+                    recull(best_t)
+
+                cnt = jnp.where(cnt >= recull_every, 0, cnt + 1)
+            # select + prefetch the NEXT L1's group row while this L1
+            # is processed (double buffered)
+            nb, ne = select()
+            has_next = ne < BIG_F32 * 0.5
+
+            @pl.when(has_next)
             def _():
-                dma_tris(1 - slot, nb).wait()
+                dma_tris(1 - slot, nb).start()
 
-            return (nb, ne, 1 - slot, best_t, best_blk, best_off, live,
-                    nl1, nch, cnt)
+            best_t, best_blk, best_off, nch = visit_core(
+                b1, slot, best_t, best_blk, best_off, nch)
+            live = still_live(has_next, ne, best_t, best_blk, nl1)
+            if not pair:
+                @pl.when(has_next & ~live)
+                def _():
+                    dma_tris(1 - slot, nb).wait()
+
+                return (nb, ne, 1 - slot, best_t, best_blk, best_off,
+                        live, nl1, nch, cnt)
+
+            # ---- speculative SECOND visit in the same loop iteration:
+            # halves the while-loop's vector->scalar->branch syncs per
+            # visit.  The second visit consumes the row just prefetched
+            # (1-slot) and prefetches its own successor back into
+            # `slot`, so the carry's slot parity is UNCHANGED per body.
+            # When the walk should have ended after visit 1 (live is
+            # False) the second visit still executes but under a
+            # sub-epsilon gate bound — a no-op on the carry; its select
+            # pops a block the exiting walk would never visit anyway
+            # (front-to-back: its entry cannot beat any ray's best).
+            live1 = live
+            nb2, ne2 = select()
+            has_next2 = ne2 < BIG_F32 * 0.5
+            started2 = live1 & has_next2
+
+            @pl.when(started2)
+            def _():
+                dma_tris(slot, nb2).start()
+
+            nl1 = nl1 + jnp.where(live1, 1.0, 0.0)
+            best_t, best_blk, best_off, nch = visit_core(
+                nb, 1 - slot, best_t, best_blk, best_off, nch,
+                gate=live1, wait_gate=has_next)
+            live_out = live1 & still_live(has_next2, ne2, best_t,
+                                          best_blk, nl1)
+
+            @pl.when(started2 & ~live_out)
+            def _():
+                dma_tris(slot, nb2).wait()
+
+            return (nb2, ne2, slot, best_t, best_blk, best_off,
+                    live_out, nl1, nch, cnt)
 
         best_t0 = tmax
         best_blk0 = jnp.full((TILE, 1), -1.0, jnp.float32)
@@ -849,7 +913,7 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
                                              "recull_every",
                                              "drain_cull",
                                              "max_visits", "frontier",
-                                             "pops"))
+                                             "pops", "pair"))
 def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
                           any_hit: bool = False, time=None,
                           g: int = G_DEFAULT, counters: bool = False,
@@ -857,7 +921,8 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
                           drain_cull: bool = True,
                           max_visits: int | None = None,
                           frontier: bool = False,
-                          pops: int = 1):
+                          pops: int = 1,
+                          pair: bool = False):
     """Two-level closest/any hit.  Same contract as pallas_tri_intersect.
 
     max_visits caps each tile's L1 walk; frontier adds per-ray resume
@@ -917,13 +982,19 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
     if frontier:
         assert use_recull, \
             "frontier outputs need the per-ray entry table (use_recull)"
+    if pair:
+        # the speculative second visit pops blocks past the exit point
+        # and does not count capped visits exactly — both fine for the
+        # production exact walk, wrong for multipass/frontier resume
+        assert max_visits is None and not frontier, \
+            "pair visits are incompatible with multipass/frontier"
     kernel = functools.partial(_kernel2, k2=k2, n_l1=m1, any_hit=any_hit,
                                g=g, instanced=instanced, motion=motion,
                                counters=counters, use_recull=use_recull,
                                recull_every=recull_every,
                                drain_cull=drain_cull,
                                max_visits=max_visits, frontier=frontier,
-                               pops=pops)
+                               pops=pops, pair=pair)
     interpret = jax.default_backend() != "tpu"
     shp = (groups, TPS, TILE)
 

@@ -86,12 +86,13 @@ def main():
             d = jnp.asarray(d)
             p = jnp.argsort(_first_block_key(scene, o, d))
             orders[label] = (o[p], d[p])
+        pair = os.environ.get("PT_PAIR") == "1"
         for pops in pops_list:
             for label in ("bounce", "coherent"):
                 o_s, d_s = orders[label]
                 fn = lambda: pallas_tri_intersect2(scene, o_s, d_s,
                                                    t_max, k2, g=g,
-                                                   pops=pops)
+                                                   pops=pops, pair=pair)
                 r = fn()
                 tt = np.asarray(r["t"])
                 tri_ids = np.asarray(r["tri"])
