@@ -74,13 +74,22 @@ def bench_mesh_forward(scene, cam, meta, res, spp, depth, compact, regen):
     film = render(scene, cam, meta, cfg, spp=spp)
     jax.device_get(film["weight"][0])                   # hard sync
     warm = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    film = render(scene, cam, meta, cfg, spp=spp, sample_offset=spp)
-    jax.device_get(film["weight"][0])
-    timed = time.perf_counter() - t0
+    # min-of-N within one session: tunnel absolutes drift +-20-30%
+    # between sessions (STATUS round-4 items 13/16), so a single timed
+    # frame polluted round-over-round comparisons (VERDICT r4 weak 7)
+    reps = max(1, int(os.environ.get("BENCH_REPS", "3")))
+    times = []
+    for r in range(reps):
+        t0 = time.perf_counter()
+        film = render(scene, cam, meta, cfg, spp=spp,
+                      sample_offset=spp * (r + 1))
+        jax.device_get(film["weight"][0])
+        times.append(time.perf_counter() - t0)
+    timed = min(times)
     timed_samples = w * h * spp
     print(f"[bench] fwd: warm(compile) {warm:.1f}s, "
-          f"timed {timed:.1f}s / {timed_samples} samples", flush=True)
+          f"timed min{times} = {timed:.1f}s / {timed_samples} samples",
+          flush=True)
     return timed_samples / timed, film
 
 
@@ -314,11 +323,14 @@ def bench_cornell():
     scene, cam, meta = cornell_box(resolution=res)
     film = render(scene, cam, meta, cfg, spp=spp)
     jax.device_get(film["rgb"])
-    t0 = time.perf_counter()
-    film = render(scene, cam, meta, cfg, spp=spp, sample_offset=spp)
-    jax.device_get(film["rgb"])
-    dt = time.perf_counter() - t0
-    return res[0] * res[1] * spp / dt
+    times = []
+    for r in range(max(1, int(os.environ.get("BENCH_REPS", "3")))):
+        t0 = time.perf_counter()
+        film = render(scene, cam, meta, cfg, spp=spp,
+                      sample_offset=spp * (r + 1))
+        jax.device_get(film["rgb"])
+        times.append(time.perf_counter() - t0)
+    return res[0] * res[1] * spp / min(times)
 
 
 def main():

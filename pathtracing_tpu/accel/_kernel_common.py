@@ -199,13 +199,15 @@ def instance_transform(inv_ref, inst, o, d):
     return (oxl, oyl, ozl), (dxl, dyl, dzl)
 
 
-def moller_trumbore(row, rays, rtime, motion: bool, best_t):
+def moller_trumbore(row, rays, rtime, motion: bool, best_t,
+                    with_uv: bool = False):
     """Moller-Trumbore over [128 rays(sublanes), W prims(lanes)].
 
     row(i): the i-th component row [1,W] of the 16-row triangle table
     (v0 xyz 0-2, e1 3-5, e2 6-8, velocity 9-11 when motion).  Returns
     the per-(ray, prim) hit distance t [128,W] with misses at BIG_F32
-    (accepts t in [SHADOW_EPS, best_t))."""
+    (accepts t in [SHADOW_EPS, best_t)); with_uv also returns the
+    barycentrics (u, v) — garbage on miss lanes, callers gate on t."""
     oxs, oys, ozs, dxs, dys, dzs = rays
     e1x, e1y, e1z = row(3), row(4), row(5)
     e2x, e2y, e2z = row(6), row(7), row(8)
@@ -228,4 +230,47 @@ def moller_trumbore(row, rays, rtime, motion: bool, best_t):
     t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
     ok = (~near0 & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
           & (t >= SHADOW_EPS) & (t < best_t))
-    return jnp.where(ok, t, BIG_F32)
+    t = jnp.where(ok, t, BIG_F32)
+    if with_uv:
+        return t, u, v
+    return t
+
+
+def alpha_cell_bits(row, u, v):
+    """(definitely_opaque, mixed) bits at the hit's alpha-mask cell.
+
+    Reads the per-triangle micro-mask rows the builders pack when
+    meta.alpha_cull_mask is set (scene/alphamask.py — the in-traversal
+    analog of the reference's alpha test, Primitive.cpp:6-14):
+      rows 9..11: f32 words of two packed bf16 affine coefficients
+                  (low half b_i, high half c_i) mapping barycentrics to
+                  an 8x8 texture-space cell grid;
+      rows 12..13 / 14..15: opaque / mixed bit planes, bit = cv*8+cu.
+    Returns two boolean [128,W] arrays; only meaningful where the MT t
+    is a hit (u, v are garbage on miss lanes — callers mask)."""
+    b = []
+    c = []
+    for i in (9, 10, 11):
+        w = pltpu.bitcast(row(i), jnp.int32)           # [1,W]
+        b.append(pltpu.bitcast(jax.lax.shift_left(w, 16), jnp.float32))
+        c.append(pltpu.bitcast(jnp.bitwise_and(w, jnp.int32(-65536)),
+                               jnp.float32))
+    gx = b[0] + b[1] * u + b[2] * v                    # [128,W]
+    gy = c[0] + c[1] * u + c[2] * v
+    cu = jnp.clip(jnp.floor(gx), 0.0, 7.0)
+    cv = jnp.clip(jnp.floor(gy), 0.0, 7.0)
+    magic = jnp.float32(_MAGIC_2P23)
+    cui = jnp.bitwise_and(pltpu.bitcast(cu + magic, jnp.int32), 7)
+    cvi = jnp.bitwise_and(pltpu.bitcast(cv + magic, jnp.int32), 7)
+    cell = cvi * 8 + cui
+    sh = jnp.bitwise_and(cell, 31)
+    lo_half = cell < 32
+
+    def bitplane(r0, r1):
+        w0 = pltpu.bitcast(row(r0), jnp.int32)
+        w1 = pltpu.bitcast(row(r1), jnp.int32)
+        word = jnp.where(lo_half, w0, w1)
+        return jnp.bitwise_and(jax.lax.shift_right_logical(word, sh),
+                               1) > 0
+
+    return bitplane(12, 13), bitplane(14, 15)

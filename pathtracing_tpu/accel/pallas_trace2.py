@@ -54,7 +54,8 @@ def build_tri_blocks2(tri_v: np.ndarray, k2: int | None = None,
                       tri_vel: np.ndarray | None = None,
                       shutter: tuple = (0.0, 0.0),
                       g: int = G_DEFAULT,
-                      order: np.ndarray | None = None):
+                      order: np.ndarray | None = None,
+                      tri_mask: np.ndarray | None = None):
     """Two-level block tables.  Returns (arrays, k2):
       pk_tri      [16, M1*(G*K2+128)]  per-L1 group row: the G children's
                                 block-contiguous triangle components
@@ -118,10 +119,17 @@ def build_tri_blocks2(tri_v: np.ndarray, k2: int | None = None,
     v0 = v[:, 0]
     e1 = v[:, 1] - v0
     e2 = v[:, 2] - v0
-    vel_rows = (tri_vel[ord_pad].T if tri_vel is not None
-                else np.zeros((3, len(v)), np.float32))
-    tri9 = np.concatenate([v0.T, e1.T, e2.T, vel_rows,
-                           np.zeros((4, len(v)), np.float32)], 0)
+    if tri_mask is not None:
+        # alpha micro-mask rows 9..15 (scene/alphamask.py); mutually
+        # exclusive with motion velocities, which own rows 9..11
+        assert tri_vel is None, "alpha masks and motion share rows 9-11"
+        tail = np.asarray(tri_mask, np.float32)[ord_pad].T
+    else:
+        vel_rows = (tri_vel[ord_pad].T if tri_vel is not None
+                    else np.zeros((3, len(v)), np.float32))
+        tail = np.concatenate([vel_rows,
+                               np.zeros((4, len(v)), np.float32)], 0)
+    tri9 = np.concatenate([v0.T, e1.T, e2.T, tail], 0)
     if pad:
         tri9[:, n:] = 0.0
     l2lo = lo[ord_pad].reshape(m2, k2, 3).min(1)
@@ -197,7 +205,8 @@ def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
                            g: int = G_DEFAULT,
                            tri_sel=None, otri_sel=None,
                            tri_vel=None, inst_vel=None,
-                           shutter: tuple = (0.0, 0.0)):
+                           shutter: tuple = (0.0, 0.0),
+                           tri_mask=None, otri_mask=None):
     """Two-level INSTANCED block tables (TLAS/BLAS at San-Miguel scale,
     BVH.hpp:554-555 — the reference's TLAS templates work at any scale;
     round 1 only had instancing in the single-level kernel).
@@ -290,13 +299,17 @@ def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
                and n_l1_expanded(k2 + 128) < n_l1_expanded(k2)):
             k2 += 128
 
+    use_mask = tri_mask is not None or otri_mask is not None
+    if use_mask:
+        assert tri_vel is None and not np.abs(inst_vel).any(), \
+            "alpha masks and motion share rows 9-11"
     tri_chunks, vel_chunks, slot2tri, l2boxes = [], [], [], []
     exp_lo, exp_hi, exp_src, exp_inst = [], [], [], []
     l1_bases = []
     phys_l1 = 0
     phys_blocks = 0
 
-    def emit_source(v_sub, glob_ids, vel_sub=None):
+    def emit_source(v_sub, glob_ids, vel_sub=None, mask_sub=None):
         """SAH-order + block one triangle soup into L2/L1 tables; returns
         per-L1 (physical ids, source-space lo/hi)."""
         nonlocal phys_l1, phys_blocks
@@ -308,8 +321,14 @@ def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
         ord_pad = np.concatenate([order, np.repeat(order[-1:], pad)])
         v = v_sub[ord_pad]
         tri_chunks.append(v)
-        vel_chunks.append(vel_sub[ord_pad] if vel_sub is not None
-                          else np.zeros_like(v[:, 0]))
+        if use_mask:
+            vel_chunks.append(
+                mask_sub[ord_pad] if mask_sub is not None
+                else np.zeros((len(ord_pad), 7), np.float32))
+        elif vel_sub is not None:
+            vel_chunks.append(vel_sub[ord_pad])
+        else:
+            vel_chunks.append(np.zeros_like(v[:, 0]))
         s2t = glob_ids[ord_pad].astype(np.int32)
         if pad:
             s2t[n:] = -1
@@ -352,7 +371,9 @@ def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
     if len(world_ids):
         src, lo, hi = emit_source(
             tri_v[world_ids], world_ids,
-            tri_vel[world_ids] if tri_vel is not None else None)
+            tri_vel[world_ids] if tri_vel is not None else None,
+            np.asarray(tri_mask, np.float32)[world_ids]
+            if tri_mask is not None else None)
         exp_lo.append(lo)
         exp_hi.append(hi)
         exp_src.append(src)
@@ -362,7 +383,10 @@ def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
         ids = model_ids[bc]
         if not len(ids):
             continue                  # model fully outside this subset
-        src, lo, hi = emit_source(otri_v[ids], ids)
+        src, lo, hi = emit_source(
+            otri_v[ids], ids,
+            mask_sub=np.asarray(otri_mask, np.float32)[ids]
+            if otri_mask is not None else None)
         # 8 corners of each object-space L1 AABB -> world AABB per instance
         corners = np.stack([np.stack([np.where(m & (1 << a), hi[:, a],
                                                lo[:, a]) for a in range(3)],
@@ -383,10 +407,11 @@ def build_tri_blocks2_inst(tri_v, otri_v, inst_fwd, inst_inv, inst_base,
     v0 = v[:, 0]
     e1 = v[:, 1] - v0
     e2 = v[:, 2] - v0
-    vel_rows = np.concatenate(vel_chunks, 0).T            # [3, M2p*K2]
-    tri9 = np.concatenate([v0.T, e1.T, e2.T, vel_rows,
-                           np.zeros((4, len(v)), np.float32)],
-                          0).astype(np.float32)
+    tail = np.concatenate(vel_chunks, 0).T       # [3|7, M2p*K2]
+    if not use_mask:
+        tail = np.concatenate(
+            [tail, np.zeros((4, len(v)), np.float32)], 0)
+    tri9 = np.concatenate([v0.T, e1.T, e2.T, tail], 0).astype(np.float32)
     # object-space instance velocities: v_obj = inv_lin @ v_world (the
     # kernel shifts the object-space ray origin by -v_obj*time)
     velo = np.stack([inst_inv[i][:3, :3] @ inst_vel[i] if ni else
@@ -421,8 +446,21 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
              max_visits: int | None = None,
              frontier: bool = False,
              pops: int = 1,
-             pair: bool = False):
+             pair: bool = False,
+             amask: int = 0):
     """Two-level traversal, RAYS-IN-SUBLANES layout.
+
+    amask: in-kernel conservative alpha-mask testing against the
+    micro-mask rows 9..15 (scene/alphamask.py; the in-traversal analog
+    of the reference's alpha test, Primitive.cpp:6-14):
+      1 = closest-pass cull: definitely-transparent candidates become
+          misses (the shade stage's exact test + restart handles the
+          rest unchanged);
+      2 = shadow pass: a definitely-opaque hit occludes outright — the
+          ray collapses any-hit-style with best_blk = -2 — while MIXED
+          hits walk as normal closest candidates, so the output is the
+          nearest hit needing an exact texture test (the restart
+          chain's seed).  Definitely-transparent hits are skipped.
 
     Everything per-ray lives in [128, 1] columns (sublane = ray), so the
     three hot loops are dense full-lane VPU work with zero scalar-load
@@ -694,15 +732,36 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
                     def row(i, col0=col0):
                         return scratch[slot_r, pl.ds(i, 1),
                                        pl.ds(col0, K2)]
-                    t = kc.moller_trumbore(row, (oxs, oys, ozs, dxs,
-                                                 dys, dzs), rtime,
-                                           motion, bt0)
+                    if amask:
+                        t, uu, vv = kc.moller_trumbore(
+                            row, (oxs, oys, ozs, dxs, dys, dzs), rtime,
+                            motion, bt0, with_uv=True)
+                        opq, mix = kc.alpha_cell_bits(row, uu, vv)
+                        hitm = t < BIG_F32 * 0.5
+                        if amask == 1:
+                            # definitely-transparent candidates = miss
+                            t = jnp.where(hitm & ~(opq | mix), BIG_F32,
+                                          t)
+                            solid = None
+                        else:
+                            # opaque-cell hit anywhere below the bound
+                            # occludes outright (OR semantics: order
+                            # doesn't matter for a predicate)
+                            solid = jnp.min(
+                                jnp.where(hitm & opq, t, BIG_F32),
+                                axis=1, keepdims=True) < BIG_F32 * 0.5
+                            t = jnp.where(hitm & mix, t, BIG_F32)
+                    else:
+                        t = kc.moller_trumbore(row, (oxs, oys, ozs, dxs,
+                                                     dys, dzs), rtime,
+                                               motion, bt0)
+                        solid = None
                     kbest = jnp.argmin(t, axis=1)[:, None]   # [128,1]
                     tbest = jnp.min(t, axis=1, keepdims=True)
-                    tested.append((gj, tbest, kbest))
+                    tested.append((gj, tbest, kbest, solid))
                     vis = jnp.where(lane_row == gj, 1.0, vis)
 
-                for gj, tbest, kbest in tested:
+                for gj, tbest, kbest, solid in tested:
                     better = tbest < best_t
                     best_t = jnp.where(better, tbest, best_t)
                     # hits are recorded as a (block, offset) PAIR: each
@@ -722,6 +781,15 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
                     best_off = jnp.where(better,
                                          kc.itof_exact(off_base + kbest),
                                          best_off)
+                    if amask == 2 and solid is not None:
+                        # definite occlusion: collapse like any-hit
+                        # (t = 0 culls every remaining child/L1 for the
+                        # ray); -2 marks "occluded, no candidate" for
+                        # the caller.  A nearer mixed candidate cannot
+                        # matter: nothing un-occludes a predicate.
+                        best_t = jnp.where(solid, 0.0, best_t)
+                        best_blk = jnp.where(solid, -2.0, best_blk)
+                        best_off = jnp.where(solid, 0.0, best_off)
                 if any_hit:
                     # collapse resolved rays mid-drain: a zero best_t
                     # culls every remaining child entry for that ray
@@ -913,7 +981,7 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
                                              "recull_every",
                                              "drain_cull",
                                              "max_visits", "frontier",
-                                             "pops", "pair"))
+                                             "pops", "pair", "amask"))
 def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
                           any_hit: bool = False, time=None,
                           g: int = G_DEFAULT, counters: bool = False,
@@ -922,7 +990,8 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
                           max_visits: int | None = None,
                           frontier: bool = False,
                           pops: int = 1,
-                          pair: bool = False):
+                          pair: bool = False,
+                          amask: int = 0):
     """Two-level closest/any hit.  Same contract as pallas_tri_intersect.
 
     max_visits caps each tile's L1 walk; frontier adds per-ray resume
@@ -988,13 +1057,20 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
         # production exact walk, wrong for multipass/frontier resume
         assert max_visits is None and not frontier, \
             "pair visits are incompatible with multipass/frontier"
+    if amask:
+        # mode 1 is a closest-pass filter; mode 2 is its own predicate
+        # walk (collapse on opaque) — a plain any_hit would wrongly
+        # treat mixed candidates as definite occluders.  Masks share
+        # rows 9..11 with motion velocities: mutually exclusive.
+        assert not any_hit and not motion and amask in (1, 2), \
+            (amask, any_hit, motion)
     kernel = functools.partial(_kernel2, k2=k2, n_l1=m1, any_hit=any_hit,
                                g=g, instanced=instanced, motion=motion,
                                counters=counters, use_recull=use_recull,
                                recull_every=recull_every,
                                drain_cull=drain_cull,
                                max_visits=max_visits, frontier=frontier,
-                               pops=pops, pair=pair)
+                               pops=pops, pair=pair, amask=amask)
     interpret = jax.default_backend() != "tpu"
     shp = (groups, TPS, TILE)
 
@@ -1069,6 +1145,10 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
     inst = jnp.where(valid, inst, -1)
     res = dict(t=jnp.where(valid, t, BIG_F32), tri=tri, inst=inst,
                valid=valid)
+    if amask == 2:
+        # definite in-kernel occlusion (opaque-cell hit): no candidate
+        # to report, the predicate is already decided for these lanes
+        res["solid"] = blk == -2
     if frontier:
         res["e_next"] = outs[3].reshape(n2)[:n]
         res["b_next"] = outs[4].astype(jnp.int32).reshape(n2)[:n]

@@ -17,7 +17,9 @@ import jax.numpy as jnp
 
 from ..scene.types import SceneMeta
 
-_FORMAT_VERSION = 4   # v2: per-env-light tables (light_env_slot)
+_FORMAT_VERSION = 5   # v2: per-env-light tables (light_env_slot)
+                      # v5: alpha micro-mask rows in pka_* tables
+                      #     (meta.alpha_cull_mask; scene/alphamask.py)
                       # v4: two-level group rows embed child boxes in
                       #     pk_tri (pk_l2box gone); tri_pack; pk_sblk_*
                       # v3: degenerate far-point empty AABBs in the

@@ -413,7 +413,8 @@ def _multipass2(sub, o, d, tm, block_k, any_hit, time, visits, g=None):
 def _pallas_dispatch(scene, meta, origin, direction, t_max,
                      any_hit: bool = False, sort: bool = True,
                      time=None, tri_tables: str = "all",
-                     analytic: bool = True, sort_key=None):
+                     analytic: bool = True, sort_key=None,
+                     alpha_shadow: bool = False):
     """Triangles via the Pallas tile-divergent kernel; the (few) analytic
     prims of a mixed scene take the dense brute path; results merged.
 
@@ -424,7 +425,14 @@ def _pallas_dispatch(scene, meta, origin, direction, t_max,
     dispatch repeatedly from (nearly) the same origins (the alpha
     restart chain) pay the ~10 ms/64K slab pre-pass once instead of
     per dispatch; keys are quality-only so a slightly stale key cannot
-    change results (BVH.hpp:510-529 gets ordering for free per ray)."""
+    change results (BVH.hpp:510-529 gets ordering for free per ray).
+
+    When meta.alpha_cull_mask and the alpha split is two-level, the
+    pka_* run tests the per-triangle alpha micro-masks in-kernel:
+    closest passes cull definitely-transparent candidates (amask=1);
+    alpha_shadow=True runs the shadow variant (amask=2) whose result
+    carries a "solid" flag for lanes occluded outright by a
+    definitely-opaque hit (scene/alphamask.py; Primitive.cpp:6-14)."""
     import dataclasses
     from ..accel.pallas_trace import pallas_tri_intersect, TILE
 
@@ -461,7 +469,13 @@ def _pallas_dispatch(scene, meta, origin, direction, t_max,
     else:
         o, d, tm = origin_s, direction_s, tmax_s
         tme = time_s
-    def run(tables, block_k, tmr=None):
+    # in-kernel alpha micro-mask mode for the pka_* run (two-level only)
+    am_alpha = 0
+    if (getattr(meta, "alpha_cull_mask", False) and not any_hit
+            and "pka_l1_base" in scene):
+        am_alpha = 2 if alpha_shadow else 1
+
+    def run(tables, block_k, tmr=None, amask=0):
         sub = _subset_scene(scene, tables)
         tmr = tm if tmr is None else tmr
         if "pk_l1_base" in sub:          # two-level tables
@@ -470,25 +484,26 @@ def _pallas_dispatch(scene, meta, origin, direction, t_max,
             m1pad = -(-sub["pk_blk_lo"].shape[0] // 128) * 128
             visits = _multipass_visits()
             g = getattr(meta, "block_g", 16)
-            if visits and m1pad <= RECULL_MAX_M1PAD:
+            if visits and m1pad <= RECULL_MAX_M1PAD and not amask:
                 return _multipass2(sub, o, d, tmr, block_k, any_hit,
                                    tme, visits, g=g)
             return pallas_tri_intersect2(sub, o, d, tmr, block_k,
                                          any_hit=any_hit, time=tme,
                                          g=g,
                                          pops=getattr(meta,
-                                                      "block_pops", 1))
+                                                      "block_pops", 1),
+                                         amask=amask)
         return pallas_tri_intersect(sub, o, d, tmr, block_k,
                                     any_hit=any_hit, time=tme)
 
     runs = []
     if tri_tables in ("all", "opaque"):
-        runs.append(("pk_", meta.block_k))
+        runs.append(("pk_", meta.block_k, None, 0))
     if tri_tables in ("all", "alpha") and \
             getattr(meta, "alpha_block_k", 0) and "pka_tri" in scene:
-        runs.append(("pka_", meta.alpha_block_k))
+        runs.append(("pka_", meta.alpha_block_k, None, am_alpha))
     hit = run(*runs[0])
-    for tables, bk in runs[1:]:
+    for tables, bk, _, amk in runs[1:]:
         # bound the (small) later table's traversal by the first
         # table's result: a closest-hit pass only needs strictly
         # closer hits, an any-hit pass needs nothing once occluded —
@@ -499,24 +514,32 @@ def _pallas_dispatch(scene, meta, origin, direction, t_max,
             tm2 = jnp.where(hit["valid"], 0.0, tm)
         else:
             tm2 = jnp.where(hit["valid"], hit["t"], tm)
-        h2 = run(tables, bk, tm2)
+        h2 = run(tables, bk, tm2, amk)
         closer = h2["valid"] & (~hit["valid"] | (h2["t"] < hit["t"]))
         hit = dict(t=jnp.where(closer, h2["t"], hit["t"]),
                    tri=jnp.where(closer, h2["tri"], hit["tri"]),
                    inst=jnp.where(closer, h2.get("inst", -1),
                                   hit.get("inst", -1)),
-                   valid=hit["valid"] | h2["valid"])
+                   valid=hit["valid"] | h2["valid"],
+                   **({"solid": h2["solid"] | hit.get("solid", False)}
+                      if "solid" in h2 else {}))
     t = hit["t"][:n]
     idx = hit["tri"][:n]
     inst = hit.get("inst")
+    solid = hit.get("solid")
     valid = hit["valid"][:n]
     if perm is not None:
         inv = jnp.argsort(perm)
         t, idx, valid = t[inv], idx[inv], valid[inv]
         if inst is not None:
             inst = inst[:n][inv]
-    elif inst is not None:
-        inst = inst[:n]
+        if solid is not None:
+            solid = solid[:n][inv]
+    else:
+        if inst is not None:
+            inst = inst[:n]
+        if solid is not None:
+            solid = solid[:n]
     if inst is not None and getattr(meta, "n_inst", 0):
         # runtime-instance hits: encode idx as inst * n_obj_tri + otri so
         # make_interaction's SHAPE_ITRI path recovers both
@@ -536,8 +559,11 @@ def _pallas_dispatch(scene, meta, origin, direction, t_max,
         kind = jnp.where(better, other["kind"], kind)
         idx = jnp.where(better, other["idx"], idx)
         valid = valid | other["valid"]
-    return dict(t=jnp.where(valid, t, BIG_F32), kind=kind, idx=idx,
-                valid=valid)
+    out = dict(t=jnp.where(valid, t, BIG_F32), kind=kind, idx=idx,
+               valid=valid)
+    if solid is not None:
+        out["solid"] = solid
+    return out
 
 
 def intersect(scene, meta, origin, direction, t_max, time=None):
@@ -1009,9 +1035,15 @@ def occluded(scene, meta, origin, direction, t_max, rand_key=None,
                                 analytic=False, sort_key=key0)["valid"]
 
         def chain_isect(o, t_rem):
+            # alpha_shadow: with micro-masked tables (alpha_cull_mask)
+            # each dispatch resolves definitely-opaque hits IN-KERNEL
+            # ("solid" lanes: occluded, no restart needed) and skips
+            # definitely-transparent ones, so the chain only iterates
+            # on hits that genuinely need the exact texture test
             return _pallas_dispatch(scene, meta, o, direction, t_rem,
                                     time=time, tri_tables="alpha",
-                                    analytic=True, sort_key=key0)
+                                    analytic=True, sort_key=key0,
+                                    alpha_shadow=True)
     else:
         occ0 = jnp.zeros((origin.shape[0],), bool)
 
@@ -1035,6 +1067,9 @@ def occluded(scene, meta, origin, direction, t_max, rand_key=None,
         # exit) — without the mask every restart iteration re-traced the
         # full shadow ray for every already-resolved lane
         h = chain_isect(o, jnp.where(live, t_rem, 0.0))
+        # in-kernel definite occlusion (alpha micro-masks): these lanes
+        # carry no candidate hit (valid=False) and are simply done
+        solid_k = h.get("solid", jnp.zeros((o.shape[0],), bool))
         inter = make_interaction(scene, meta, o, direction, h, time=time,
                                  lite=True)
         mat_ids = jnp.clip(inter["mat_id"], 0, scene["mat_type"].shape[0] - 1)
@@ -1058,10 +1093,10 @@ def occluded(scene, meta, origin, direction, t_max, rand_key=None,
                           jnp.where(mode == ALPHA_MASK,
                                     a_from_mask > cutoff, True))
         solid = solid | (inter["mat_id"] < 0)  # no material: plain occluder
-        newly_occ = h["valid"] & solid
+        newly_occ = (h["valid"] & solid) | solid_k
         done_clear = ~h["valid"]
         occ = jnp.where(live & newly_occ, True, occ)
-        live_next = live & h["valid"] & ~solid
+        live_next = live & h["valid"] & ~solid & ~solid_k
         # scale-robust advance past the transparent surface
         n_fwd = jnp.where(vdot_k(direction, inter["n"]) > 0, inter["n"],
                           -inter["n"])

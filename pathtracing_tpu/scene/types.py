@@ -99,3 +99,10 @@ class SceneMeta:
     # San-Miguel analog)
     # (all three default True so pre-round-3/4 cached metas keep the
     # old always-compute behavior; builder sets them exactly)
+    alpha_cull_mask: bool = False  # the pka_* tables carry per-triangle
+    # conservative alpha micro-masks in rows 9..15 (scene/alphamask.py)
+    # and the kernels may test them in-traversal: definitely-transparent
+    # candidates culled from closest passes, definitely-opaque shadow
+    # hits collapsed any-hit-style (the reference alpha-tests inside
+    # traversal, Primitive.cpp:6-14).  False on cached pre-round-5
+    # scenes: their tables have zero rows there.

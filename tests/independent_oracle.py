@@ -124,6 +124,219 @@ def _onb(n):
 # Transport
 # ---------------------------------------------------------------------------
 
+def _occluded(prims, o, d, t_far):
+    t, _, _ = _intersect(prims, o, d)
+    return t < t_far - 1e-3
+
+
+def _light_mixture_pdf(prims, sky, p, wi):
+    """Solid-angle pdf of the one-sample NEE mixture at direction wi
+    from points p: sum over strategies of P(strategy) * pdf_sw.
+
+    Strategies: each emissive quad (uniform-area sampling; pdf_sw =
+    dist^2 / (cos_l * area), 0 behind a one-sided emitter — the
+    reference's area-light PDF, Shape.cpp quad SamplePDF semantics) and
+    the uniform sky (uniform sphere, 1/4pi).  All equally likely."""
+    lights = [pr for pr in prims if pr.get("emit") is not None]
+    n_strat = len(lights) + (1 if sky is not None else 0)
+    if n_strat == 0:
+        return np.zeros(len(p))
+    pdf = np.zeros(len(p))
+    for pr in lights:
+        # does the ray (p, wi) hit this quad, and at what geometry?
+        t, nrm = _quad_hit(pr["q"], pr["u"], pr["v"], p, wi)
+        hit = np.isfinite(t)
+        cos_l = np.abs(np.einsum("ij,ij->i", wi, nrm))
+        area = np.linalg.norm(np.cross(pr["u"], pr["v"]))
+        pdf_i = np.where(hit & (cos_l > 1e-9),
+                         t * t / np.maximum(cos_l * area, 1e-18), 0.0)
+        if pr.get("one_sided", False):
+            # emits only where d . n < 0 (front side); sampling the back
+            # yields Le = 0 but the PDF strategy still only counts
+            # visible-side solid angle in the renderer: match by zeroing
+            front = np.einsum("ij,ij->i", wi, nrm) <= 0
+            pdf_i = np.where(front, pdf_i, 0.0)
+        pdf += pdf_i
+    if sky is not None:
+        pdf += 1.0 / (4.0 * np.pi)
+    return pdf / n_strat
+
+
+def trace_mis(prims, sky, o, d, max_depth, rng):
+    """Li estimates under PathIntegrator semantics: per-vertex NEE with
+    one uniformly chosen light strategy + BSDF continuation, both
+    combined with the power heuristic (formulas written from the
+    reference's SampleLd / MIS rules, Integrators.cpp:182-294; shares
+    no code with pathtracing_tpu).
+
+    The light-sample estimator divides by the CHOSEN strategy's
+    P * pdf but weights with the mixture pdf (one-sample MIS); the
+    BSDF-side hit on an emitter weights prev_pdf^2 / (prev_pdf^2 +
+    mixture_pdf^2).  Any unbiased weighting integrates to the same
+    mean — which is exactly what makes this an independent check of
+    the renderer's MIS bookkeeping."""
+    o = np.array(o, np.float64)
+    d = np.array(d, np.float64)
+    n_lanes = len(o)
+    tput = np.ones((n_lanes, 3))
+    rad = np.zeros((n_lanes, 3))
+    alive = np.ones(n_lanes, bool)
+    prev_pdf = np.zeros(n_lanes)          # bsdf pdf of the ray's sample
+    first = np.ones(n_lanes, bool)
+    lights = [pr for pr in prims if pr.get("emit") is not None]
+    n_strat = len(lights) + (1 if sky is not None else 0)
+    for _ in range(max_depth):
+        t, idx, nrm = _intersect(prims, o, d)
+        hit = np.isfinite(t)
+        # --- miss: sky, MIS-weighted against NEE's chance of sampling it
+        sky_pdf = _light_mixture_pdf(prims, sky, o, d)
+        w_sky = np.where(first, 1.0,
+                         prev_pdf ** 2
+                         / np.maximum(prev_pdf ** 2 + sky_pdf ** 2,
+                                      1e-24))
+        miss = alive & ~hit
+        if sky is not None:
+            rad += np.where(miss[:, None],
+                            tput * np.asarray(sky) * w_sky[:, None], 0.0)
+        alive = alive & hit
+        # --- emission at the hit, MIS-weighted (Integrators.cpp:220-244)
+        for i, pr in enumerate(prims):
+            em = pr.get("emit")
+            if em is None:
+                continue
+            on = alive & (idx == i)
+            front = np.einsum("ij,ij->i", d, nrm) <= 0
+            vis = front if pr.get("one_sided", False) \
+                else np.ones_like(front)
+            w_em = np.where(first, 1.0,
+                            prev_pdf ** 2
+                            / np.maximum(prev_pdf ** 2 + sky_pdf ** 2,
+                                         1e-24))
+            rad += np.where((on & vis)[:, None],
+                            tput * np.asarray(em) * w_em[:, None], 0.0)
+        cosi = np.einsum("ij,ij->i", d, nrm)
+        nf = np.where((cosi > 0)[:, None], -nrm, nrm)
+        p_hit = o + np.where(hit, t, 0.0)[:, None] * d
+        p_off = p_hit + nf * _EPS
+        mats = np.full(n_lanes, -1, np.int64)
+        for i, pr in enumerate(prims):
+            if pr.get("mat") is not None:
+                mats = np.where(idx == i, i, mats)
+        scat = alive & (mats >= 0)
+        through = alive & (mats < 0)
+
+        # --- NEE: one uniformly chosen strategy per lane
+        if n_strat:
+            pick = rng.integers(0, n_strat, n_lanes)
+            wi_l = np.zeros((n_lanes, 3))
+            dist = np.full(n_lanes, np.inf)
+            Le = np.zeros((n_lanes, 3))
+            for j, pr in enumerate(lights):
+                sel = pick == j
+                u1 = rng.random(n_lanes)
+                u2 = rng.random(n_lanes)
+                lp = (pr["q"][None, :] + u1[:, None] * pr["u"][None, :]
+                      + u2[:, None] * pr["v"][None, :])
+                delta = lp - p_off
+                dd = np.linalg.norm(delta, axis=-1)
+                wdir = delta / np.maximum(dd[:, None], 1e-18)
+                wi_l = np.where(sel[:, None], wdir, wi_l)
+                dist = np.where(sel, dd, dist)
+                nq = np.cross(pr["u"], pr["v"])
+                nq = nq / np.linalg.norm(nq)
+                if pr.get("one_sided", False):
+                    facing = np.einsum("ij,j->i", wdir, nq) <= 0
+                    le_j = (np.asarray(pr["emit"], np.float64)[None, :]
+                            * facing[:, None])
+                else:
+                    le_j = np.broadcast_to(
+                        np.asarray(pr["emit"], np.float64), (n_lanes, 3))
+                Le = np.where(sel[:, None], le_j, Le)
+            if sky is not None:
+                sel = pick == n_strat - 1
+                z = 1.0 - 2.0 * rng.random(n_lanes)
+                phi = 2.0 * np.pi * rng.random(n_lanes)
+                r = np.sqrt(np.maximum(0.0, 1.0 - z * z))
+                wdir = np.stack([r * np.cos(phi), r * np.sin(phi), z], -1)
+                wi_l = np.where(sel[:, None], wdir, wi_l)
+                dist = np.where(sel, 1e9, dist)
+                Le = np.where(sel[:, None], np.asarray(sky, np.float64),
+                              Le)
+            pdf_mix = _light_mixture_pdf(prims, sky, p_off, wi_l)
+            # chosen strategy's own pdf (for the estimator divisor)
+            pdf_own = np.zeros(n_lanes)
+            for j, pr in enumerate(lights):
+                sel = pick == j
+                tq, nq = _quad_hit(pr["q"], pr["u"], pr["v"], p_off, wi_l)
+                cos_l = np.abs(np.einsum("ij,ij->i", wi_l, nq))
+                area = np.linalg.norm(np.cross(pr["u"], pr["v"]))
+                pdf_j = dist * dist / np.maximum(cos_l * area, 1e-18)
+                pdf_own = np.where(sel, pdf_j, pdf_own)
+            if sky is not None:
+                pdf_own = np.where(pick == n_strat - 1,
+                                   1.0 / (4.0 * np.pi), pdf_own)
+            wiz = np.einsum("ij,ij->i", wi_l, nf)
+            occ = _occluded(prims, p_off, wi_l, dist)
+            wo = -d
+            woz = np.einsum("ij,ij->i", wo, nf)
+            wh = wo + wi_l
+            wh /= np.maximum(np.linalg.norm(wh, axis=-1, keepdims=True),
+                             1e-18)
+            whz = np.einsum("ij,ij->i", wh, nf)
+            wi_dot_wh = np.einsum("ij,ij->i", wi_l, wh)
+            f_total = np.zeros((n_lanes, 3))
+            for i, pr in enumerate(prims):
+                if pr.get("mat") is None:
+                    continue
+                f_total = np.where(
+                    (mats == i)[:, None],
+                    _bsdf_f(pr["mat"], woz, wiz, wi_dot_wh, whz),
+                    f_total)
+            pdf_b = np.where(wiz > 0, wiz / np.pi, 0.0)  # cosine pdf
+            w_l = pdf_mix ** 2 / np.maximum(pdf_mix ** 2 + pdf_b ** 2,
+                                            1e-24)
+            good = scat & ~occ & (wiz > 0) & (pdf_own > 1e-12) \
+                & (Le.sum(-1) > 0)
+            # one-sample MIS estimator: divide by the chosen strategy's
+            # P * pdf = pdf_own / n_strat, weight with the mixture
+            contrib = (tput * f_total * Le
+                       * (wiz * w_l * n_strat
+                          / np.maximum(pdf_own, 1e-18))[:, None])
+            rad += np.where(good[:, None], contrib, 0.0)
+
+        # --- BSDF continuation (cosine), records prev_pdf for MIS
+        u1 = rng.random(n_lanes)
+        u2 = rng.random(n_lanes)
+        z = np.sqrt(np.maximum(0.0, 1.0 - u2))
+        s = np.sqrt(u2)
+        phi = 2.0 * np.pi * u1
+        tb, bb = _onb(nf)
+        wi = (np.cos(phi) * s)[:, None] * tb + \
+             (np.sin(phi) * s)[:, None] * bb + z[:, None] * nf
+        wo = -d
+        woz = np.einsum("ij,ij->i", wo, nf)
+        wh = wo + wi
+        wh /= np.maximum(np.linalg.norm(wh, axis=-1, keepdims=True),
+                         1e-18)
+        whz = np.einsum("ij,ij->i", wh, nf)
+        wi_dot_wh = np.einsum("ij,ij->i", wi, wh)
+        f_total = np.zeros((n_lanes, 3))
+        for i, pr in enumerate(prims):
+            if pr.get("mat") is None:
+                continue
+            f_total = np.where((mats == i)[:, None],
+                               _bsdf_f(pr["mat"], woz, z, wi_dot_wh,
+                                       whz),
+                               f_total)
+        tput = np.where(scat[:, None], tput * f_total * np.pi, tput)
+        prev_pdf = np.where(scat, z / np.pi, prev_pdf)
+        first = np.where(scat, False, first)   # boundaries keep `first`
+        alive = through | (scat & (tput.sum(-1) > 0))
+        o = np.where(scat[:, None], p_off, p_hit + d * _EPS)
+        d = np.where(scat[:, None], wi, d)
+    return rad
+
+
 def trace(prims, sky, o, d, max_depth, rng):
     """Li estimates for rays (o, d) under SimplePath semantics.
 
