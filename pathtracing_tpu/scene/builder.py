@@ -978,6 +978,12 @@ class SceneBuilder:
         # masks ride the velocity rows.  PT_ALPHA_MASK=0 disables (A/B).
         amask_on = (has_alpha and not has_motion
                     and _os.environ.get("PT_ALPHA_MASK", "1") != "0")
+        sph_prop_np = (np.asarray(sph_prop, np.int64)
+                       if ns else np.zeros((0, 3), np.int64))
+        quad_prop_np = (np.asarray(quad_prop, np.int64)
+                        if nq else np.zeros((0, 3), np.int64))
+        analytic_alpha = bool(alpha_mask(sph_prop_np[:, 0]).any()
+                              or alpha_mask(quad_prop_np[:, 0]).any())
         tri_mask_np = None
         attached_mask = False
         if amask_on and tri_alpha.any():
@@ -1186,6 +1192,7 @@ class SceneBuilder:
             mat_tex_present=tuple(
                 bool((mat_tex_np[:, s] >= 0).any()) for s in range(5)),
             has_emissive_tex=any(int(lt["emtex"]) >= 0 for lt in lights),
+            analytic_alpha=analytic_alpha,
             alpha_cull_mask=bool(attached_mask))
 
         cam = self._pack_camera()

@@ -981,6 +981,73 @@ def make_interaction(scene, meta, origin, direction, hit, time=None,
             for k, v in it.items()}
 
 
+def _chain_interaction(scene, meta, origin, direction, hit):
+    """Triangle-only interaction subset for the alpha restart chain:
+    p_raw, geometric normal, uv, mat_id — nothing else (the chain only
+    advances past the surface and fetches its alpha).  ~1/4 the work of
+    make_interaction(lite=True): no sphere/quad branches, no shading-
+    normal interpolation, no tangents, no merge selects.  Only legal
+    when the chain excludes analytic prims (meta.analytic_alpha False).
+    """
+    from ..core.math import unpack3, sdot, scross, ssafe_normalize, pack3
+    t = hit["t"]
+    idx = hit["idx"]
+    kind = hit["kind"]
+    ok = hit["valid"]
+    p_raw = origin + t[:, None] * direction
+    ti = jnp.clip(idx, 0, scene["tri_v"].shape[0] - 1)
+    if "tri_pack" in scene:
+        row = scene["tri_pack"][ti]
+        tv = row[:, 0:9].reshape(-1, 3, 3)
+        tuv = row[:, 18:24].reshape(-1, 3, 2)
+        mat = row[:, 24].astype(jnp.int32)
+    else:
+        tv = scene["tri_v"][ti]
+        tuv = scene["tri_uv"][ti]
+        mat = scene["tri_prop"][ti][:, 0]
+    if getattr(meta, "n_inst", 0):
+        # instanced TLAS hits: object-space uv + world-transformed verts
+        is_i = kind == SHAPE_ITRI
+        iid = jnp.clip(idx // meta.n_obj_tri, 0,
+                       scene["inst_fwd"].shape[0] - 1)
+        oid = jnp.clip(idx % meta.n_obj_tri, 0,
+                       scene["otri_v"].shape[0] - 1)
+        fwd = scene["inst_fwd"][iid]
+        ov = scene["otri_v"][oid]
+        ov_w = jnp.einsum("nij,nkj->nki", fwd[:, :, :3], ov,
+                          precision="highest") + fwd[:, None, :, 3]
+        m3 = is_i[:, None, None]
+        tv = jnp.where(m3, ov_w, tv)
+        tuv = jnp.where(m3, scene["otri_uv"][oid], tuv)
+        mat = jnp.where(is_i, scene["otri_prop"][oid][:, 0], mat)
+    dxr, dyr, dzr = unpack3(direction)
+    e1x, e1y, e1z = (tv[:, 1, 0] - tv[:, 0, 0], tv[:, 1, 1] - tv[:, 0, 1],
+                     tv[:, 1, 2] - tv[:, 0, 2])
+    e2x, e2y, e2z = (tv[:, 2, 0] - tv[:, 0, 0], tv[:, 2, 1] - tv[:, 0, 1],
+                     tv[:, 2, 2] - tv[:, 0, 2])
+    hx, hy, hz = scross(dxr, dyr, dzr, e2x, e2y, e2z)
+    det = e1x * hx + e1y * hy + e1z * hz
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+    sx = origin[:, 0] - tv[:, 0, 0]
+    sy = origin[:, 1] - tv[:, 0, 1]
+    sz = origin[:, 2] - tv[:, 0, 2]
+    bu = (sx * hx + sy * hy + sz * hz) * inv_det
+    qx, qy, qz = scross(sx, sy, sz, e1x, e1y, e1z)
+    bv = sdot(dxr, dyr, dzr, qx, qy, qz) * inv_det
+    bw = 1.0 - bu - bv
+    uv = (bu[:, None] * tuv[:, 1] + bv[:, None] * tuv[:, 2]
+          + bw[:, None] * tuv[:, 0])
+    ngx, ngy, ngz = ssafe_normalize(*scross(e1x, e1y, e1z, e2x, e2y, e2z))
+    okn = ok[:, None]
+    return dict(
+        valid=ok, t=t,
+        p_raw=jnp.where(okn, p_raw, 0.0),
+        n=jnp.where(okn, pack3(ngx, ngy, ngz),
+                    jnp.asarray([0.0, 0.0, 1.0])),
+        uv=jnp.where(okn, uv, 0.0),
+        mat_id=jnp.where(ok, mat, -1))
+
+
 # ---------------------------------------------------------------------------
 # Shadow predicates
 # ---------------------------------------------------------------------------
@@ -1029,26 +1096,53 @@ def occluded(scene, meta, origin, direction, t_max, rand_key=None,
         # (keys order work, never change results)
         key0 = (_first_block_key(scene, origin, direction)
                 if "pk_blk_lo" in scene and "scene_lo" in scene else None)
+        # analytic prims with only opaque materials never need an alpha
+        # test: fold them into the single any-hit pass and drop them
+        # from every chain iteration (they cost a full-width dense test
+        # + interaction merge per restart otherwise)
+        ana_alpha = getattr(meta, "analytic_alpha", True)
         occ0 = _pallas_dispatch(scene, meta, origin, direction,
                                 t_max - SHADOW_EPS, any_hit=True,
                                 time=time, tri_tables="opaque",
-                                analytic=False, sort_key=key0)["valid"]
+                                analytic=not ana_alpha,
+                                sort_key=key0)["valid"]
 
-        def chain_isect(o, t_rem):
-            # alpha_shadow: with micro-masked tables (alpha_cull_mask)
-            # each dispatch resolves definitely-opaque hits IN-KERNEL
-            # ("solid" lanes: occluded, no restart needed) and skips
-            # definitely-transparent ones, so the chain only iterates
-            # on hits that genuinely need the exact texture test
-            return _pallas_dispatch(scene, meta, o, direction, t_rem,
-                                    time=time, tri_tables="alpha",
-                                    analytic=True, sort_key=key0,
-                                    alpha_shadow=True)
+        def make_chain(direction_, key_, time_):
+            def chain_isect(o, t_rem):
+                # alpha_shadow: with micro-masked tables
+                # (alpha_cull_mask) each dispatch resolves definitely-
+                # opaque hits IN-KERNEL ("solid" lanes: occluded, no
+                # restart needed) and skips definitely-transparent
+                # ones, so the chain only iterates on hits that
+                # genuinely need the exact texture test
+                return _pallas_dispatch(scene, meta, o, direction_,
+                                        t_rem, time=time_,
+                                        tri_tables="alpha",
+                                        analytic=ana_alpha,
+                                        sort_key=key_,
+                                        alpha_shadow=True)
+            if not ana_alpha:
+                def chain_inter(h_, o_):
+                    return _chain_interaction(scene, meta, o_,
+                                              direction_, h_)
+            else:
+                def chain_inter(h_, o_):
+                    return make_interaction(scene, meta, o_, direction_,
+                                            h_, time=time_, lite=True)
+            return chain_isect, chain_inter
     else:
         occ0 = jnp.zeros((origin.shape[0],), bool)
+        key0 = None
 
-        def chain_isect(o, t_rem):
-            return intersect(scene, meta, o, direction, t_rem, time=time)
+        def make_chain(direction_, key_, time_):
+            def chain_isect(o, t_rem):
+                return intersect(scene, meta, o, direction_, t_rem,
+                                 time=time_)
+
+            def chain_inter(h_, o_):
+                return make_interaction(scene, meta, o_, direction_, h_,
+                                        time=time_, lite=True)
+            return chain_isect, chain_inter
 
     # trip count is data-dependent (the while_loop exits as soon as no
     # lane is marching); the reference loops unbounded (Scene.cpp:8-29,
@@ -1061,55 +1155,92 @@ def occluded(scene, meta, origin, direction, t_max, rand_key=None,
         _, _, _, live, it_ = st
         return jnp.any(live) & (it_ < max_restarts)
 
-    def body(st):
-        o, t_rem, occ, live, it_ = st
-        # finished lanes trace ZERO-length rays (sorted last, tile early
-        # exit) — without the mask every restart iteration re-traced the
-        # full shadow ray for every already-resolved lane
-        h = chain_isect(o, jnp.where(live, t_rem, 0.0))
-        # in-kernel definite occlusion (alpha micro-masks): these lanes
-        # carry no candidate hit (valid=False) and are simply done
-        solid_k = h.get("solid", jnp.zeros((o.shape[0],), bool))
-        inter = make_interaction(scene, meta, o, direction, h, time=time,
-                                 lite=True)
-        mat_ids = jnp.clip(inter["mat_id"], 0, scene["mat_type"].shape[0] - 1)
-        mode = scene["mat_alpha_mode"][mat_ids]
-        cutoff = scene["mat_alpha_cutoff"][mat_ids]
-        atex = scene["mat_tex"][mat_ids, 4]
-        btex = scene["mat_tex"][mat_ids, 0]
-        a_from_mask = texture_alpha(scene, jnp.where(atex >= 0, atex, btex),
-                                    inter["uv"])
-        if getattr(meta, "mat_tex_present", (True,) * 5)[4]:
-            # dedicated alpha textures read channel 0; scenes without
-            # any skip the second fetch statically
-            a_from_mask = jnp.where(
-                atex >= 0,
-                texture_eval(scene, atex, inter["uv"])[:, 0],
-                a_from_mask)
-        u = uniform_from_u32(hash_u32(
-            jnp.arange(o.shape[0]), it_,
-            0 if rand_key is None else rand_key))
-        solid = jnp.where(mode == ALPHA_BLEND, u < a_from_mask,
-                          jnp.where(mode == ALPHA_MASK,
-                                    a_from_mask > cutoff, True))
-        solid = solid | (inter["mat_id"] < 0)  # no material: plain occluder
-        newly_occ = (h["valid"] & solid) | solid_k
-        done_clear = ~h["valid"]
-        occ = jnp.where(live & newly_occ, True, occ)
-        live_next = live & h["valid"] & ~solid & ~solid_k
-        # scale-robust advance past the transparent surface
-        n_fwd = jnp.where(vdot_k(direction, inter["n"]) > 0, inter["n"],
-                          -inter["n"])
-        o = jnp.where(live_next[:, None],
-                      offset_ray(inter["p_raw"], n_fwd), o)
-        t_rem = jnp.where(live_next, t_rem - h["t"], t_rem)
-        del done_clear
-        return o, t_rem, occ, live_next, it_ + 1
+    def make_body(direction_, key_, time_, rand_key_):
+        chain_isect, chain_inter = make_chain(direction_, key_, time_)
+
+        def body(st):
+            o, t_rem, occ, live, it_ = st
+            # finished lanes trace ZERO-length rays (sorted last, tile
+            # early exit) — without the mask every restart iteration
+            # re-traced the full shadow ray for every resolved lane
+            h = chain_isect(o, jnp.where(live, t_rem, 0.0))
+            # in-kernel definite occlusion (alpha micro-masks): these
+            # lanes carry no candidate hit (valid=False), they're done
+            solid_k = h.get("solid", jnp.zeros((o.shape[0],), bool))
+            inter = chain_inter(h, o)
+            mat_ids = jnp.clip(inter["mat_id"], 0,
+                               scene["mat_type"].shape[0] - 1)
+            mode = scene["mat_alpha_mode"][mat_ids]
+            cutoff = scene["mat_alpha_cutoff"][mat_ids]
+            atex = scene["mat_tex"][mat_ids, 4]
+            btex = scene["mat_tex"][mat_ids, 0]
+            a_from_mask = texture_alpha(scene,
+                                        jnp.where(atex >= 0, atex, btex),
+                                        inter["uv"])
+            if getattr(meta, "mat_tex_present", (True,) * 5)[4]:
+                # dedicated alpha textures read channel 0; scenes
+                # without any skip the second fetch statically
+                a_from_mask = jnp.where(
+                    atex >= 0,
+                    texture_eval(scene, atex, inter["uv"])[:, 0],
+                    a_from_mask)
+            u = uniform_from_u32(hash_u32(
+                jnp.arange(o.shape[0]), it_,
+                0 if rand_key_ is None else rand_key_))
+            solid = jnp.where(mode == ALPHA_BLEND, u < a_from_mask,
+                              jnp.where(mode == ALPHA_MASK,
+                                        a_from_mask > cutoff, True))
+            solid = solid | (inter["mat_id"] < 0)  # no material: occluder
+            newly_occ = (h["valid"] & solid) | solid_k
+            occ = jnp.where(live & newly_occ, True, occ)
+            live_next = live & h["valid"] & ~solid & ~solid_k
+            # scale-robust advance past the transparent surface
+            n_fwd = jnp.where(vdot_k(direction_, inter["n"]) > 0,
+                              inter["n"], -inter["n"])
+            o = jnp.where(live_next[:, None],
+                          offset_ray(inter["p_raw"], n_fwd), o)
+            t_rem = jnp.where(live_next, t_rem - h["t"], t_rem)
+            return o, t_rem, occ, live_next, it_ + 1
+        return body
 
     n = origin.shape[0]
     t0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32) - SHADOW_EPS,
                           (n,))
-    init = (origin, t0, jnp.zeros((n,), bool),
-            jnp.ones((n,), bool) & ~occ0, jnp.asarray(0))
-    _, _, occ, _, _ = jax.lax.while_loop(cond, body, init)
+    body = make_body(direction, key0, time, rand_key)
+    st = (origin, t0, jnp.zeros((n,), bool),
+          jnp.ones((n,), bool) & ~occ0, jnp.asarray(0))
+    cap = max(1024, -(-(n // 16) // 1024) * 1024)
+    if n < 4096:
+        _, _, occ, _, _ = jax.lax.while_loop(cond, body, st)
+        return occ0 | occ
+    # ---- chain-tail compaction: iteration 0 runs full width (most
+    # lanes resolve there — in-kernel solid collapse + exact test);
+    # the surviving few-percent then gather into a 1/16-width batch so
+    # the remaining restarts stop paying full-width interaction/texture
+    # fixed costs (measured: 6 tail iterations at <=2% occupancy cost
+    # ~60 ms of a ~125 ms predicate on the faithful scene).  Same
+    # compaction exactness notes as trace()'s tail: RNG for BLEND keys
+    # on the lane index, which regrouping changes (unbiased; documented
+    # exception), everything else is lane-local.
+    st = body(st)
+    o1, t1, occ1, live1, it1 = st
+
+    def tail_full(_):
+        _, _, occf, _, _ = jax.lax.while_loop(cond, body, st)
+        return occf
+
+    def tail_compact(_):
+        take = jnp.argsort(~live1)[:cap]   # stable: live lanes first
+        bodyc = make_body(
+            direction[take],
+            key0[take] if key0 is not None else None,
+            time[take] if time is not None else None,
+            rand_key[take] if getattr(rand_key, "ndim", 0) else rand_key)
+        sub = (o1[take], t1[take], jnp.zeros((cap,), bool), live1[take],
+               it1)
+        _, _, occ_s, _, _ = jax.lax.while_loop(cond, bodyc, sub)
+        return occ1.at[take].set(occ1[take] | occ_s)
+
+    occ = jax.lax.cond(jnp.sum(live1) <= cap, tail_compact, tail_full,
+                       None)
     return occ0 | occ

@@ -99,6 +99,12 @@ class SceneMeta:
     # San-Miguel analog)
     # (all three default True so pre-round-3/4 cached metas keep the
     # old always-compute behavior; builder sets them exactly)
+    analytic_alpha: bool = True  # any sphere/quad with a non-opaque
+    # material.  False lets the shadow predicate test analytic prims in
+    # the single opaque any-hit pass and drop them from every alpha
+    # restart iteration (each iteration previously paid a full-width
+    # dense test + interaction merge for prims that can never need an
+    # alpha test).  Defaults True: cached metas keep chain semantics.
     alpha_cull_mask: bool = False  # the pka_* tables carry per-triangle
     # conservative alpha micro-masks in rows 9..15 (scene/alphamask.py)
     # and the kernels may test them in-traversal: definitely-transparent

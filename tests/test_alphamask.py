@@ -172,6 +172,11 @@ def test_masked_shadow_predicate_exact(foliage_scenes):
     occ1 = np.asarray(occluded(scene1, meta1, o, d, tm, rand_key=5))
     occ0 = np.asarray(occluded(scene0, meta0, o, d, tm, rand_key=5))
     np.testing.assert_array_equal(occ1, occ0)
+    # per-lane rand_key arrays (production passes alpha_salt [n]) must
+    # survive the chain-tail compaction gather
+    rk = jnp.arange(o.shape[0], dtype=jnp.uint32)
+    occ_rk = np.asarray(occluded(scene1, meta1, o, d, tm, rand_key=rk))
+    np.testing.assert_array_equal(occ_rk, occ0)
     assert 0.2 < occ0.mean() < 0.9
     # the mode-2 kernel must resolve a real fraction in-kernel
     from pathtracing_tpu.scene.intersect import _pallas_dispatch
