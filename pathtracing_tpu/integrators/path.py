@@ -195,9 +195,19 @@ def transmittance(scene, meta, origin, direction, dist, medium, active,
 
 def sample_ld(scene, meta, cfg, ray_dir, it, mat, is_medium_vertex,
               medium, g_lanes, u_select, uv_light, u_cell, alpha_salt,
-              active, volumetric, time=None):
+              active, volumetric, time=None, occ_replay=None,
+              want_occ: bool = False):
+    """One-light NEE (SampleLd, Integrators.cpp:260-294).
+
+    occ_replay: precomputed shadow-visibility bits — the custom-VJP
+    persistent wavefront (regen_diff.py) replays its recorded forward
+    without re-running the traversal kernels.  want_occ additionally
+    returns the occlusion bits so the recording pass can save them."""
     if meta.n_lights == 0:
-        return jnp.zeros(ray_dir.shape, jnp.float32)
+        z = jnp.zeros(ray_dir.shape, jnp.float32)
+        if want_occ:
+            return z, jnp.zeros(ray_dir.shape[:1], bool)
+        return z
 
     lidx, pmf, lvalid = L.sample_light_index(scene, meta, u_select)
     ref_p = jnp.where(is_medium_vertex[:, None], it["p_raw"], it["p"])
@@ -239,16 +249,20 @@ def sample_ld(scene, meta, cfg, ray_dir, it, mat, is_medium_vertex,
     # the contribution below is gated on `active & vis`.
     t_shadow = jnp.where(active, t_shadow, 0.0)
 
+    occ = jnp.zeros(ray_dir.shape[:1], bool)
     if volumetric:
         tr, blocked = transmittance(scene, meta, ref_p, sdir, t_shadow,
                                     medium, active, time=time)
         vis = ~blocked
     else:
-        occ = occluded(scene, meta, ref_p, sdir, t_shadow,
-                       rand_key=alpha_salt, time=time)
-        # saved by the remat policy like the closest hit: shadow
-        # traversals don't re-run in the backward pass
-        occ = checkpoint_name(occ, "traversal")
+        if occ_replay is not None:
+            occ = occ_replay
+        else:
+            occ = occluded(scene, meta, ref_p, sdir, t_shadow,
+                           rand_key=alpha_salt, time=time)
+            # saved by the remat policy like the closest hit: shadow
+            # traversals don't re-run in the backward pass
+            occ = checkpoint_name(occ, "traversal")
         vis = ~occ
         tr = jnp.ones_like(f)
 
@@ -265,14 +279,18 @@ def sample_ld(scene, meta, cfg, ray_dir, it, mat, is_medium_vertex,
     contrib = jnp.where(ls["is_delta"][:, None], contrib_delta,
                         jnp.where((light_pdf > 0)[:, None], contrib_mis,
                                   0.0))
-    return jnp.where((active & vis)[:, None], tr * contrib, 0.0)
+    out = jnp.where((active & vis)[:, None], tr * contrib, 0.0)
+    if want_occ:
+        return out, occ
+    return out
 
 
 # ---------------------------------------------------------------------------
 # The bounce loop
 # ---------------------------------------------------------------------------
 
-def _make_bounce(scene, meta, cfg, px, py, time, sample_idx, n):
+def _make_bounce(scene, meta, cfg, px, py, time, sample_idx, n,
+                 record: bool = False, replay=None):
     """Build the one-bounce step for a bound lane set.
 
     The returned `bounce(state, b)` advances every lane one bounce.
@@ -281,9 +299,18 @@ def _make_bounce(scene, meta, cfg, px, py, time, sample_idx, n):
     its own depth) — the RNG dimension arithmetic broadcasts either way.
     `trace` rebinds (px, py, time) to gathered subsets for tail
     compaction; `trace_regen` rebinds every lane on sample refill.
+
+    record / replay (regen_diff.py, the custom-VJP persistent
+    wavefront): record=True returns (state, aux) with aux = the
+    traversal outputs {hit_t, hit_kind, hit_idx, hit_valid, occ};
+    replay=aux re-runs ONLY the shade math with those outputs injected
+    (no traversal kernels in the program) — everything else (RNG,
+    sampling, shading) is deterministic and recomputes identically.
     """
     simple = cfg.integrator == "simple"
     volumetric = cfg.integrator == "volpath"
+    if record or replay is not None:
+        assert not volumetric, "regen_diff does not support media yet"
     s = cfg.sampler
 
     def dim(b, off):
@@ -299,14 +326,18 @@ def _make_bounce(scene, meta, cfg, px, py, time, sample_idx, n):
         # dead lanes get t_max=0: they miss immediately, and after the
         # Morton sort clusters them the pallas kernel's whole-tile early
         # exit skips their traversal work entirely
-        hit = intersect(scene, meta, o, d,
-                        jnp.where(alive, BIG_F32, 0.0), time=time)
-        # hit records are tiny and fully detached (make_interaction
-        # stop-gradients geometry): naming them lets the per-bounce remat
-        # policy SAVE them, so the backward pass never re-runs the
-        # traversal kernels — only the cheap shade math is recomputed
-        hit = {k: checkpoint_name(v, "traversal")
-               for k, v in hit.items()}
+        if replay is not None:
+            hit = dict(t=replay["hit_t"], kind=replay["hit_kind"],
+                       idx=replay["hit_idx"], valid=replay["hit_valid"])
+        else:
+            hit = intersect(scene, meta, o, d,
+                            jnp.where(alive, BIG_F32, 0.0), time=time)
+            # hit records are tiny and fully detached (make_interaction
+            # stop-gradients geometry): naming them lets the per-bounce
+            # remat policy SAVE them, so the backward pass never re-runs
+            # the traversal kernels — only shade math is recomputed
+            hit = {k: checkpoint_name(v, "traversal")
+                   for k, v in hit.items()}
         it = make_interaction(scene, meta, o, d, hit, time=time)
         missed = alive & ~hit["valid"]
 
@@ -438,12 +469,18 @@ def _make_bounce(scene, meta, cfg, px, py, time, sample_idx, n):
         transmissive = (flags & FLAG_TRANSMISSIVE) > 0
 
         # ---- NEE from surface (Integrators.cpp:243-245)
+        occ_rec = jnp.zeros((n,), bool)
         if not simple:
             nee_active = scattered & ~new_spec
             nee = sample_ld(scene, meta, cfg, d, it, mat,
                             jnp.zeros((n,), bool), state["medium"], g_lanes,
                             u_select, uv_light, u_cell, alpha_salt,
-                            nee_active, volumetric, time=time)
+                            nee_active, volumetric, time=time,
+                            occ_replay=(replay["occ"]
+                                        if replay is not None else None),
+                            want_occ=record)
+            if record:
+                nee, occ_rec = nee
             radiance = radiance + jnp.where(nee_active[:, None],
                                             tput * nee, 0.0)
             n_rays = n_rays + jnp.sum(nee_active.astype(jnp.float32))
@@ -505,9 +542,14 @@ def _make_bounce(scene, meta, cfg, px, py, time, sample_idx, n):
 
         # every per-lane update above is masked by an `alive`-derived mask,
         # so dead lanes carry their state forward unchanged
-        return dict(o=o_next, d=d_next, tput=tput, radiance=radiance,
-                    prev_pdf=new_prev_pdf, spec=spec, alive=alive,
-                    medium=medium, rr_depth=rr_depth, n_rays=n_rays)
+        out = dict(o=o_next, d=d_next, tput=tput, radiance=radiance,
+                   prev_pdf=new_prev_pdf, spec=spec, alive=alive,
+                   medium=medium, rr_depth=rr_depth, n_rays=n_rays)
+        if record:
+            return out, dict(hit_t=hit["t"], hit_kind=hit["kind"],
+                             hit_idx=hit["idx"], hit_valid=hit["valid"],
+                             occ=occ_rec)
+        return out
 
     return bounce
 
