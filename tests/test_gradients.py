@@ -131,3 +131,102 @@ def test_gradients_flow_to_texels():
     g = np.asarray(jax.grad(loss)(scene["tex_texels"]))
     assert np.isfinite(g).all()
     assert np.abs(g[:, :3]).max() > 0.0     # rgb texels get gradient
+
+
+def test_ragged_tile_grad_after_full_tiles():
+    """Round-4 regression: jax.grad over a RAGGED film tile following a
+    full-tile fori_loop crashed the TPU worker twice on the faithful
+    scene (CLAUDE.md round-4 gotcha; suspected instanced-TLAS
+    differentiable path).  Round 5 re-ran the exact crash config on
+    hardware — 34-row tiles + a 26-row ragged grad at 1080p, both the
+    flattened and the PT_FLATTEN_MAX=0 TLAS builds — twice each, clean
+    (tools archive /tmp/ragged_grad.py).  This keeps the shape pattern
+    exercised in CI: full-tile fori_loop + ragged-tail grad on an
+    alpha-foliage pallas scene."""
+    import os
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from pathtracing_tpu.scene.builder import SceneBuilder
+    from pathtracing_tpu.integrators.path import RenderConfig
+    from pathtracing_tpu.integrators.render import render_tile
+    from pathtracing_tpu.sensor import film as filmmod
+
+    rng = np.random.default_rng(5)
+    os.environ["PT_TWOLEVEL_MIN"] = "256"
+    try:
+        b = SceneBuilder()
+        k = 32
+        u, v = np.meshgrid((np.arange(k) + 0.5) / k,
+                           (np.arange(k) + 0.5) / k)
+        leaf = np.zeros((k, k, 4), np.float32)
+        leaf[..., 1] = 0.5
+        leaf[..., 3] = (((u - 0.5) ** 2 + (v - 0.5) ** 2)
+                        < 0.2).astype(np.float32)
+        tid = b.textures.add_image(leaf)
+        lm = b.add_diffuse((0.3, 0.6, 0.3), base_tex=tid, alpha_mode=2)
+        om = b.add_diffuse((0.7, 0.7, 0.7))
+        N = 52
+        gx, gz = np.meshgrid(np.linspace(-10, 10, N + 1),
+                             np.linspace(-10, 10, N + 1))
+        V, F = [], []
+        for i in range(N):
+            for j in range(N):
+                i0 = len(V)
+                V += [[gx[i, j], 0, gz[i, j]],
+                      [gx[i, j + 1], 0, gz[i, j + 1]],
+                      [gx[i + 1, j + 1], 0, gz[i + 1, j + 1]],
+                      [gx[i + 1, j], 0, gz[i + 1, j]]]
+                F += [[i0, i0 + 1, i0 + 2], [i0, i0 + 2, i0 + 3]]
+        b.add_mesh(np.asarray(V, np.float32), np.asarray(F, np.int32),
+                   material=om)
+        # instanced alpha cards: the runtime-TLAS differentiable path
+        mv = np.asarray([[-.5, 0, 0], [.5, 0, 0], [.5, 1, 0],
+                         [-.5, 1, 0]], np.float32)
+        mf = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)
+        muv = np.asarray([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+        card = b.add_model(mv, mf, uvs=muv, material=lm)
+        for _ in range(24):
+            t = np.eye(4, dtype=np.float32)
+            t[:3, 3] = [rng.uniform(-6, 6), rng.uniform(0, 2),
+                        rng.uniform(-6, 6)]
+            b.add_model_instance(card, t, runtime=True)
+        b.add_quad([-1, 8, -1], [2, 0, 0], [0, 0, 2],
+                   emission=(10, 10, 10))
+        import math
+        b.set_camera([0, 3, -12], [0, 1, 0], math.radians(45), (48, 28))
+        scene, cam, meta = b.build()
+    finally:
+        os.environ.pop("PT_TWOLEVEL_MIN", None)
+    assert meta.accel == "pallas" and meta.n_inst > 0
+    cfg = RenderConfig(spp=1, max_depth=3, integrator="path",
+                       differentiable=True)
+    w, h = cam["resolution"]
+    rows = 10                  # 28 = 2*10 + ragged 8
+    n_full = h // rows
+    rem = h - n_full * rows
+
+    def tile_grad(base, film0, row0, rows):
+        def loss(base):
+            sc = dict(scene, mat_base=base)
+            pix = row0 * w + jnp.arange(rows * w, dtype=jnp.int32)
+            f = render_tile(sc, cam, meta, cfg, film0, pix, 1, 0,
+                            rows=rows, row0=row0)
+            return jnp.sum(f["rgb"])
+        return jax.grad(loss)(base)
+
+    film0 = filmmod.new_film((w, rows))
+
+    @jax.jit
+    def grad_full(base):
+        def body(t, acc):
+            return acc + tile_grad(base, film0,
+                                   (t * rows).astype(jnp.int32), rows)
+        return jax.lax.fori_loop(0, n_full, body, jnp.zeros_like(base))
+
+    film0r = filmmod.new_film((w, rem))
+    g = grad_full(scene["mat_base"])
+    g = g + tile_grad(scene["mat_base"], film0r,
+                      jnp.asarray(n_full * rows, jnp.int32), rem)
+    g = np.asarray(g)
+    assert np.isfinite(g).all() and np.abs(g).sum() > 0
