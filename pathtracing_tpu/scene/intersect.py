@@ -470,10 +470,17 @@ def _pallas_dispatch(scene, meta, origin, direction, t_max,
         o, d, tm = origin_s, direction_s, tmax_s
         tme = time_s
     # in-kernel alpha micro-mask mode for the pka_* run (two-level only)
+    import os as _os
     am_alpha = 0
     if (getattr(meta, "alpha_cull_mask", False) and not any_hit
             and "pka_l1_base" in scene):
-        am_alpha = 2 if alpha_shadow else 1
+        if alpha_shadow:
+            am_alpha = 2
+        elif _os.environ.get("PT_AMASK_CLOSEST", "1") != "0":
+            # closest-pass transparent-cull: skippable for A/Bs (the
+            # bit tests cost ~+7 ms standalone on the foliage table;
+            # the cull saves whole bounce-loop restarts downstream)
+            am_alpha = 1
 
     def run(tables, block_k, tmr=None, amask=0):
         sub = _subset_scene(scene, tables)

@@ -30,3 +30,62 @@ def _clear_jax_caches_between_modules():
     costs only a few recompiles of fixtures shared across modules."""
     yield
     jax.clear_caches()
+
+
+# ---------------------------------------------------------------------------
+# slow-test lane (round-5 judge item 7): `pytest -m "not slow"` is the
+# fast iteration lane (~8-12 min); the plain full run stays the
+# pre-round / CI lane.  Durations measured 2026-08-21 (single worker,
+# full suite 54 min); tests >= ~30 s are marked.
+# ---------------------------------------------------------------------------
+
+_SLOW_TESTS = {
+    "test_masked_blend_statistical",
+    "test_masked_shadow_predicate_exact",
+    "test_masked_closest_consistent",
+    "test_gradients_match_scan_form",
+    "test_value_matches_trace_regen",
+    "test_gradients_texture_params",
+    "test_train_step_gradient_matches_unsharded",
+    "test_tail_compaction_matches_full_width",
+    "test_adaptive_with_regeneration_matches",
+    "test_instanced_alpha_split_matches_brute",
+    "test_goldens",
+    "test_differentiable_tail_compaction_matches",
+    "test_path_vs_simple_consistency_cornell",
+    "test_motion_blur_with_regeneration",
+    "test_zero_shutter_matches_static",
+    "test_sanmiguel_faithful_scene_matches_brute",
+    "test_volpath_reduces_to_path_without_media",
+    "test_alpha_split_tables_match_brute",
+    "test_sharded_render_matches_single_device",
+    "test_ad_matches_finite_differences",
+    "test_train_step_sharded_gradients_flow",
+    "test_instanced_emissive_area_lights",
+    "test_regeneration_matches_waves_volpath",
+    "test_adaptive_saves_compute",
+    "test_scene_builder_accel_end_to_end",
+    "test_sharded_regeneration_matches_unsharded",
+    "test_regeneration_ray_count_invariant",
+    "test_moving_instance_matches_brute",
+    "test_two_process_distributed_render",
+    "test_gradients_through_render",
+    "test_cli_model_import_uses_pallas_kernel",
+    "test_gradient_descent_recovers_albedo",
+    "test_sharded_render_device_count_invariance",
+    "test_delta_lights_are_nee_only",
+    "test_gradients_flow_to_texels",
+    "test_ragged_tile_grad_after_full_tiles",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: >=~30 s on the CI host; excluded from the "
+        "fast lane (pytest -m 'not slow')")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name.split("[")[0] in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
