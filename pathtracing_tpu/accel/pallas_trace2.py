@@ -447,8 +447,22 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
              frontier: bool = False,
              pops: int = 1,
              pair: bool = False,
-             amask: int = 0):
+             amask: int = 0,
+             window: int = 1):
     """Two-level traversal, RAYS-IN-SUBLANES layout.
+
+    window > 1: RESIDENT-WINDOW drain — `window` L1 group rows live in
+    scratch at once and every drain iteration pops the `pops` nearest
+    children across ALL of them ([window,128] entry matrix).  The
+    single-L1 walk averages only ~4-5 entered children per visit, so
+    its drain loop runs ~1 iteration per visit and the per-iteration
+    vector->scalar->branch sync (~0.7us) plus per-visit loop overhead
+    is paid per L1; a 4-L1 window amortizes one sync over 4 L1s' worth
+    of candidates and lets pops rise without duplicate-test waste
+    (pops>4 on a single L1 measured +12% from dup tests).  DMA
+    prefetch is window-to-window double buffered.  Front-to-back
+    quality is preserved (windows pop in entry order; cross-window
+    exit tests the next window's nearest entry).
 
     amask: in-kernel conservative alpha-mask testing against the
     micro-mask rows 9..15 (scene/alphamask.py; the in-traversal analog
@@ -901,22 +915,274 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
             return (nb2, ne2, slot, best_t, best_blk, best_off,
                     live_out, nl1, nch, cnt)
 
+        # ---- resident-window walk (window > 1) -----------------------
+        def window_walk(best_t0, best_blk0, best_off0):
+            W4 = window
+            wiota = (jax.lax.broadcasted_iota(jnp.int32, (W4, 128), 0)
+                     * 128
+                     + jax.lax.broadcasted_iota(jnp.int32, (W4, 128), 1))
+
+            def sel_window():
+                bs, es = [], []
+                for _ in range(W4):
+                    b1, e1 = select()
+                    bs.append(b1)
+                    es.append(e1)
+                return tuple(bs), tuple(es)
+
+            def start_dmas(buf, bs, es):
+                for j in range(W4):
+                    @pl.when(es[j] < BIG_F32 * 0.5)
+                    def _(j=j):
+                        dma_tris(buf * W4 + j, bs[j]).start()
+
+            def wait_dmas(buf, bs, es):
+                for j in range(W4):
+                    @pl.when(es[j] < BIG_F32 * 0.5)
+                    def _(j=j):
+                        dma_tris(buf * W4 + j, bs[j]).wait()
+
+            def pick(vals, slot):
+                """Scalar-indexed select over a python list (per-popped-
+                child ray-set / base selection; W4 <= 4 keeps this a
+                two-level where)."""
+                if len(vals) == 1:
+                    return vals[0]
+                if len(vals) == 2:
+                    return jnp.where(slot == 0, vals[0], vals[1])
+                lo = jnp.where(slot == 0, vals[0], vals[1])
+                hi = jnp.where(slot == 2, vals[2],
+                               vals[3 % len(vals)])
+                return jnp.where(slot < 2, lo, hi)
+
+            def drain_window(buf, bs, es, best_t, best_blk, best_off,
+                             nch):
+                rays_s = [rays_for(bs[j]) for j in range(W4)] \
+                    if instanced else [
+                        (ox, oy, oz, dx, dy, dz, ix, iy, iz)] * W4
+                bases = [base_ref[0, src_of(bs[j])] for j in range(W4)]
+
+                def child_matrix(j, bt):
+                    oxs, oys, ozs, dxs, dys, dzs, ixs, iys, izs = \
+                        rays_s[j]
+
+                    def brow(kk):
+                        return scratch[buf * W4 + j, pl.ds(kk, 1),
+                                       pl.ds(G * K2, 128)]
+                    u0 = (brow(0) - oxs) * ixs
+                    u1 = (brow(3) - oxs) * ixs
+                    tn = jnp.minimum(u0, u1)
+                    tf = jnp.maximum(u0, u1)
+                    u0 = (brow(1) - oys) * iys
+                    u1 = (brow(4) - oys) * iys
+                    tn = jnp.maximum(tn, jnp.minimum(u0, u1))
+                    tf = jnp.minimum(tf, jnp.maximum(u0, u1))
+                    u0 = (brow(2) - ozs) * izs
+                    u1 = (brow(5) - ozs) * izs
+                    tn = jnp.maximum(jnp.maximum(tn,
+                                                 jnp.minimum(u0, u1)),
+                                     SHADOW_EPS)
+                    tf = jnp.minimum(jnp.minimum(tf,
+                                                 jnp.maximum(u0, u1)),
+                                     bt)
+                    return jnp.where(tn <= tf, tn, BIG_F32)
+
+                # per-slot entry matrices, gated: an empty slot (entry
+                # BIG) slabs against a sub-epsilon bound -> all BIG
+                Es = [child_matrix(j, jnp.where(es[j] < BIG_F32 * 0.5,
+                                                best_t,
+                                                SHADOW_EPS * 0.25))
+                      for j in range(W4)]
+                e_mat = jnp.concatenate(
+                    [jnp.min(E, axis=0, keepdims=True) for E in Es], 0)
+
+                def pop(e):
+                    beste = jnp.min(e)
+                    bestg = jnp.min(jnp.where(e <= beste, wiota,
+                                              jnp.int32(1 << 30)))
+                    return bestg, beste
+
+                g0, eg0 = pop(e_mat)
+
+                def d_cond(c):
+                    return c[1] < BIG_F32 * 0.5
+
+                def d_body(c):
+                    (bestg, beste0, vis, e_mat, best_t, best_blk,
+                     best_off, nch) = c
+                    plist = [(bestg, beste0)]
+                    er = jnp.where(wiota == bestg, BIG_F32, e_mat)
+                    for _ in range(1, pops):
+                        gj, ej = pop(er)
+                        gj = jnp.where(ej < BIG_F32 * 0.5, gj, bestg)
+                        plist.append((gj, ej))
+                        er = jnp.where(wiota == gj, BIG_F32, er)
+                    bt0 = best_t
+                    tested = []
+                    for gj, _ in plist:
+                        slot_j = jax.lax.shift_right_logical(gj, 7)
+                        lane_j = jnp.bitwise_and(gj, 127)
+                        col0 = pl.multiple_of(lane_j * K2, 128)
+
+                        def row(i, slot_j=slot_j, col0=col0):
+                            return scratch[buf * W4 + slot_j,
+                                           pl.ds(i, 1),
+                                           pl.ds(col0, K2)]
+                        if instanced:
+                            rj = tuple(
+                                pick([rays_s[s][c] for s in
+                                      range(W4)], slot_j)
+                                for c in range(6))
+                        else:
+                            rj = (ox, oy, oz, dx, dy, dz)
+                        if amask:
+                            t, uu, vv = kc.moller_trumbore(
+                                row, rj, rtime, motion, bt0,
+                                with_uv=True)
+                            opq, mix = kc.alpha_cell_bits(row, uu, vv)
+                            hitm = t < BIG_F32 * 0.5
+                            if amask == 1:
+                                t = jnp.where(hitm & ~(opq | mix),
+                                              BIG_F32, t)
+                                solid = None
+                            else:
+                                solid = jnp.min(
+                                    jnp.where(hitm & opq, t, BIG_F32),
+                                    axis=1,
+                                    keepdims=True) < BIG_F32 * 0.5
+                                t = jnp.where(hitm & mix, t, BIG_F32)
+                        else:
+                            t = kc.moller_trumbore(row, rj, rtime,
+                                                   motion, bt0)
+                            solid = None
+                        kbest = jnp.argmin(t, axis=1)[:, None]
+                        tbest = jnp.min(t, axis=1, keepdims=True)
+                        tested.append((gj, slot_j, lane_j, tbest,
+                                       kbest, solid))
+                        vis = jnp.where(wiota == gj, 1.0, vis)
+
+                    for gj, slot_j, lane_j, tbest, kbest, solid \
+                            in tested:
+                        better = tbest < best_t
+                        best_t = jnp.where(better, tbest, best_t)
+                        if instanced:
+                            blk_val = pick(list(bs), slot_j)
+                            off_base = lane_j * K2
+                        else:
+                            blk_val = pick(bases, slot_j) + lane_j
+                            off_base = 0
+                        best_blk = jnp.where(
+                            better,
+                            jnp.asarray(blk_val, jnp.float32),
+                            best_blk)
+                        best_off = jnp.where(
+                            better, kc.itof_exact(off_base + kbest),
+                            best_off)
+                        if amask == 2 and solid is not None:
+                            best_t = jnp.where(solid, 0.0, best_t)
+                            best_blk = jnp.where(solid, -2.0, best_blk)
+                            best_off = jnp.where(solid, 0.0, best_off)
+                    if any_hit:
+                        best_t = jnp.where(best_blk >= 0.0, 0.0,
+                                           best_t)
+                    # re-cull remaining candidates vs the merged best
+                    e_mat = jnp.where(
+                        vis > 0.0, BIG_F32,
+                        jnp.concatenate(
+                            [jnp.min(jnp.where(E <= best_t, E,
+                                               BIG_F32),
+                                     axis=0, keepdims=True)
+                             for E in Es], 0))
+                    bestg, beste = pop(e_mat)
+                    npop = jnp.asarray(1.0, jnp.float32)
+                    for _, ej in plist[1:]:
+                        npop = npop + jnp.where(ej < BIG_F32 * 0.5,
+                                                1.0, 0.0)
+                    return (bestg, beste, vis, e_mat, best_t,
+                            best_blk, best_off, nch + npop)
+
+                (_, _, _, _, best_t, best_blk, best_off,
+                 nch) = jax.lax.while_loop(
+                    d_cond, d_body,
+                    (g0, eg0, jnp.zeros((W4, 128), jnp.float32), e_mat,
+                     best_t, best_blk, best_off, nch))
+                if any_hit:
+                    best_t = jnp.where(best_blk >= 0.0, 0.0, best_t)
+                return best_t, best_blk, best_off, nch
+
+            bs0, es0 = sel_window()
+            live0 = es0[0] < BIG_F32 * 0.5
+            start_dmas(0, bs0, es0)
+            zero = jnp.asarray(0.0, jnp.float32)
+
+            def w_cond(c):
+                return c[2 * W4]
+
+            def w_body(c):
+                bs = c[0:W4]
+                es = c[W4:2 * W4]
+                (_, buf, best_t, best_blk, best_off, nl1, nch,
+                 cnt) = c[2 * W4:]
+                if use_recull:
+                    @pl.when(cnt >= recull_every)
+                    def _():
+                        recull(best_t)
+
+                    cnt = jnp.where(cnt >= recull_every, 0, cnt + 1)
+                bs2, es2 = sel_window()
+                started2 = es2[0] < BIG_F32 * 0.5
+                start_dmas(1 - buf, bs2, es2)
+                wait_dmas(buf, bs, es)
+                nv = zero
+                for j in range(W4):
+                    nv = nv + jnp.where(es[j] < BIG_F32 * 0.5, 1.0,
+                                        0.0)
+                best_t, best_blk, best_off, nch = drain_window(
+                    buf, bs, es, best_t, best_blk, best_off, nch)
+                nl1 = nl1 + nv
+                if any_hit:
+                    live = started2 & ~jnp.all(best_blk >= 0)
+                else:
+                    live = started2 & (es2[0] < jnp.max(best_t))
+
+                @pl.when(started2 & ~live)
+                def _():
+                    wait_dmas(1 - buf, bs2, es2)
+
+                return bs2 + es2 + (live, 1 - buf, best_t, best_blk,
+                                    best_off, nl1, nch, cnt)
+
+            out = jax.lax.while_loop(
+                w_cond, w_body,
+                bs0 + es0 + (live0, jnp.asarray(0, jnp.int32), best_t0,
+                             best_blk0, best_off0, zero, zero,
+                             jnp.asarray(1, jnp.int32)))
+            (_, _, best_t, best_blk, best_off, nl1, nch,
+             _) = out[2 * W4:]
+            return best_t, best_blk, best_off, nl1, nch
+
         best_t0 = tmax
         best_blk0 = jnp.full((TILE, 1), -1.0, jnp.float32)
         best_off0 = jnp.zeros((TILE, 1), jnp.float32)
-        b0, e0 = select()
-        live0 = e0 < BIG_F32 * 0.5
+        if window > 1:
+            best_t, best_blk, best_off, nl1, nch = window_walk(
+                best_t0, best_blk0, best_off0)
+            b1f = jnp.asarray(0, jnp.int32)
+            e1f = jnp.asarray(BIG_F32, jnp.float32)
+        else:
+            b0, e0 = select()
+            live0 = e0 < BIG_F32 * 0.5
 
-        @pl.when(live0)
-        def _():
-            dma_tris(0, b0).start()
+            @pl.when(live0)
+            def _():
+                dma_tris(0, b0).start()
 
-        zero = jnp.asarray(0.0, jnp.float32)
-        (b1f, e1f, _, best_t, best_blk, best_off, _, nl1, nch,
-         _) = jax.lax.while_loop(
-            lambda c: c[6], body,
-            (b0, e0, jnp.asarray(0, jnp.int32), best_t0, best_blk0,
-             best_off0, live0, zero, zero, jnp.asarray(1, jnp.int32)))
+            zero = jnp.asarray(0.0, jnp.float32)
+            (b1f, e1f, _, best_t, best_blk, best_off, _, nl1, nch,
+             _) = jax.lax.while_loop(
+                lambda c: c[6], body,
+                (b0, e0, jnp.asarray(0, jnp.int32), best_t0, best_blk0,
+                 best_off0, live0, zero, zero, jnp.asarray(1, jnp.int32)))
         out_t_ref[0, pl.ds(tt, 1), :] = to_row(best_t)
         # each pair component stays far below 2^24, so both ride the
         # f32 transpose exactly at any scene scale
@@ -981,7 +1247,8 @@ def _kernel2(l1boxT_hbm, ox_ref, oy_ref, oz_ref,
                                              "recull_every",
                                              "drain_cull",
                                              "max_visits", "frontier",
-                                             "pops", "pair", "amask"))
+                                             "pops", "pair", "amask",
+                                             "window"))
 def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
                           any_hit: bool = False, time=None,
                           g: int = G_DEFAULT, counters: bool = False,
@@ -991,8 +1258,22 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
                           frontier: bool = False,
                           pops: int = 1,
                           pair: bool = False,
-                          amask: int = 0):
+                          amask: int = 0,
+                          window: int | None = None):
     """Two-level closest/any hit.  Same contract as pallas_tri_intersect.
+
+    window: resident-window drain width (None = 1; PT_WINDOW / explicit
+    arg enables).  Measured on the 10.5M-tri faithful tables (v5e,
+    within-run, 2026-08-21): window=4/pops=4 is 1.21x on UNBOUNDED
+    synthetic bounce dispatches (91.5 vs 110.7 ms/64K; coherent 70.9 vs
+    85.3) — one drain-loop sync amortizes over 4 L1s' candidates
+    instead of ~1.1 iterations per visit — but e2e frame NEUTRAL
+    (0.983x): production dispatches are bounded/short (opaque-bounded
+    alpha passes, any-hit collapse, recull) and the window drains 4 L1s
+    past the point where the single-visit walk exits, cancelling the
+    amortization.  Kept as an exact, tested knob for long-walk
+    workloads; pops=8/16 at window=4 measured WORSE (stale-entry
+    duplicate tests); pair/frontier/multipass incompatible (asserted).
 
     max_visits caps each tile's L1 walk; frontier adds per-ray resume
     state {e_next, b_next} to the result — the entry distance and id of
@@ -1064,13 +1345,23 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
         # rows 9..11 with motion velocities: mutually exclusive.
         assert not any_hit and not motion and amask in (1, 2), \
             (amask, any_hit, motion)
+    if window is None:
+        window = 1
+    if window > 1:
+        assert not pair and not frontier and max_visits is None, \
+            "window walk is incompatible with pair/frontier/multipass"
+        assert window in (2, 4), window
+        # recull cadence is counted per WINDOW there: keep the same
+        # per-visit cadence
+        recull_every = max(1, recull_every // window)
     kernel = functools.partial(_kernel2, k2=k2, n_l1=m1, any_hit=any_hit,
                                g=g, instanced=instanced, motion=motion,
                                counters=counters, use_recull=use_recull,
                                recull_every=recull_every,
                                drain_cull=drain_cull,
                                max_visits=max_visits, frontier=frontier,
-                               pops=pops, pair=pair, amask=amask)
+                               pops=pops, pair=pair, amask=amask,
+                               window=window)
     interpret = jax.default_backend() != "tpu"
     shp = (groups, TPS, TILE)
 
@@ -1115,8 +1406,9 @@ def pallas_tri_intersect2(scene, origin, direction, t_max, k2: int,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((2, 16, G * k2 + 128), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,)),
+        scratch_shapes=[pltpu.VMEM((2 * window, 16, G * k2 + 128),
+                                   jnp.float32),
+                        pltpu.SemaphoreType.DMA((2 * window,)),
                         pltpu.VMEM((m1pad // 128, 128), jnp.float32)]
                        + ([pltpu.VMEM((TILE, m1pad), jnp.float32)]
                           if use_recull else [])

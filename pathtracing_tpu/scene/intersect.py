@@ -494,12 +494,18 @@ def _pallas_dispatch(scene, meta, origin, direction, t_max,
             if visits and m1pad <= RECULL_MAX_M1PAD and not amask:
                 return _multipass2(sub, o, d, tmr, block_k, any_hit,
                                    tme, visits, g=g)
+            # resident-window drain (round 5): defaults to 4 in-flight
+            # L1s on large scenes (pallas_tri_intersect2 auto);
+            # PT_WINDOW=1|2|4 overrides for A/Bs
+            wdw = _os.environ.get("PT_WINDOW")
             return pallas_tri_intersect2(sub, o, d, tmr, block_k,
                                          any_hit=any_hit, time=tme,
                                          g=g,
                                          pops=getattr(meta,
                                                       "block_pops", 1),
-                                         amask=amask)
+                                         amask=amask,
+                                         window=int(wdw) if wdw
+                                         else None)
         return pallas_tri_intersect(sub, o, d, tmr, block_k,
                                     any_hit=any_hit, time=tme)
 

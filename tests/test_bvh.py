@@ -436,3 +436,41 @@ def test_multipass_matches_single_pass():
                                    np.asarray(ref["t"])[v], rtol=1e-6)
         np.testing.assert_array_equal(np.asarray(got["tri"])[v],
                                       np.asarray(ref["tri"])[v])
+
+
+def test_window_walk_matches_single_visit():
+    """Resident-window drain (pallas_trace2 window>1) is exact vs the
+    single-visit walk: same hits (closest + any-hit) on a random soup."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pathtracing_tpu.accel.pallas_trace2 import (build_tri_blocks2,
+                                                     pallas_tri_intersect2)
+    rng = np.random.default_rng(0)
+    n_tri = 5000
+    c = rng.uniform(-10, 10, (n_tri, 1, 3))
+    tri = (c + rng.normal(0, 0.4, (n_tri, 3, 3))).astype(np.float32)
+    arrays, k2 = build_tri_blocks2(tri, g=32)
+    scene = {k: jnp.asarray(v) for k, v in arrays.items()}
+    n = 256
+    o = rng.uniform(-12, 12, (n, 3)).astype(np.float32)
+    d = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    tm = jnp.full((n,), 1e30)
+    r1 = pallas_tri_intersect2(scene, jnp.asarray(o), jnp.asarray(d),
+                               tm, k2, g=32, pops=4)
+    for w in (2, 4):
+        rw = pallas_tri_intersect2(scene, jnp.asarray(o),
+                                   jnp.asarray(d), tm, k2, g=32,
+                                   pops=2 * w, window=w)
+        v1 = np.asarray(r1["valid"])
+        assert (v1 == np.asarray(rw["valid"])).all()
+        np.testing.assert_allclose(np.asarray(rw["t"])[v1],
+                                   np.asarray(r1["t"])[v1], rtol=1e-6)
+        assert (np.asarray(rw["tri"])[v1]
+                == np.asarray(r1["tri"])[v1]).all()
+    a1 = pallas_tri_intersect2(scene, jnp.asarray(o), jnp.asarray(d),
+                               tm, k2, g=32, any_hit=True, pops=4)
+    a4 = pallas_tri_intersect2(scene, jnp.asarray(o), jnp.asarray(d),
+                               tm, k2, g=32, any_hit=True, pops=8,
+                               window=4)
+    assert (np.asarray(a1["valid"]) == np.asarray(a4["valid"])).all()
