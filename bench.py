@@ -483,8 +483,8 @@ def main():
             "trace_rays_per_sec_frame_sampled": round(rays_rate, 1),
             f"fwd_bwd_samples_per_sec_mesh10M_{res[1]}p_d8":
                 round(fb_rate, 1),
-            f"fwd_bwd_samples_per_sec_mesh10M_{res[1]}p_d{depth}":
-                round(fb64_rate, 1),
+            **({f"fwd_bwd_samples_per_sec_mesh10M_{res[1]}p_d{depth}":
+                round(fb64_rate, 1)} if depth != 8 else {}),
             **kernel_stats,
             # the round-<=3 judged workload, for cross-round continuity
             "camera_samples_per_sec_legacy_gentle_1080p_d32":
