@@ -79,8 +79,17 @@ def render_tile_regen(scene, cam, meta, cfg: RenderConfig, film,
     px = pixel_idx % w
     py = pixel_idx // w
     offset = jnp.asarray(sample_offset, jnp.uint32)
-    out = trace_regen(scene, cam, meta, cfg, pixel_idx, waves, offset,
-                      lanes=lanes)
+    if cfg.differentiable:
+        # custom-VJP persistent wavefront (regen_diff.py): gradients
+        # flow to material/texture/light/medium arrays while keeping
+        # regeneration scheduling (the plain trace_regen while_loop is
+        # not reverse-differentiable)
+        from .regen_diff import trace_regen_diff
+        out = trace_regen_diff(scene, cam, meta, cfg, pixel_idx, waves,
+                               offset, lanes=lanes)
+    else:
+        out = trace_regen(scene, cam, meta, cfg, pixel_idx, waves,
+                          offset, lanes=lanes)
     k = pixel_idx.shape[0]
     for s_w in range(waves):
         p = film_position(cfg.sampler, px, py, offset + jnp.uint32(s_w))
@@ -130,7 +139,11 @@ def render(scene, cam, meta, cfg: RenderConfig, film=None, spp=None,
     n_tiles = -(-h // rows_per)
     if film is None:
         film = filmmod.new_film(cam["resolution"])
-    use_regen = cfg.regenerate and not cfg.differentiable
+    # differentiable regeneration goes through the custom-VJP wavefront
+    # (render_tile_regen -> trace_regen_diff); volpath keeps the scan
+    # form there (regen_diff does not record transmittance marching)
+    use_regen = cfg.regenerate and not (cfg.differentiable
+                                        and cfg.integrator == "volpath")
     if use_regen:
         # queue groups of (consecutive row tiles) x (sample waves)
         g_tiles, wpg = regen_schedule(n_tiles, spp)
