@@ -67,7 +67,8 @@ RECULL_MAX_MPAD = 8192   # beyond this many block lanes the [128, mpad]
 
 def build_tri_blocks(tri_v: np.ndarray, block_k: int | None = None,
                      tri_vel: np.ndarray | None = None,
-                     shutter: tuple = (0.0, 0.0)):
+                     shutter: tuple = (0.0, 0.0),
+                     tri_mask: np.ndarray | None = None):
     """SAH-order triangles, cut into K-sized blocks, emit kernel tables.
 
     tri_vel/shutter: linear per-triangle motion (AnimatedPrimitive,
@@ -120,16 +121,23 @@ def build_tri_blocks(tri_v: np.ndarray, block_k: int | None = None,
     e2 = v[:, 2] - v0
     # 16 rows (9 used; 9..11 = velocity under motion): DMA slices must
     # be 8-sublane aligned on dim 0
-    vel_rows = (tri_vel[ord_pad].T if tri_vel is not None
-                else np.zeros((3, len(v)), np.float32))
-    tri9 = np.concatenate([v0.T, e1.T, e2.T, vel_rows,
-                           np.zeros((4, len(v)), np.float32)],
-                          0).astype(np.float32)
+    if tri_mask is not None:
+        # alpha micro-mask rows 9..15 (scene/alphamask.py); mutually
+        # exclusive with motion velocities (rows 9..11)
+        assert tri_vel is None, "alpha masks and motion share rows 9-11"
+        tail = np.asarray(tri_mask, np.float32)[ord_pad].T
+    else:
+        vel_rows = (tri_vel[ord_pad].T if tri_vel is not None
+                    else np.zeros((3, len(v)), np.float32))
+        tail = np.concatenate([vel_rows,
+                               np.zeros((4, len(v)), np.float32)], 0)
+    tri9 = np.concatenate([v0.T, e1.T, e2.T, tail], 0).astype(np.float32)
     plo = lo[ord_pad].reshape(m, k, 3).min(1)
     phi = hi[ord_pad].reshape(m, k, 3).max(1)
     slot2tri = ord_pad.astype(np.int32)
     if pad:
         slot2tri[n:] = -1
+        tri9[:, n:] = 0.0
     from .build import sort_key_coarse
     return dict(pk_tri=tri9, pk_blk_lo=plo.astype(np.float32),
                 pk_blk_hi=phi.astype(np.float32),
@@ -283,7 +291,7 @@ def _kernel(boxT_hbm, ox_ref, oy_ref, oz_ref,
             block_k: int, n_blocks: int, any_hit: bool,
             instanced: bool = False, motion: bool = False,
             debug_phase: int = 0, use_recull: bool = True,
-            recull_every: int = RECULL_EVERY):
+            recull_every: int = RECULL_EVERY, amask: int = 0):
     """Tile-divergent traversal with IN-KERNEL block ordering, in the
     RAYS-IN-SUBLANES layout (see pallas_trace2._kernel2 for the design
     notes): lane-major entry table + iota-argmin selection, and
@@ -397,7 +405,26 @@ def _kernel(boxT_hbm, ox_ref, oy_ref, oz_ref,
                 def row(i):
                     return scratch[slot, pl.ds(i, 1),
                                    pl.ds(sub * SUB, SUB)]   # [1,SUB]
-                t = kc.moller_trumbore(row, rays, rtime, motion, best_t)
+                if amask:
+                    # in-kernel conservative alpha test (the micro-mask
+                    # rows; see pallas_trace2 for the mode semantics)
+                    t, uu, vv = kc.moller_trumbore(row, rays, rtime,
+                                                   motion, best_t,
+                                                   with_uv=True)
+                    opq, mix = kc.alpha_cell_bits(row, uu, vv)
+                    hitm = t < BIG_F32 * 0.5
+                    if amask == 1:
+                        t = jnp.where(hitm & ~(opq | mix), BIG_F32, t)
+                        solid = None
+                    else:
+                        solid = jnp.min(
+                            jnp.where(hitm & opq, t, BIG_F32), axis=1,
+                            keepdims=True) < BIG_F32 * 0.5
+                        t = jnp.where(hitm & mix, t, BIG_F32)
+                else:
+                    t = kc.moller_trumbore(row, rays, rtime, motion,
+                                           best_t)
+                    solid = None
                 kbest = jnp.argmin(t, axis=1)[:, None]      # [128,1]
                 tbest = jnp.min(t, axis=1, keepdims=True)   # [128,1]
                 better = tbest < best_t
@@ -406,6 +433,11 @@ def _kernel(boxT_hbm, ox_ref, oy_ref, oz_ref,
                     better,
                     kc.itof_exact(b * K + sub * SUB + kbest),
                     best_slot)
+                if amask == 2 and solid is not None:
+                    # definitely-opaque hit: occluded outright (any-hit
+                    # collapse; -2 = "occluded, no candidate")
+                    best_t = jnp.where(solid, 0.0, best_t)
+                    best_slot = jnp.where(solid, -2.0, best_slot)
             return best_t, best_slot
 
         # ---- phase 2: selection-driven traversal, one-ahead prefetch ----
@@ -466,10 +498,11 @@ def _kernel(boxT_hbm, ox_ref, oy_ref, oz_ref,
 
 @functools.partial(jax.jit, static_argnames=("block_k", "any_hit",
                                              "debug_phase",
-                                             "recull_every"))
+                                             "recull_every", "amask"))
 def pallas_tri_intersect(scene, origin, direction, t_max, block_k: int,
                          any_hit: bool = False, debug_phase: int = 0,
-                         time=None, recull_every: int = RECULL_EVERY):
+                         time=None, recull_every: int = RECULL_EVERY,
+                         amask: int = 0):
     """Closest-hit over the triangle block tables via the Pallas kernel.
 
     Returns dict(t [N], tri [N] original-triangle-id, inst [N], valid [N]);
@@ -523,11 +556,16 @@ def pallas_tri_intersect(scene, origin, direction, t_max, block_k: int,
     # (no [TILE, mpad] table in VMEM, no per-chunk stores) — the true
     # baseline for A/B tools; the VMEM cap mirrors pallas_trace2
     use_recull = mpad <= RECULL_MAX_MPAD and recull_every < (1 << 29)
+    if amask:
+        # see pallas_trace2: mode 1 = closest transparent-cull, mode 2
+        # = shadow walk; masks share rows 9..11 with motion velocities
+        assert not any_hit and not motion and amask in (1, 2), \
+            (amask, any_hit, motion)
     kernel = functools.partial(_kernel, block_k=K, n_blocks=m,
                                any_hit=any_hit, instanced=instanced,
                                motion=motion, debug_phase=debug_phase,
                                use_recull=use_recull,
-                               recull_every=recull_every)
+                               recull_every=recull_every, amask=amask)
     in_specs = [box_spec] + [ray_spec] * 7 + [
         pl.BlockSpec(memory_space=pl.ANY)]
     shp = (groups, TPS, TILE)
@@ -589,5 +627,9 @@ def pallas_tri_intersect(scene, origin, direction, t_max, block_k: int,
         tri = jnp.where(valid, scene["pk_slot2tri"][jnp.clip(slot, 0)], -1)
     valid = valid & (tri >= 0)
     inst = jnp.where(valid, inst, -1)
-    return dict(t=jnp.where(valid, t, BIG_F32), tri=tri, inst=inst,
-                valid=valid)
+    res = dict(t=jnp.where(valid, t, BIG_F32), tri=tri, inst=inst,
+               valid=valid)
+    if amask == 2:
+        # definite in-kernel occlusion (opaque-cell hit; no candidate)
+        res["solid"] = slot == -2
+    return res

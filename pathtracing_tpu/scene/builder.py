@@ -1135,6 +1135,9 @@ class SceneBuilder:
                     arrays, bk = build_tri_blocks2(tv, g=block_g, **kw)
                 else:
                     from ..accel.pallas_trace import build_tri_blocks
+                    if mask_rows is not None:
+                        kw["tri_mask"] = mask_rows[ids]
+                        attached_mask = True
                     arrays, bk = build_tri_blocks(tv, **kw)
                 # slot2tri indexes the subset: compose to GLOBAL tri ids
                 s2t = arrays["pk_slot2tri"]

@@ -469,11 +469,12 @@ def _pallas_dispatch(scene, meta, origin, direction, t_max,
     else:
         o, d, tm = origin_s, direction_s, tmax_s
         tme = time_s
-    # in-kernel alpha micro-mask mode for the pka_* run (two-level only)
+    # in-kernel alpha micro-mask mode for the pka_* run (the builder
+    # sets alpha_cull_mask only when it attached mask rows — either
+    # kernel level)
     import os as _os
     am_alpha = 0
-    if (getattr(meta, "alpha_cull_mask", False) and not any_hit
-            and "pka_l1_base" in scene):
+    if getattr(meta, "alpha_cull_mask", False) and not any_hit:
         if alpha_shadow:
             am_alpha = 2
         elif _os.environ.get("PT_AMASK_CLOSEST", "1") != "0":
@@ -507,7 +508,8 @@ def _pallas_dispatch(scene, meta, origin, direction, t_max,
                                          window=int(wdw) if wdw
                                          else None)
         return pallas_tri_intersect(sub, o, d, tmr, block_k,
-                                    any_hit=any_hit, time=tme)
+                                    any_hit=any_hit, time=tme,
+                                    amask=amask)
 
     runs = []
     if tri_tables in ("all", "opaque"):

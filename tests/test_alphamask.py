@@ -242,3 +242,70 @@ def test_masked_blend_statistical(foliage_scenes):
         r0.append(np.asarray(occluded(s0, meta0, o, d, tm,
                                       rand_key=key)).mean())
     assert abs(np.mean(r1) - np.mean(r0)) < 0.02
+
+
+def test_masked_single_level_kernel():
+    """Alpha micro-masks through the SINGLE-level kernel (alpha sets
+    <= 64K tris build pallas_trace tables): shadow-predicate parity
+    with the unmasked chain, and the builder attaches masks without
+    the PT_TWOLEVEL_MIN override."""
+    saved = {k: os.environ.get(k) for k in ("PT_ALPHA_MASK",)}
+
+    def build(mask_on):
+        os.environ["PT_ALPHA_MASK"] = "1" if mask_on else "0"
+        from pathtracing_tpu.scene.builder import SceneBuilder
+        rng = np.random.default_rng(11)
+        b = SceneBuilder()
+        tid = b.textures.add_image(_leaf_tex(64))
+        lm = b.add_diffuse((0.3, 0.6, 0.3), base_tex=tid, alpha_mode=2,
+                           alpha_cutoff=0.5)
+        om = b.add_diffuse((0.7, 0.7, 0.7))
+        N = 50
+        gx, gz = np.meshgrid(np.linspace(-10, 10, N + 1),
+                             np.linspace(-10, 10, N + 1))
+        V, F = [], []
+        for i in range(N):
+            for j in range(N):
+                i0 = len(V)
+                V += [[gx[i, j], 0, gz[i, j]],
+                      [gx[i, j + 1], 0, gz[i, j + 1]],
+                      [gx[i + 1, j + 1], 0, gz[i + 1, j + 1]],
+                      [gx[i + 1, j], 0, gz[i + 1, j]]]
+                F += [[i0, i0 + 1, i0 + 2], [i0, i0 + 2, i0 + 3]]
+        b.add_mesh(np.asarray(V, np.float32), np.asarray(F, np.int32),
+                   material=om)
+        for _ in range(200):
+            c = np.array([rng.uniform(-8, 8), rng.uniform(0.5, 4),
+                          rng.uniform(-8, 8)])
+            s = rng.uniform(0.5, 1.5)
+            ry = rng.uniform(0, np.pi)
+            ux = np.array([np.cos(ry), 0, np.sin(ry)]) * s
+            uy = np.array([0, 1.0, 0]) * s
+            V2 = np.array([c - 0.5 * ux, c + 0.5 * ux,
+                           c + 0.5 * ux + uy, c - 0.5 * ux + uy],
+                          np.float32)
+            b.add_mesh(V2, np.array([[0, 1, 2], [0, 2, 3]], np.int32),
+                       uvs=np.array([[0, 0], [1, 0], [1, 1], [0, 1]],
+                                    np.float32),
+                       material=lm)
+        b.add_quad([-1, 8, -1], [2, 0, 0], [0, 0, 2],
+                   emission=(10, 10, 10))
+        b.set_camera([0, 3, -12], [0, 1, 0], math.radians(45), (64, 48))
+        return b.build()
+
+    try:
+        scene1, _, meta1 = build(True)
+        scene0, _, meta0 = build(False)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    assert meta1.alpha_cull_mask and not meta0.alpha_cull_mask
+    assert "pka_tri" in scene1 and "pka_l1_base" not in scene1, \
+        "expected a SINGLE-level alpha table"
+    o, d, tm = _rays(1024)
+    occ1 = np.asarray(occluded(scene1, meta1, o, d, tm, rand_key=5))
+    occ0 = np.asarray(occluded(scene0, meta0, o, d, tm, rand_key=5))
+    np.testing.assert_array_equal(occ1, occ0)
