@@ -292,10 +292,20 @@ def test_alpha_split_tables_match_brute():
         b.set_camera([0, 5, -8], [0, 1, 0], math.radians(40), (24, 24))
         return b.build(accel=accel)
 
+    import os as _os
+    # raw-closest parity needs the micro-masks OFF: with them on, the
+    # closest pass deliberately culls definitely-transparent candidates
+    # (the shade stage's exact test would discard them anyway — the
+    # masked contract is tested below and in test_alphamask)
+    _os.environ["PT_ALPHA_MASK"] = "0"
+    try:
+        sc_pr, _, mpr = build("auto")
+    finally:
+        _os.environ.pop("PT_ALPHA_MASK", None)
     sc_p, cam, mp = build("auto")
     assert mp.accel == "pallas" and mp.alpha_block_k > 0, \
         (mp.accel, mp.alpha_block_k)
-    assert "pka_tri" in sc_p
+    assert "pka_tri" in sc_p and mp.alpha_cull_mask
     sc_b, _, mb = build("brute")
 
     rng = np.random.default_rng(5)
@@ -305,13 +315,20 @@ def test_alpha_split_tables_match_brute():
     d = np.tile([0.0, 1.0, 0.0], (n, 1)).astype(np.float32)
     o, d = jnp.asarray(o), jnp.asarray(d)
     hb = jax.tree.map(np.asarray, intersect(sc_b, mb, o, d, 1e30))
-    hp = jax.tree.map(np.asarray, intersect(sc_p, mp, o, d, 1e30))
+    hp = jax.tree.map(np.asarray, intersect(sc_pr, mpr, o, d, 1e30))
     assert (hb["valid"] == hp["valid"]).all()
     m = hb["valid"]
     np.testing.assert_allclose(hp["t"][m], hb["t"][m], rtol=1e-4,
                                atol=1e-5)
     assert (hb["idx"][m] == hp["idx"][m]).all()
+    # masked closest: a filtered view of the same hits — anything it
+    # returns exists unmasked no closer
+    hm = jax.tree.map(np.asarray, intersect(sc_p, mp, o, d, 1e30))
+    assert not (hm["valid"] & ~hb["valid"]).any()
+    both = hm["valid"] & hb["valid"]
+    assert (hb["t"][both] <= hm["t"][both] + 1e-4).all()
     # stochastic alpha decisions share the hash stream => exact match
+    # (deterministic MASK here; masked and unmasked predicates agree)
     ob = np.asarray(occluded(sc_b, mb, o, d, jnp.full((n,), 4.0)))
     op = np.asarray(occluded(sc_p, mp, o, d, jnp.full((n,), 4.0)))
     assert (ob == op).all()
@@ -320,10 +337,20 @@ def test_alpha_split_tables_match_brute():
 
     cfg = RenderConfig(spp=2, max_depth=3,
                        sampler=SamplerConfig(x_samples=2, y_samples=1))
-    img_p = np.asarray(render_image(sc_p, cam, mp, cfg))
+    # bitwise-class render parity on the UNMASKED build; the masked
+    # build culls fake transparent hits in-kernel, which compresses
+    # see-through paths by one bounce and shifts their RNG streams —
+    # per-sample images differ, converged means agree
+    img_p = np.asarray(render_image(sc_pr, cam, mpr, cfg))
     img_b = np.asarray(render_image(sc_b, cam, mb, cfg))
     close = np.isclose(img_p, img_b, rtol=1e-3, atol=1e-4)
     assert close.mean() > 0.99, close.mean()
+    cfg16 = RenderConfig(spp=16, max_depth=3,
+                         sampler=SamplerConfig(x_samples=4, y_samples=4))
+    img_m = np.asarray(render_image(sc_p, cam, mp, cfg16))
+    img_b16 = np.asarray(render_image(sc_b, cam, mb, cfg16))
+    rel = abs(img_m.mean() - img_b16.mean()) / img_b16.mean()
+    assert rel < 0.03, rel
 
 
 def test_stacked_transparent_quads_shadow():
@@ -546,6 +573,14 @@ def test_instanced_alpha_split_matches_brute():
         b.set_camera([0, 4, -8], [0, 1, 0], math.radians(40), (24, 24))
         return b.build(accel=accel)
 
+    import os as _os
+    # unmasked build for raw-closest parity (see
+    # test_alpha_split_tables_match_brute for why)
+    _os.environ["PT_ALPHA_MASK"] = "0"
+    try:
+        sc_pr, _, mpr = build("pallas")
+    finally:
+        _os.environ.pop("PT_ALPHA_MASK", None)
     sc_p, cam, mp = build("pallas")
     assert mp.accel == "pallas" and mp.alpha_block_k > 0, \
         (mp.accel, mp.alpha_block_k)
@@ -561,13 +596,19 @@ def test_instanced_alpha_split_matches_brute():
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     o, d = jnp.asarray(o), jnp.asarray(d)
     hb = jax.tree.map(np.asarray, intersect(sc_b, mb, o, d, 1e30))
-    hp = jax.tree.map(np.asarray, intersect(sc_p, mp, o, d, 1e30))
+    hp = jax.tree.map(np.asarray, intersect(sc_pr, mpr, o, d, 1e30))
     assert (hb["valid"] == hp["valid"]).all()
     m = hb["valid"]
     np.testing.assert_allclose(hp["t"][m], hb["t"][m], rtol=1e-4,
                                atol=1e-5)
     assert (hb["kind"][m] == hp["kind"][m]).all()
     assert (hb["idx"][m] == hp["idx"][m]).all()
+    # masked closest: a filtered view — never finds anything brute
+    # misses, never closer than brute
+    hm = jax.tree.map(np.asarray, intersect(sc_p, mp, o, d, 1e30))
+    assert not (hm["valid"] & ~hb["valid"]).any()
+    both = hm["valid"] & hb["valid"]
+    assert (hb["t"][both] <= hm["t"][both] + 1e-4).all()
     # deterministic MASK cutouts: occlusion must match exactly, and some
     # shadow rays must escape through the holes
     ob = np.asarray(occluded(sc_b, mb, o, d, jnp.full((n,), 5.0)))
@@ -577,10 +618,16 @@ def test_instanced_alpha_split_matches_brute():
 
     cfg = RenderConfig(spp=2, max_depth=3,
                        sampler=SamplerConfig(x_samples=2, y_samples=1))
-    img_p = np.asarray(render_image(sc_p, cam, mp, cfg))
+    img_p = np.asarray(render_image(sc_pr, cam, mpr, cfg))
     img_b = np.asarray(render_image(sc_b, cam, mb, cfg))
     close = np.isclose(img_p, img_b, rtol=1e-3, atol=1e-4)
     assert close.mean() > 0.99, close.mean()
+    cfg16 = RenderConfig(spp=16, max_depth=3,
+                         sampler=SamplerConfig(x_samples=4, y_samples=4))
+    img_m = np.asarray(render_image(sc_p, cam, mp, cfg16))
+    img_b16 = np.asarray(render_image(sc_b, cam, mb, cfg16))
+    rel = abs(img_m.mean() - img_b16.mean()) / img_b16.mean()
+    assert rel < 0.03, rel
 
 
 def test_moving_instance_matches_brute():
