@@ -61,6 +61,15 @@ def main():
                        rays_per_batch=1 << 16, regenerate=True)
     os.makedirs(out_dir, exist_ok=True)
     ckpt = os.path.join(out_dir, f"golden_ckpt_{spp}spp_d{depth}.npz")
+    # resume accounting: the wall clock below covers only the samples
+    # rendered THIS invocation (the tunnel can wedge mid-run; the
+    # supervised restart resumes from the checkpoint)
+    done0 = 0
+    if os.path.exists(ckpt):
+        from pathtracing_tpu.utils.checkpoint import load_checkpoint
+        _, done0, _, _, _ = load_checkpoint(ckpt)
+        print(f"[golden] resuming from checkpoint at {done0} spp",
+              flush=True)
     t0 = time.time()
 
     def progress(done, total):
@@ -74,10 +83,16 @@ def main():
     img = os.path.join(out_dir,
                        f"sanmiguel_analog_1080p_{spp}spp_d{depth}.png")
     fm.write_png(film, cam["resolution"], img)
-    rate = 1920 * 1080 * spp / wall
+    inc = max(spp - done0, 1)
+    rate = 1920 * 1080 * inc / wall
     summary = dict(metric="golden_sanmiguel_analog_1080p",
-                   spp=spp, depth=depth, wall_s=round(wall, 1),
-                   samples_per_s=round(rate, 1), image=img,
+                   spp=spp, depth=depth,
+                   resumed_from_spp=done0,
+                   wall_s_this_invocation=round(wall, 1),
+                   samples_per_s=round(rate, 1),
+                   full_wall_s_at_rate=round(1920 * 1080 * spp / rate,
+                                             1),
+                   image=img,
                    reference_wall_s=5027,
                    reference_config="1024spp d128 (README.md:11)")
     print(json.dumps(summary), flush=True)
