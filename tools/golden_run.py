@@ -74,8 +74,25 @@ def main():
 
     def progress(done, total):
         el = time.time() - t0
+        rate = 1920 * 1080 * (done - done0) / max(el, 1e-9)
         print(f"[golden] {done}/{total} spp, {el:.0f}s elapsed, "
-              f"{1920*1080*done/max(el,1e-9):,.0f} samples/s", flush=True)
+              f"{rate:,.0f} samples/s", flush=True)
+        # document partial progress too: the tunnel can wedge and a
+        # session can end mid-run — every checkpoint leaves an honest
+        # in-progress record next to the resumable .npz
+        prog = dict(metric="golden_sanmiguel_analog_1080p",
+                    status="in_progress", spp_done=done, spp_target=total,
+                    depth=depth, resumed_from_spp=done0,
+                    wall_s_this_invocation=round(el, 1),
+                    samples_per_s=round(rate, 1),
+                    full_wall_s_at_rate=round(
+                        1920 * 1080 * total / max(rate, 1e-9), 1),
+                    reference_wall_s=5027,
+                    reference_config="1024spp d128 (README.md:11)")
+        with open(os.path.join(out_dir,
+                               f"golden_progress_{total}spp.json"),
+                  "w") as f:
+            json.dump(prog, f, indent=1)
 
     film = render_with_checkpoints(scene, cam, meta, cfg, spp, ckpt,
                                    every=8, progress=progress)
@@ -86,6 +103,7 @@ def main():
     inc = max(spp - done0, 1)
     rate = 1920 * 1080 * inc / wall
     summary = dict(metric="golden_sanmiguel_analog_1080p",
+                   status="complete",
                    spp=spp, depth=depth,
                    resumed_from_spp=done0,
                    wall_s_this_invocation=round(wall, 1),
