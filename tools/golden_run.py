@@ -72,21 +72,36 @@ def main():
               flush=True)
     t0 = time.time()
 
+    marks = []  # (spp_done, wall) at each checkpoint
+
     def progress(done, total):
         el = time.time() - t0
         rate = 1920 * 1080 * (done - done0) / max(el, 1e-9)
+        marks.append((done, el))
+        # the first chunk carries the one-time jit compile (hundreds of
+        # seconds on the tunnel); rate between checkpoints 1..N is the
+        # honest steady-state number
+        steady = None
+        if len(marks) >= 2:
+            (d1, e1), (dn, en) = marks[0], marks[-1]
+            steady = 1920 * 1080 * (dn - d1) / max(en - e1, 1e-9)
         print(f"[golden] {done}/{total} spp, {el:.0f}s elapsed, "
-              f"{rate:,.0f} samples/s", flush=True)
+              f"{rate:,.0f} samples/s"
+              + (f" (steady {steady:,.0f})" if steady else ""),
+              flush=True)
         # document partial progress too: the tunnel can wedge and a
         # session can end mid-run — every checkpoint leaves an honest
         # in-progress record next to the resumable .npz
+        best = steady or rate
         prog = dict(metric="golden_sanmiguel_analog_1080p",
                     status="in_progress", spp_done=done, spp_target=total,
                     depth=depth, resumed_from_spp=done0,
                     wall_s_this_invocation=round(el, 1),
                     samples_per_s=round(rate, 1),
+                    steady_samples_per_s=round(steady, 1) if steady
+                    else None,
                     full_wall_s_at_rate=round(
-                        1920 * 1080 * total / max(rate, 1e-9), 1),
+                        1920 * 1080 * total / max(best, 1e-9), 1),
                     reference_wall_s=5027,
                     reference_config="1024spp d128 (README.md:11)")
         with open(os.path.join(out_dir,
@@ -102,14 +117,20 @@ def main():
     fm.write_png(film, cam["resolution"], img)
     inc = max(spp - done0, 1)
     rate = 1920 * 1080 * inc / wall
+    steady = None
+    if len(marks) >= 2:
+        (d1, e1), (dn, en) = marks[0], marks[-1]
+        steady = 1920 * 1080 * (dn - d1) / max(en - e1, 1e-9)
     summary = dict(metric="golden_sanmiguel_analog_1080p",
                    status="complete",
                    spp=spp, depth=depth,
                    resumed_from_spp=done0,
                    wall_s_this_invocation=round(wall, 1),
                    samples_per_s=round(rate, 1),
-                   full_wall_s_at_rate=round(1920 * 1080 * spp / rate,
-                                             1),
+                   steady_samples_per_s=round(steady, 1) if steady
+                   else None,
+                   full_wall_s_at_rate=round(
+                       1920 * 1080 * spp / (steady or rate), 1),
                    image=img,
                    reference_wall_s=5027,
                    reference_config="1024spp d128 (README.md:11)")
